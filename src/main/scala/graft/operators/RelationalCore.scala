@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** M0 relational slice (SURVEY.md §7.2): scan → filter → project →
+  * join → agg → sort → limit, each as a declared, DuckDB-oracle-checked
+  * query.
+  *
+  * Determinism rules (SURVEY §5.4) applied to every query here:
+  *   - ends in a total ORDER BY (unique key set, or the full output
+  *     column list so tied rows are bit-identical),
+  *   - every double aggregate wrapped in round(x, 4) on BOTH sides,
+  *   - aliases identical between the Spark plan and the oracle SQL.
+  *
+  * Scale notes: all operators below are shuffle-bounded — filters and
+  * projections push into the parquet scan; the group-bys are
+  * partial-aggregated map-side before the exchange; the dimension join
+  * broadcasts only `nation`/`region` (constant-size); top-k compiles
+  * to TakeOrderedAndProject (per-partition heap + driver merge of k
+  * rows), never a global sort.
+  */
+object RelationalCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Full-table scan; count comes from parquet footers + scan.
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // 2 of 11 lineitem columns: ReadSchema in the plan must contain
+    // only these two (asserted in PlanShapeSpec).
+    "scan_projection_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")),
+
+    // The core staging normalize: select + rename + cast.
+    // (l_quantity is integral-valued, so Spark's truncating cast and
+    // DuckDB's rounding cast agree — do NOT copy this pattern for
+    // fractional doubles.)
+    "project_rename_cast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("qty"),
+          upper(col("l_returnflag")).as("rf"))
+        .orderBy("ok", "ln", "qty", "rf")),
+
+    "filter_comparison" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // Flagship: TPC-H Q1 shape over lineitem.
+    "agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Star-schema dimension join: supplier ⋈ nation ⋈ region with the
+    // two dims broadcast (constant size at any SF — never shuffles the
+    // fact side).
+    "join_broadcast_dim" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 4).as("total_bal"))
+        .orderBy("r_name")),
+
+    // Top-k: physical plan is TakeOrderedAndProject — per-partition
+    // heap of k, driver merges k·partitions rows; no global sort.
+    "topk_order_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "scan_projection_pushdown" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_quantity""",
+    "project_rename_cast" ->
+      """SELECT l_orderkey AS ok, l_linenumber AS ln,
+                CAST(l_quantity AS BIGINT) AS qty,
+                upper(l_returnflag) AS rf
+         FROM lineitem ORDER BY ok, ln, qty, rf""",
+    "filter_comparison" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4)      AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+                round(avg(l_quantity), 4)      AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4)      AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "join_broadcast_dim" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+                round(sum(s_acctbal), 4) AS total_bal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "topk_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+  )
+}

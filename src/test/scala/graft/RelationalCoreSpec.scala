@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.RelationalCore
+
+class RelationalCoreSpec extends GraftSuite {
+
+  test("entry returns rows on sf0.001 (t1 smoke replica)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is documented no-oracle") {
+    val declared = SparkEntry.queries.keySet
+    val withOracle = SparkEntry.oracleSql.keySet
+    assert(withOracle.subsetOf(declared),
+      s"oracle keys without a query: ${withOracle -- declared}")
+  }
+
+  test("scan_parquet counts all lineitem rows") {
+    val n = RelationalCore.queries("scan_parquet")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(n > 5000 && n < 7000) // sf0.001 ≈ 6000
+  }
+
+  test("agg_pricing_summary: ≤6 groups (3 flags × 2 statuses)") {
+    val df = RelationalCore.queries("agg_pricing_summary")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus",
+      "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+      "avg_qty", "avg_price", "avg_disc", "count_order"))
+  }
+
+  test("topk_order_limit returns exactly 10, descending") {
+    val prices = RelationalCore.queries("topk_order_limit")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("join_broadcast_dim covers all 5 regions") {
+    val df = RelationalCore.queries("join_broadcast_dim")(spark, sf)
+    assert(df.count() == 5)
+  }
+
+  test("filter_comparison: predicate holds on every row") {
+    val rows = RelationalCore.queries("filter_comparison")(spark, sf).collect()
+    assert(rows.forall(r => r.getDouble(2) > 45 && r.getDouble(3) <= 0.02))
+  }
+}
