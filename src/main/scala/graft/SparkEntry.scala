@@ -14,6 +14,10 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame],
                                Map[String, String])] = Seq(
     (operators.RelationalCore.queries, operators.RelationalCore.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.FiltersDerive.queries, operators.FiltersDerive.oracles),
+    (operators.Aggregates.queries, operators.Aggregates.oracles),
+    (operators.SetDedup.queries, operators.SetDedup.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

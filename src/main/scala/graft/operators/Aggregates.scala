@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation operators beyond the flagship Q1 (SURVEY.md §2.4).
+  *
+  * All group-bys compile to partial (map-side) + final HashAggregate
+  * pairs — one shuffle on the group key, no row explosion. Exact
+  * percentile is the only sort-heavy one (per-group sort inside the
+  * aggregate buffer); at 100 TB swap in approx_percentile and drop the
+  * oracle (declared separately as the HLL key does for distinct).
+  *
+  * DuckDB parity notes: sum(INTEGER) widens to HUGEINT in DuckDB →
+  * every count-like oracle sum is CAST(... AS BIGINT); all double
+  * aggregates rounded to 4 on both sides (SURVEY §5.4.2).
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact COUNT(DISTINCT) per group — expands to two-phase distinct
+    // aggregate (shuffle on (group, distinct-col) then on group).
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // HLL++ approximate distinct (rsd=2%). No oracle (approx);
+    // AggregatesSpec asserts |approx - exact| <= 3*rsd*exact.
+    "agg_approx_distinct_hll" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
+    // ROLLUP + grouping_id over (returnflag, linestatus); rolled-up
+    // keys surfaced as 'ALL' so no NULL keys reach the dump.
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")),
+
+    // Deterministic per-group ordered list, stringified so the parquet
+    // dump and the DuckDB result hash identically.
+    "agg_collect_list_sorted" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws(",",
+            transform(sort_array(collect_list(col("l_linenumber"))),
+              x => x.cast("string"))).as("lines"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont` — both linear interpolation).
+    "agg_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Sample stddev/variance, correlation, covariance.
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "agg_collect_list_sorted" ->
+      """SELECT l_orderkey,
+                array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+                count(*) AS n_items
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                round(var_samp(l_extendedprice), 4) AS var_price,
+                round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+                round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}

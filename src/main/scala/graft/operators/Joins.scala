@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators (SURVEY.md §2.3) — every equi/theta/interval/as-of
+  * join variant the engine supports, each as a declared oracle-checked
+  * query.
+  *
+  * Determinism (SURVEY §5.4): bounded outputs (fingerprint aggregates
+  * over the join result, never full-table dumps), total ORDER BY,
+  * round(x,4) on double aggregates, BIGINT casts in oracles where
+  * DuckDB would widen to HUGEINT.
+  *
+  * Scale notes (100 TB):
+  *   - fact⋈fact joins shuffle on the join key once (`hint("merge")`
+  *     pins sort-merge so the plan is stable; AQE can still coalesce
+  *     partitions / split skew at runtime);
+  *   - dimension joins broadcast ONLY constant-cardinality dims
+  *     (nation=25, region=5); supplier/customer scale with SF and are
+  *     left to the planner/AQE;
+  *   - the interval self-join is equi-keyed on user_id so the
+  *     quadratic blowup is bounded per user; at extreme per-user
+  *     volume add a coarse time-bucket to the equi key;
+  *   - the theta/range join broadcasts the tiny band table →
+  *     BroadcastNestedLoopJoin touches each fact row once.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Large-side join: lineitem ⋈ orders on orderkey. `hint("merge")`
+    // forces sort-merge (the 100 TB-realistic plan) even though orders
+    // fits under the local broadcast threshold at test SF.
+    "join_shuffle_large" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+        .orderBy("o_orderstatus")),
+
+    // Full star: lineitem → orders → customer, lineitem → supplier →
+    // nation → region; only the constant-size dims are broadcast.
+    "join_multiway_star" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy("r_name", "c_mktsegment")),
+
+    // Outer joins with REAL non-matches on both sides at every SF
+    // (filters guarantee unmatched rows even where doc_id↔vec_id is
+    // 1:1). One summary row per join type.
+    "join_left_right_full" -> ((s, d) => {
+      def dd = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")).filter(col("doc_id") % 3 =!= 0)
+      def ee = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label")).filter(col("label") < 7)
+      def side(kind: String, how: String): DataFrame =
+        dd.join(ee, col("doc_id") === col("vec_id"), how)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("doc_id")).as("n_left"),
+            count(col("vec_id")).as("n_right"))
+          .select(lit(kind).as("kind"), col("n_rows"), col("n_left"), col("n_right"))
+      side("1_left", "left")
+        .unionByName(side("2_right", "right"))
+        .unionByName(side("3_full", "full"))
+        .orderBy("kind")
+    }),
+
+    // Customers with at least one order (left-semi → no row duplication).
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // Customers with NO 'F'-status order (left-anti).
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // Cross join of two tiny sets (5 regions × 3 statuses = 15 rows).
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus")),
+
+    // Pure non-equi (theta) join: parts against overlapping price
+    // bands derived from region keys → BroadcastNestedLoopJoin with
+    // the 5-row band table broadcast.
+    "join_theta_range" -> ((s, d) => {
+      val bands = Tables.region(s, d).select(
+        col("r_regionkey").as("band_id"),
+        (col("r_regionkey") * lit(20.0) + lit(900.0)).as("lo"),
+        (col("r_regionkey") * lit(20.0) + lit(930.0)).as("hi"))
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy("band_id")
+    }),
+
+    // Interval self-join: pairs of events of the same user within 5
+    // minutes. Equi on user_id bounds the pair blowup per user.
+    "join_interval_events" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+      val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      a.join(b,
+          col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("a_type")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("a_type")
+    }),
+
+    // As-of: each purchase matched to the user's latest PRIOR click
+    // (join + groupBy-max formulation — identical semantics declared
+    // in the oracle so both engines agree; see SURVEY §2.3).
+    "join_asof_last_event" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+        .groupBy("p_id", "p_ts")
+        .agg(max(col("c_ts")).as("last_click"))
+        .select(
+          col("p_id"),
+          col("last_click").isNotNull.as("has_click"),
+          ((unix_micros(col("p_ts")) - unix_micros(col("last_click"))) / lit(1e6))
+            .as("gap_sec"))
+        .groupBy("has_click")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(avg(col("gap_sec")), 4).as("avg_gap_sec"))
+        .orderBy("has_click")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_shuffle_large" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                round(sum(l_extendedprice), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_multiway_star" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_items,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment""",
+    "join_left_right_full" ->
+      """WITH dd AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0),
+              ee AS (SELECT vec_id, label FROM embeddings WHERE label < 7)
+         SELECT '1_left' AS kind, count(*) AS n_rows,
+                count(doc_id) AS n_left, count(vec_id) AS n_right
+         FROM dd LEFT JOIN ee ON doc_id = vec_id
+         UNION ALL
+         SELECT '2_right', count(*), count(doc_id), count(vec_id)
+         FROM dd RIGHT JOIN ee ON doc_id = vec_id
+         UNION ALL
+         SELECT '3_full', count(*), count(doc_id), count(vec_id)
+         FROM dd FULL JOIN ee ON doc_id = vec_id
+         ORDER BY kind""",
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+         ORDER BY r_name, o_orderstatus""",
+    "join_theta_range" ->
+      """WITH bands AS (SELECT r_regionkey AS band_id,
+                               r_regionkey * 20.0 + 900.0 AS lo,
+                               r_regionkey * 20.0 + 930.0 AS hi
+                        FROM region)
+         SELECT band_id, count(*) AS n_parts,
+                round(avg(p_retailprice), 4) AS avg_price
+         FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band_id ORDER BY band_id""",
+    "join_interval_events" ->
+      """SELECT a.event_type AS a_type, count(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+         GROUP BY a.event_type ORDER BY a_type""",
+    "join_asof_last_event" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, ts AS c_ts
+                    FROM events WHERE event_type = 'click'),
+              m AS (SELECT p_id, p_ts, max(c_ts) AS last_click
+                    FROM p LEFT JOIN c ON user_id = c_user AND c_ts <= p_ts
+                    GROUP BY p_id, p_ts)
+         SELECT last_click IS NOT NULL AS has_click,
+                count(*) AS n_purchases,
+                round(avg((epoch_us(p_ts) - epoch_us(last_click)) / 1e6), 4)
+                  AS avg_gap_sec
+         FROM m GROUP BY 1 ORDER BY has_click""",
+  )
+}
