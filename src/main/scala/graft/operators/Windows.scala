@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2.5).
+  *
+  * Determinism (SURVEY §5.4): every window orderBy carries a unique
+  * tiebreak; outputs are bounded fingerprint aggregates over the
+  * windowed rows (never full-table dumps); doubles rounded to 4.
+  *
+  * Scale notes (100 TB): a window = ONE shuffle on its partition key +
+  * a per-partition sort — no global sort anywhere here. Top-k-per-group
+  * via row_number keeps only k rows per key after the rank filter, so
+  * downstream state is bounded. The running/range frames operate on a
+  * pre-aggregated (status, day) table — thousands of rows per
+  * partition regardless of fact-table size, so the frame scan cost is
+  * independent of SF.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 orders per customer by price (row_number/rank/dense_rank),
+    // fingerprinted by rank position so the output is 3 rows at any SF.
+    "window_rank_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("rn")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"),
+          sum(col("rk")).as("sum_rank"),
+          sum(col("drk")).as("sum_dense_rank"))
+        .orderBy("rn")
+    }),
+
+    // Per-user sessionization: lag(ts) gap > 30 min starts a new
+    // session; session id = running sum of the new-session flag.
+    // Output: histogram of session sizes (bounded).
+    "window_lag_lead_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("sess_len"))
+        .groupBy("sess_len")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("sess_len")
+    }),
+
+    // Running total (rows frame) + 7-day moving average (range frame)
+    // over the per-(status, day) daily revenue series.
+    "window_running_frame" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("day"))
+        .agg(round(sum(col("o_totalprice")), 4).as("daily_total"))
+      val wRun = Window.partitionBy("st").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMav = Window.partitionBy("st").orderBy("day")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("running_total", round(sum(col("daily_total")).over(wRun), 4))
+        .withColumn("mavg_7d", round(avg(col("daily_total")).over(wMav), 4))
+        .filter(col("day") % 50 === 0)
+        .select("st", "day", "daily_total", "running_total", "mavg_7d")
+        .orderBy("st", "day")
+    }),
+
+    // ntile(4) quartiles + first/last value over an explicit full frame.
+    "window_ntile_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("seg_min_bal", first(col("c_acctbal")).over(wFull))
+        .withColumn("seg_max_bal", last(col("c_acctbal")).over(wFull))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"),
+          round(min(col("seg_min_bal")), 4).as("seg_min"),
+          round(max(col("seg_max_bal")), 4).as("seg_max"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank_topk_per_group" ->
+      """SELECT rn, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS sum_price,
+                CAST(sum(rk) AS BIGINT) AS sum_rank,
+                CAST(sum(drk) AS BIGINT) AS sum_dense_rank
+         FROM (SELECT o_totalprice,
+                      row_number() OVER w AS rn,
+                      rank() OVER w AS rk,
+                      dense_rank() OVER w AS drk
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3 GROUP BY rn ORDER BY rn""",
+    "window_lag_lead_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess_id
+           FROM flagged),
+         sizes AS (
+           SELECT user_id, sess_id, count(*) AS sess_len
+           FROM sess GROUP BY user_id, sess_id)
+         SELECT sess_len, count(*) AS n_sessions
+         FROM sizes GROUP BY sess_len ORDER BY sess_len""",
+    "window_running_frame" ->
+      """WITH daily AS (
+           SELECT o_orderstatus AS st,
+                  date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS day,
+                  round(sum(o_totalprice), 4) AS daily_total
+           FROM orders GROUP BY 1, 2)
+         SELECT st, day, daily_total,
+                round(sum(daily_total) OVER (PARTITION BY st ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS running_total,
+                round(avg(daily_total) OVER (PARTITION BY st ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                  AS mavg_7d
+         FROM daily QUALIFY day % 50 = 0 ORDER BY st, day""",
+    "window_ntile_analytic" ->
+      """WITH q AS (
+           SELECT c_mktsegment, c_acctbal,
+                  ntile(4) OVER w AS quartile,
+                  first_value(c_acctbal) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS seg_min_bal,
+                  last_value(c_acctbal) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS seg_max_bal
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey))
+         SELECT c_mktsegment, quartile, count(*) AS n,
+                round(avg(c_acctbal), 4) AS avg_bal,
+                round(min(seg_min_bal), 4) AS seg_min,
+                round(max(seg_max_bal), 4) AS seg_max
+         FROM q GROUP BY c_mktsegment, quartile
+         ORDER BY c_mktsegment, quartile""",
+  )
+}
