@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.FiltersDerive.queries, operators.FiltersDerive.oracles),
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.SetDedup.queries, operators.SetDedup.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
