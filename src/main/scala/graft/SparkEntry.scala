@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.SetDedup.queries, operators.SetDedup.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
+    (operators.Functions.queries, operators.Functions.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

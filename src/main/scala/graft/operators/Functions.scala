@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function families (SURVEY.md §2.8): one declared query per
+  * family, each a deterministic projection over a fixture table,
+  * sampled by a modulus filter on the key and ordered by every output
+  * column (ties are then bit-identical rows, so the hash compare is
+  * order-safe even where the sample key is not unique — lineitem has
+  * real duplicate rows, SURVEY §1.2).
+  *
+  * DuckDB name/type parity (SURVEY §5.4.5, re-verified this session):
+  *   - Spark `split(s,' ')(0)`        → DuckDB `string_split(s,' ')[1]` (1-based)
+  *   - Spark `datediff(end,start)`    → `date_diff('day', start, end)` (arg order!)
+  *   - Spark `year/month/length/size` return Int → oracle CASTs BIGINT→INTEGER
+  *   - Spark `ceil/floor` return Long → oracle CASTs DOUBLE→BIGINT
+  *   - Spark `sign` returns Double    → oracle CASTs TINYINT→DOUBLE
+  *   - Spark `pmod(a,b)`              → `((a % b) + b) % b`
+  *   - date-valued results cast to TIMESTAMP on BOTH sides (date/ts
+  *     dtype drift across parquet/pandas is the alternative)
+  *   - Spark `nanvl`                  → `CASE WHEN isnan(x) THEN y ELSE x END`
+  *   - array HOFs: `transform/filter/aggregate` → `list_transform/
+  *     list_filter/list_aggregate(l,'sum')`; element access 1-based in
+  *     both (`element_at` / `l[i]`); floats cast to DOUBLE before any
+  *     arithmetic (float→double widening is exact in both engines, and
+  *     both fold list sums sequentially → identical bits, round(,4)
+  *     guards regardless)
+  *
+  * Scale notes: every query here is scan → filter → project → sort of
+  * a modulus sample; the filter and the (narrow) column set push into
+  * the parquet scan, nothing shuffles except the final bounded sort.
+  * All functions are built-in Catalyst expressions (codegen'd) — no
+  * UDFs in any hot path.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // String family over part: case, trim, length, concat, substring,
+    // regex extract/replace, padding, translate, split-and-index.
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 37 === 0)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          upper(col("p_brand")).as("up"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          substring(col("p_name"), 1, 8).as("sub"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+          regexp_replace(col("p_name"), "a", "_").as("rrep"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+          split(col("p_name"), " ").getItem(0).as("tok0"),
+          trim(col("p_name")).as("tm"))
+        .orderBy("p_partkey")),
+
+    // Date/time family over orders: parts, trunc, diff, add_months,
+    // last_day, epoch seconds. All date-valued outputs cast to
+    // timestamp for cross-engine dtype stability.
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dd"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("dif"),
+          add_months(to_date(col("o_orderdate")), 3).cast("timestamp").as("am"),
+          last_day(to_date(col("o_orderdate"))).cast("timestamp").as("ld"),
+          unix_timestamp(col("o_orderdate")).as("ep"),
+          to_date(col("o_orderdate")).cast("timestamp").as("dt"))
+        .orderBy("o_orderkey")),
+
+    // Math family over a lineitem sample.
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1999 === 0 && col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          round(col("l_extendedprice"), 2).as("r"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          ceil(col("l_quantity") / 7.0).as("ce"),
+          floor(col("l_quantity") / 7.0).as("fl"),
+          round(pow(col("l_quantity"), 1.5), 4).as("pw"),
+          round(exp(col("l_discount")), 4).as("ex"),
+          round(log(col("l_extendedprice")), 4).as("lg"),
+          round(log10(col("l_extendedprice")), 4).as("l10"),
+          round(sqrt(col("l_quantity")), 4).as("sq"),
+          signum(col("l_discount") - 0.05).as("sg"),
+          pmod(col("l_orderkey"), lit(7L)).as("pm"),
+          greatest(col("l_quantity"), col("l_discount") * 1000).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy("l_orderkey", "r", "ab", "ce", "fl", "pw", "ex", "lg",
+          "l10", "sq", "sg", "pm", "gr", "le")),
+
+    // Conditional family over customer: coalesce/nullif/nvl/nanvl.
+    // NaN is manufactured deterministically for the nanvl leg.
+    "fn_conditional" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+            .as("seg"),
+          nullif(col("c_nationkey"), lit(5)).as("nk"),
+          round(nanvl(
+            when(col("c_acctbal") < 0, lit(Double.NaN))
+              .otherwise(col("c_acctbal")),
+            lit(0.0)), 4).as("bal_nn"),
+          nvl(nullif(col("c_mktsegment"), col("c_mktsegment")), lit("same"))
+            .as("nv"),
+          when(col("c_acctbal") > 5000, "high")
+            .when(col("c_acctbal") > 0, "mid")
+            .otherwise("low").as("band"))
+        .orderBy("c_custkey")),
+
+    // Array family + higher-order functions over embeddings
+    // (ArrayType(FloatType), 64-dim): size, fold-sum, min, filter
+    // count, slice+index, distinct count.
+    "fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 37 === 0)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n"),
+          round(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"
+          ), 4).as("ssum"),
+          round(array_min(col("embedding")).cast("double"), 4).as("mn"),
+          size(expr("filter(embedding, x -> x > 0)")).as("npos"),
+          round(element_at(slice(col("embedding"), 1, 3), 2).cast("double"), 4)
+            .as("e2"),
+          size(array_distinct(col("embedding"))).as("ndist"))
+        .orderBy("vec_id")),
+
+    // Map/JSON family over events.props (JSON-encoded {"k": <int>}):
+    // path extraction and from_json→map access agree with the oracle's
+    // ->> extraction.
+    "fn_map_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_json"),
+          element_at(
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)), "k").as("k_map"),
+          size(map_keys(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)))).as("nkeys"))
+        .orderBy("event_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up,
+                CAST(length(p_name) AS INTEGER) AS len,
+                concat_ws('|', p_brand, p_type) AS cat,
+                substring(p_name, 1, 8) AS sub,
+                regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+                regexp_replace(p_name, 'a', '_', 'g') AS rrep,
+                lpad(p_brand, 12, '*') AS lp,
+                translate(p_type, 'AEIOU', 'aeiou') AS tr,
+                string_split(p_name, ' ')[1] AS tok0,
+                trim(p_name) AS tm
+         FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(month(o_orderdate) AS INTEGER) AS m,
+                CAST(day(o_orderdate) AS INTEGER) AS dd,
+                date_trunc('month', o_orderdate) AS mon,
+                CAST(date_diff('day', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) AS INTEGER) AS dif,
+                CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                     AS TIMESTAMP) AS am,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
+                CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+                CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS dt
+         FROM orders WHERE o_orderkey % 997 = 0 ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey,
+                round(l_extendedprice, 2) AS r,
+                abs(l_discount - 0.05) AS ab,
+                CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+                CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+                round(pow(l_quantity, 1.5), 4) AS pw,
+                round(exp(l_discount), 4) AS ex,
+                round(ln(l_extendedprice), 4) AS lg,
+                round(log10(l_extendedprice), 4) AS l10,
+                round(sqrt(l_quantity), 4) AS sq,
+                CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+                ((l_orderkey % 7) + 7) % 7 AS pm,
+                greatest(l_quantity, l_discount * 1000) AS gr,
+                least(l_tax, l_discount) AS le
+         FROM lineitem WHERE l_orderkey % 1999 = 0 AND l_linenumber = 1
+         ORDER BY l_orderkey, r, ab, ce, fl, pw, ex, lg, l10, sq, sg, pm, gr, le""",
+    "fn_conditional" ->
+      """SELECT c_custkey,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg,
+                nullif(c_nationkey, 5) AS nk,
+                round(CASE WHEN isnan(CASE WHEN c_acctbal < 0 THEN CAST('NaN' AS DOUBLE)
+                                           ELSE c_acctbal END)
+                           THEN 0.0
+                           ELSE CASE WHEN c_acctbal < 0 THEN CAST('NaN' AS DOUBLE)
+                                     ELSE c_acctbal END END, 4) AS bal_nn,
+                coalesce(nullif(c_mktsegment, c_mktsegment), 'same') AS nv,
+                CASE WHEN c_acctbal > 5000 THEN 'high'
+                     WHEN c_acctbal > 0 THEN 'mid'
+                     ELSE 'low' END AS band
+         FROM customer WHERE c_custkey % 97 = 0 ORDER BY c_custkey""",
+    "fn_array" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INTEGER) AS n,
+                round(list_aggregate(
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        'sum'), 4) AS ssum,
+                round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS mn,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS npos,
+                round(CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE), 4) AS e2,
+                CAST(len(list_distinct(embedding)) AS INTEGER) AS ndist
+         FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""",
+    "fn_map_json" ->
+      """SELECT event_id,
+                CAST(props->>'$.k' AS INTEGER) AS k_json,
+                CAST(props->>'$.k' AS INTEGER) AS k_map,
+                1 AS nkeys
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+  )
+}
