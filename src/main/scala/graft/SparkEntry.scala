@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.SetDedup.queries, operators.SetDedup.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.Functions.queries, operators.Functions.oracles),
+    (operators.TextOps.queries, operators.TextOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
