@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.Functions.queries, operators.Functions.oracles),
     (operators.TextOps.queries, operators.TextOps.oracles),
+    (operators.Similarity.queries, operators.Similarity.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

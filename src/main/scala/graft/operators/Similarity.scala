@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search, multimodal columns, and the custom-function
+  * surface (SURVEY.md §2.10 — north-star components).
+  *
+  * Cosine parity strategy: BOTH engines compute the dot product and
+  * norms as a left-to-right fold over double-cast elements (Spark
+  * `aggregate(zip_with(...))` HOFs ≡ DuckDB `list_aggregate(
+  * list_transform(range...))`), so the double bits agree exactly;
+  * ranking orders by round(cos,4) with a vec_id tiebreak so no
+  * low-bit drift can flip rows.
+  *
+  * Scale notes (100 TB):
+  *   - `sim_cosine_topk` is the BRUTE-FORCE baseline: the query side
+  *     is a small broadcast, candidates stream through one scan, and
+  *     the per-query top-k is a bounded window — linear in the corpus,
+  *     never all-pairs.
+  *   - `sim_lsh_ann` is the scale path: seeded random-projection LSH
+  *     buckets co-locate near neighbors so the join touches only
+  *     hash-colliding pairs (SURVEY §7.4 — brute force only within
+  *     buckets).
+  *   - `udaf_typed` (vector centroid) partial-aggregates map-side: the
+  *     shuffle carries one 64-dim buffer per (partition × label), not
+  *     rows.
+  *   - `udf_scalar` documents the perf cliff: a JVM UDF breaks
+  *     whole-stage codegen, so the declared query keeps the UDF off
+  *     the hot columns and the oracle proves the same result is
+  *     SQL-expressible (the built-in form is what a 100 TB pipeline
+  *     should run).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Double-cast a float-array column (exact widening). */
+  private def dbl(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
+  /** Left-fold sum of a double-array SQL expression. */
+  private def fsum(arr: String): String = s"aggregate($arr, 0D, (a, x) -> a + x)"
+
+  // Typed centroid aggregation over ArrayType(FloatType) — the
+  // `Aggregator[IN,BUF,OUT]` surface (SURVEY §2.10 udaf_typed).
+  case class CentBuf(sum: Array[Double], n: Long)
+  object VecCentroid extends Aggregator[Seq[Float], CentBuf, Array[Double]] {
+    private val dim = 64
+    def zero: CentBuf = CentBuf(Array.fill(dim)(0.0), 0L)
+    def reduce(b: CentBuf, v: Seq[Float]): CentBuf = {
+      var i = 0; while (i < dim) { b.sum(i) += v(i); i += 1 }
+      CentBuf(b.sum, b.n + 1)
+    }
+    def merge(a: CentBuf, b: CentBuf): CentBuf = {
+      var i = 0; while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      CentBuf(a.sum, a.n + b.n)
+    }
+    def finish(b: CentBuf): Array[Double] = b.sum.map(_ / b.n)
+    def bufferEncoder: ExpressionEncoder[CentBuf] = ExpressionEncoder[CentBuf]()
+    def outputEncoder: ExpressionEncoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-3 neighbors for query vectors vec_id<5.
+    "sim_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(dbl("embedding")).as("v"))
+        .withColumn("nrm", sqrt(expr(fsum("transform(v, x -> x * x)"))))
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).filter(col("qid") < 5)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          expr(fsum("zip_with(qv, v, (x, y) -> x * y)")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Multimodal row: text metadata ⋈ vector column + binary-width
+    // leg, mixed-type projection.
+    "multimodal_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .filter(col("doc_id") % 7 === 0)
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          round(sqrt(expr(fsum(s"transform(${dbl("embedding")}, x -> x * x)"))), 4)
+            .as("vnorm"),
+          length(col("text").cast("binary")).as("n_bytes"))
+        .orderBy("doc_id")),
+
+    // Custom typed aggregation: per-label 64-dim centroid.
+    "udaf_typed" -> ((s, d) => {
+      val centroid = udaf(VecCentroid, ExpressionEncoder[Seq[Float]]())
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), centroid(col("embedding")).as("cent"))
+        .select(
+          col("label"), col("n"),
+          round(element_at(col("cent"), 1), 4).as("c0"),
+          round(element_at(col("cent"), 2), 4).as("c1"),
+          round(sqrt(expr(fsum("transform(cent, x -> x * x)"))), 4).as("cnorm"))
+        .orderBy("label")
+    }),
+
+    // Scalar UDF: text normalization (trim + lower + collapse runs of
+    // spaces). The oracle proves the identical result is expressible
+    // with built-ins — which is what the hot path should use.
+    "udf_scalar" -> ((s, d) => {
+      val normUdf = udf((t: String) =>
+        if (t == null) null else t.trim.toLowerCase.replaceAll(" +", " "))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 131 === 0)
+        .select(
+          col("doc_id"),
+          substring(normUdf(col("text")), 1, 40).as("norm40"),
+          length(normUdf(col("text"))).as("nlen"))
+        .orderBy("doc_id")
+    }),
+
+    // Approximate NN at scale: seeded random-projection LSH; join
+    // touches only hash-colliding pairs. No oracle (approx) — recall
+    // vs brute force is property-tested in SimilaritySpec.
+    "sim_lsh_ann" -> ((s, d) => {
+      val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+      val df = Tables.embeddings(s, d)
+        .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+      val model = lsh.fit(df)
+      model.approxSimilarityJoin(df, df, 1.15, "dist")
+        .select(
+          col("datasetA.vec_id").as("a"),
+          col("datasetB.vec_id").as("b"),
+          col("dist"))
+        .filter(col("a") < col("b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(avg(col("dist")), 4).as("avg_dist"),
+          round(min(col("dist")), 4).as("min_dist"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+                    FROM n WHERE vec_id < 5),
+              s AS (SELECT qid, vec_id,
+                           list_aggregate(list_transform(range(1, len(qv) + 1),
+                                          i -> qv[i] * v[i]), 'sum')
+                             / (qnrm * nrm) AS cos
+                    FROM q JOIN n ON vec_id <> qid),
+              rk AS (SELECT qid, vec_id, cos,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                     FROM s)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id, round(cos, 4) AS cos
+         FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label,
+                round(sqrt(list_aggregate(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum')), 4) AS vnorm,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE doc_id % 7 = 0 ORDER BY doc_id""",
+    "udaf_typed" ->
+      """WITH dims AS (SELECT label,
+                              unnest(generate_series(1, 64)) AS i,
+                              unnest(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE))) AS x
+                       FROM embeddings),
+              cent AS (SELECT label, i, avg(x) AS c
+                       FROM dims GROUP BY label, i),
+              agg AS (SELECT label,
+                             round(sqrt(sum(c * c)), 4) AS cnorm,
+                             round(max(CASE WHEN i = 1 THEN c END), 4) AS c0,
+                             round(max(CASE WHEN i = 2 THEN c END), 4) AS c1
+                      FROM cent GROUP BY label),
+              n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+         SELECT agg.label, n.n, agg.c0, agg.c1, agg.cnorm
+         FROM agg JOIN n ON agg.label = n.label ORDER BY agg.label""",
+    "udf_scalar" ->
+      """SELECT doc_id,
+                substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'),
+                          1, 40) AS norm40,
+                CAST(length(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                     AS INTEGER) AS nlen
+         FROM documents WHERE doc_id % 131 = 0 ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Property tests for the similarity block — these are the "done"
+  * criteria for the no-oracle key sim_lsh_ann (SURVEY §5.3.3). */
+class SimilaritySpec extends GraftSuite {
+
+  test("sim_cosine_topk: self-similarity excluded, cos in [-1,1], 3 per query") {
+    val rows = Similarity.queries("sim_cosine_topk")(spark, sf).collect()
+    assert(rows.length == 15) // 5 query vectors × top-3
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
+
+  test("sim_lsh_ann: deterministic under fixed seed") {
+    val a = Similarity.queries("sim_lsh_ann")(spark, sf).collect()(0)
+    val b = Similarity.queries("sim_lsh_ann")(spark, sf).collect()(0)
+    assert(a == b)
+  }
+
+  test("sim_lsh_ann: recall ≥ 0.5 vs brute-force nearest neighbor") {
+    // Brute-force 1-NN by euclidean distance for each of 20 probe
+    // vectors; the LSH approx join (same threshold as the declared
+    // query) must recover at least half of the true NN pairs —
+    // random-projection LSH with 4 tables comfortably exceeds this
+    // when the true NN is inside the join threshold.
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val probes = df.filter(col("vec_id") < 20)
+    // brute force: true nearest neighbor per probe (within threshold)
+    val distUdf = udf((a: org.apache.spark.ml.linalg.Vector,
+                       b: org.apache.spark.ml.linalg.Vector) =>
+      Vectors.sqdist(a, b))
+    val truePairs = probes.as("p").crossJoin(df.as("c"))
+      .filter(col("p.vec_id") =!= col("c.vec_id"))
+      .withColumn("d2", distUdf(col("p.features"), col("c.features")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("p.vec_id").orderBy(col("d2"), col("c.vec_id"))))
+      .filter(col("rn") === 1 && sqrt(col("d2")) <= 1.15)
+      .select(col("p.vec_id").as("q"), col("c.vec_id").as("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "threshold too tight: no true NN pairs")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(df)
+    val found = model.approxSimilarityJoin(probes, df, 1.15, "dist")
+      .select(col("datasetA.vec_id").as("q"), col("datasetB.vec_id").as("nn"))
+      .filter(col("q") =!= col("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(found).toDouble / truePairs.size
+    assert(recall >= 0.5, s"LSH recall $recall < 0.5 (${truePairs.size} true pairs)")
+  }
+
+  test("udaf_typed centroid matches built-in per-dim average") {
+    val rows = Similarity.queries("udaf_typed")(spark, sf).collect()
+    assert(rows.length == 10) // labels 0..9
+    // cross-check c0 against the built-in formulation
+    val expected = Tables.embeddings(spark, sf)
+      .select(col("label"), element_at(col("embedding"), 1).cast("double").as("x"))
+      .groupBy("label").agg(round(avg(col("x")), 4).as("c0"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - expected(r.getInt(0))) <= 1e-4)
+    }
+  }
+}
