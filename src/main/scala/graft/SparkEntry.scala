@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Functions.queries, operators.Functions.oracles),
     (operators.TextOps.queries, operators.TextOps.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
+    (streaming.Streaming.queries, streaming.Streaming.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

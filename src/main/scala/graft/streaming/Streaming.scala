@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import graft.Tables
+
+/** Structured-Streaming operators (SURVEY.md §2.9).
+  *
+  * Harness pattern (SURVEY §2.9): each declared query drives a real
+  * Structured Streaming query over the fixture with
+  * `Trigger.AvailableNow` into an in-memory sink (or a staged parquet
+  * dir for foreachBatch), waits for it to drain, and returns the
+  * completed result as a batch DataFrame — so `Verify` can dump it and
+  * the DuckDB oracle can check it against the batch-equivalent SQL.
+  *
+  * The memory sink collects to the driver — that is ONLY the test
+  * harness surface (bounded aggregates). The production path is
+  * `stream_foreachbatch_stage`, which stages partitioned parquet
+  * exactly like the reference's microbatch ETL.
+  *
+  * Scale notes (100 TB): streaming state is bounded — windowed aggs
+  * keep one row per (window × group); the dedup state is bounded by
+  * the 1 h watermark in event-time order; the stateful counter keeps
+  * one long per user. foreachBatch writes partitioned parquet
+  * append-only (no global sort, no driver collect), which is the
+  * reference's staging write.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Streaming read of the events fixture (ns-timestamp handled as in
+    * Tables.events: LongType ns → integer-division µs → timestamp). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // FileStreamSource requires a directory or glob, not a bare file
+    // path — `events.*` matches exactly the fixture file and makes the
+    // sf dir the inferred basePath.
+    s.readStream.schema(schema).parquet(s"$d/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming DataFrame into a memory sink and return the
+    * sink contents as a batch DataFrame. */
+  private def drain(sdf: DataFrame, mode: String): DataFrame = {
+    val name = "graft_sink_" + sinkId.incrementAndGet()
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sdf.sparkSession.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows × event_type (epoch-aligned — equivalent
+    // to date_trunc('hour') batch grouping).
+    "stream_tumbling_window" -> ((s, d) =>
+      drain(eventsStream(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .count(), "complete")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("count").as("n"))
+        .orderBy("ws", "event_type")),
+
+    // 1-hour windows sliding every 15 minutes: each event lands in 4
+    // overlapping windows; top-20 busiest.
+    "stream_sliding_window" -> ((s, d) =>
+      drain(eventsStream(s, d)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .count(), "complete")
+        .select(col("window.start").as("ws"), col("count").as("n"))
+        .orderBy(col("n").desc, col("ws"))
+        .limit(20)),
+
+    // Per-user session windows (30-min gap); output = histogram of
+    // session sizes, identical to the batch lag-sessionize semantics
+    // (no exact-30-min gaps exist in the fixture, so > vs >= cannot
+    // diverge — verified).
+    "stream_session_window" -> ((s, d) =>
+      drain(eventsStream(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .count(), "complete")
+        .groupBy(col("count").as("sess_len"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .select(col("sess_len"), col("n_sessions"))
+        .orderBy("sess_len")),
+
+    // Streaming dedup bounded by a 1-hour event-time watermark.
+    "stream_watermark_dedup" -> ((s, d) =>
+      drain(eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id"), "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Explicit per-key state: running per-user event counter via
+    // mapGroupsWithState; final counter per sampled user.
+    "stream_stateful_counter" -> ((s, d) => {
+      import s.implicits._
+      val ds = eventsStream(s, d).select(col("user_id")).as[Long]
+      val counted = ds.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[Long], st: GroupState[Long]) =>
+            val c = st.getOption.getOrElse(0L) + rows.size
+            st.update(c)
+            (uid, c)
+        }.toDF("user_id", "n")
+      drain(counted, "update")
+        .filter(col("user_id") % 10 === 0)
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n")) // last update = final counter
+        .orderBy("user_id")
+    }),
+
+    // THE reference pipeline: stream → foreachBatch { dedup, derive
+    // partition column, write partitioned parquet } → read staged
+    // table back and fingerprint it.
+    "stream_foreachbatch_stage" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+      val q = eventsStream(s, d).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .dropDuplicates("event_id")
+            .withColumn("day", to_date(col("ts")))
+            .write.mode("append").partitionBy("day").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("total"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "stream_sliding_window" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+                         - unnest(generate_series(0, 3)) * INTERVAL '15 minutes'
+                           AS ws
+                    FROM events)
+         SELECT ws, count(*) AS n FROM w
+         GROUP BY ws ORDER BY n DESC, ws LIMIT 20""",
+    "stream_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         sizes AS (SELECT user_id, sid, count(*) AS sess_len
+                   FROM sess GROUP BY 1, 2)
+         SELECT sess_len, count(*) AS n_sessions
+         FROM sizes GROUP BY sess_len ORDER BY sess_len""",
+    "stream_watermark_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_stateful_counter" ->
+      """SELECT user_id, count(*) AS n FROM events
+         WHERE user_id % 10 = 0 GROUP BY user_id ORDER BY user_id""",
+    "stream_foreachbatch_stage" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+                count(DISTINCT CAST(ts AS DATE)) AS n_days
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}
