@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.TextOps.queries, operators.TextOps.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
+    (sources.Staging.queries, sources.Staging.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
