@@ -30,16 +30,25 @@ object RelationalCore {
       Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
 
     // 2 of 11 lineitem columns: ReadSchema in the plan must contain
-    // only these two (asserted in PlanShapeSpec).
+    // only these two (asserted in PlanShapeSpec). Output is a bounded
+    // per-bucket fingerprint — the pruning is the point, and the plan
+    // stays scale-safe (no global sort, no full-table dump) at any SF.
     "scan_projection_pushdown" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity")
-        .orderBy("l_orderkey", "l_quantity")),
+        .groupBy((col("l_orderkey") % 1000).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy("bucket")),
 
     // The core staging normalize: select + rename + cast.
     // (l_quantity is integral-valued, so Spark's truncating cast and
     // DuckDB's rounding cast agree — do NOT copy this pattern for
-    // fractional doubles.)
+    // fractional doubles.) Output is a bounded per-flag fingerprint of
+    // the renamed/cast columns — scale-safe at any SF.
     "project_rename_cast" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(
@@ -47,7 +56,14 @@ object RelationalCore {
           col("l_linenumber").as("ln"),
           col("l_quantity").cast("long").as("qty"),
           upper(col("l_returnflag")).as("rf"))
-        .orderBy("ok", "ln", "qty", "rf")),
+        .groupBy("rf")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qty")).as("sum_qty"),
+          min(col("ln")).as("min_ln"),
+          max(col("ln")).as("max_ln"),
+          max(col("ok")).as("max_ok"))
+        .orderBy("rf")),
 
     "filter_comparison" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -101,13 +117,16 @@ object RelationalCore {
     "scan_parquet" ->
       "SELECT count(*) AS n_rows FROM lineitem",
     "scan_projection_pushdown" ->
-      """SELECT l_orderkey, l_quantity FROM lineitem
-         ORDER BY l_orderkey, l_quantity""",
+      """SELECT l_orderkey % 1000 AS bucket, count(*) AS n,
+                round(sum(l_quantity), 4) AS sum_qty,
+                min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
     "project_rename_cast" ->
-      """SELECT l_orderkey AS ok, l_linenumber AS ln,
-                CAST(l_quantity AS BIGINT) AS qty,
-                upper(l_returnflag) AS rf
-         FROM lineitem ORDER BY ok, ln, qty, rf""",
+      """SELECT upper(l_returnflag) AS rf, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln,
+                max(l_orderkey) AS max_ok
+         FROM lineitem GROUP BY 1 ORDER BY rf""",
     "filter_comparison" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.RelationalCore
+
+/** Plan-shape assertions (SURVEY §5.3.5): prove that pushdown,
+  * pruning, broadcast, and top-k claims hold in the EXECUTED physical
+  * plan, not just in intent. Each test triggers execution first so the
+  * adaptive plan is final. */
+class PlanShapeSpec extends GraftSuite {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_projection_pushdown reads ONLY the two projected columns") {
+    val plan = executedPlan("scan_projection_pushdown")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning did not reach the parquet scan:\n$plan")
+  }
+
+  test("filter_comparison pushes predicates into the parquet scan") {
+    val plan = executedPlan("filter_comparison")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_quantity,45.0)"),
+      s"filter not pushed to scan:\n$plan")
+  }
+
+  test("join_broadcast_dim uses BroadcastHashJoin for both dims") {
+    val plan = executedPlan("join_broadcast_dim")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("topk_order_limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan("topk_order_limit")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan wrong:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept into top-k:\n$plan")
+  }
+
+  test("agg_pricing_summary uses partial+final hash aggregation") {
+    val plan = executedPlan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("join_shuffle_large is a sort-merge join (the 100 TB plan)") {
+    val plan = executedPlan("join_shuffle_large")
+    assert(plan.contains("SortMergeJoin"), s"merge hint not honored:\n$plan")
+  }
+}
