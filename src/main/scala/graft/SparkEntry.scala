@@ -24,6 +24,8 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
     (sources.Staging.queries, sources.Staging.oracles),
+    (operators.DedupAdvanced.queries, operators.DedupAdvanced.oracles),
+    (operators.TextPipeline.queries, operators.TextPipeline.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

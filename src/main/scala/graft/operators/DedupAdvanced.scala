@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection for a training-data pipeline — the
+  * operators a 100 TB LLM-data curation job runs on top of the exact
+  * dedup in [[SetDedup]]: MinHash+LSH banding, n-gram Jaccard,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Oracle strategy: every hash is `md5` over an explicit string —
+  * byte-identical in Spark and DuckDB — and MinHash signatures are
+  * lexicographic minima of those hex strings, so the whole
+  * shingle → minhash → band → bucket-join → Jaccard-verify pipeline
+  * is reproducible in the oracle engine. SimHash needs 64-bit integer
+  * hashing (xxhash64), which DuckDB cannot reproduce → declared
+  * no-oracle, property-tested in DedupAdvancedSpec instead.
+  *
+  * Scale notes (100 TB):
+  *   - MinHash-LSH NEVER does all-pairs: candidates come from the
+  *     band-bucket self-join (shuffle keyed on (band, hash) — skew-safe
+  *     because a bucket holds only colliding docs), and the expensive
+  *     Jaccard verify runs only on candidates.
+  *   - the n-gram Jaccard and cosine variants are the *verify*
+  *     primitives; their declared queries run on modulus samples and
+  *     would be fed by LSH/ANN candidates at scale, not by the
+  *     crossJoin of the full corpus.
+  *   - shingling hashes before shuffling — only (doc_id, hash) pairs
+  *     move, never document text.
+  */
+object DedupAdvanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** distinct word-3-gram shingles per sampled document */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(zip_with(
+             zip_with(slice(t, 1, size(t)-2), slice(t, 2, size(t)-2),
+                      (a, b) -> concat(a, ' ', b)),
+             slice(t, 3, size(t)-2),
+             (ab, c) -> concat(ab, ' ', c)))"""
+      )).as("sh"))
+
+  val queries: Map[String, Q] = Map(
+    // shingle → 8-seed MinHash → 8 single-hash bands → bucket join →
+    // Jaccard verify on candidates only.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val shing = shingles(s, d)
+      val seeds = s.range(8).toDF("i")
+      val mh = shing.crossJoin(seeds)
+        .groupBy("doc_id", "i")
+        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
+      val cand = mh.toDF("da", "ia", "ha")
+        .join(mh.toDF("db", "ib", "hb"),
+          col("ia") === col("ib") && col("ha") === col("hb") &&
+            col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
+        .join(shing.toDF("sdb", "shb"),
+          col("sdb") === col("db") && col("shb") === col("sha"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      cand.join(inter, Seq("da", "db"), "left")
+        .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
+        .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
+        .select(col("da").as("a"), col("db").as("b"),
+          round(coalesce(col("ni"), lit(0)).cast("double") /
+            (col("xn") + col("yn") - coalesce(col("ni"), lit(0))), 4).as("jac"))
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Exact word-set Jaccard over a small sample — the verify
+    // primitive (fed by LSH candidates at scale).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val ws = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      ws.toDF("a", "wa").join(ws.toDF("b", "wb"), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("wa"), col("wb"))).as("ni"),
+          (size(col("wa")) + size(col("wb"))).as("tot"))
+        .select(col("a"), col("b"),
+          round(col("ni").cast("double") / (col("tot") - col("ni")), 4).as("jac"))
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
+    // Embedding-cosine near-dup: same double-math as sim_cosine_topk,
+    // pairwise over a sample (ANN candidates at scale).
+    "dedup_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
+      e.toDF("a", "va", "na").join(e.toDF("b", "vb", "nb"), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+            / (col("na") * col("nb")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
+    // 64-bit SimHash (xxhash64 token hashes, per-bit majority vote) +
+    // pairwise Hamming distance. xxhash64 has no DuckDB twin →
+    // no-oracle; properties tested in DedupAdvancedSpec.
+    "dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val bits = tok.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 63), j -> named_struct(
+             'pos', j,
+             'pm', CASE WHEN ((xxhash64(token) >> j) & 1) = 1
+                        THEN 1 ELSE -1 END))"""
+      )).as("pb")).select(col("doc_id"), col("pb.pos").as("pos"), col("pb.pm").as("pm"))
+      val sims = bits.groupBy("doc_id", "pos").agg(sum("pm").as("sg"))
+        .groupBy("doc_id")
+        .agg(expr(
+          """array_join(transform(
+               array_sort(collect_list(named_struct('pos', pos,
+                 'bit', CASE WHEN sg > 0 THEN '1' ELSE '0' END))),
+               x -> x.bit), '')""").as("simhash"))
+      sims.toDF("a", "ha").join(sims.toDF("b", "hb"), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("size(filter(zip_with(split(ha, ''), split(hb, ''), (x, y) -> x = y), v -> NOT v))")
+            .as("hamming"))
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(10)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 5 = 0),
+              shing AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                        FROM tok WHERE len(t) >= 3),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              mh AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                     FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+              cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                       FROM mh a JOIN mh b
+                         ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+              inter AS (SELECT c.da, c.db, count(*) AS n
+                        FROM cand c
+                        JOIN shing sa ON sa.doc_id = c.da
+                        JOIN shing sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                        GROUP BY c.da, c.db)
+         SELECT c.da AS a, c.db AS b,
+                round(CAST(coalesce(i.n, 0) AS DOUBLE)
+                      / (x.n + y.n - coalesce(i.n, 0)), 4) AS jac
+         FROM cand c
+         LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+         JOIN sizes x ON x.doc_id = c.da
+         JOIN sizes y ON y.doc_id = c.db
+         ORDER BY jac DESC, a, b LIMIT 20""",
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+                    FROM documents WHERE doc_id % 25 = 0),
+              p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                           len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS ni,
+                           len(a.ws) + len(b.ws) AS tot
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT a, b, round(CAST(ni AS DOUBLE) / (tot - ni), 4) AS jac
+         FROM p ORDER BY jac DESC, a, b LIMIT 10""",
+    "dedup_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings WHERE vec_id % 20 = 0),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+                round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]), 'sum')
+                      / (a.nrm * b.nrm), 4) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         ORDER BY cos DESC, a, b LIMIT 10""",
+  )
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data text-pipeline operators beyond §2.10's basics:
+  * language identification, quality scoring, token counting, document
+  * fingerprinting, and the multimodal feature-extraction plumbing.
+  * All five are deterministic and DuckDB-oracle-checked.
+  *
+  * Honesty notes:
+  *   - `text_langid_heuristic` learns per-language token-frequency
+  *     profiles from the corpus itself and predicts by best profile
+  *     score. The fixture's languages share one uniform vocabulary, so
+  *     accuracy ≈ chance HERE — that is a property of the synthetic
+  *     fixture, not the operator; the declared output is the full
+  *     confusion matrix, which makes this visible rather than hiding it.
+  *   - `multimodal_features`' "decode" is a clearly-marked STUB
+  *     (deterministic arithmetic over the bytes): real image/audio
+  *     decoders aren't in this container. The Spark-side plumbing —
+  *     binary column, schema, per-row feature extraction, join with
+  *     the vector table — is real and oracle-checked.
+  *
+  * Scale notes (100 TB): profiles/stopword tables are tiny aggregates
+  * (vocab-sized) and broadcast; all per-doc metrics are single-pass
+  * projections or one groupBy on doc_id; fingerprint selection (hex
+  * prefix '0') is content-defined sampling — the 1/16 of shingle
+  * hashes kept is decided by the hash value itself (winnowing-style),
+  * so two copies of a document always keep the same fingerprints
+  * regardless of partitioning.
+  */
+object TextPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Corpus-profile language ID → confusion matrix (true × predicted).
+    "text_langid_heuristic" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val prof = docs
+        .select(col("lang").as("plang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("plang", "w").agg(count(lit(1)).as("n"))
+      val tot = prof.groupBy("plang").agg(sum("n").as("tot"))
+      val share = prof.join(tot, "plang")
+        .select(col("plang"), col("w"),
+          (col("n").cast("double") / col("tot")).as("sh"))
+      val score = tok.join(broadcast(share), "w")
+        .groupBy("doc_id", "plang").agg(sum("sh").as("sc"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(round(col("sc"), 4).desc, col("plang"))
+      val pred = score.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("true_lang"), col("plang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
+    // Per-doc quality metrics: token count, type-token ratio, mean
+    // token length, stopword ratio (top-5 corpus tokens), composite.
+    "text_quality_score" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val top5 = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(5)
+        .select(col("w").as("sw"))
+      tok.filter(col("doc_id") % 10 === 0)
+        .join(broadcast(top5), col("w") === col("sw"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          countDistinct("w").as("n_types"),
+          round(avg(length(col("w"))), 4).as("avg_tok_len"),
+          round(count(col("sw")).cast("double") / count(lit(1)), 4)
+            .as("stop_ratio"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tok"), 4).as("ttr"),
+          col("avg_tok_len"), col("stop_ratio"),
+          round(col("n_types").cast("double") / col("n_tok") * 0.4
+            + (lit(1) - col("stop_ratio")) * 0.3
+            + least(col("n_tok") / 100.0, lit(1.0)) * 0.3, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting two ways: whitespace tokens and BPE-ish subword
+    // units (consonant-onset + vowel-run regex).
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          regexp_count(col("text"), lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+"))
+            .cast("int").as("n_sub"),
+          length(col("text")).as("n_chars_m"),
+          round(lit(100.0) * size(split(col("text"), " ")) / length(col("text")), 4)
+            .as("tok_per_100"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: md5 over word-5-shingles with
+    // content-defined selection (hex prefix '0' → 1/16 kept).
+    "text_fingerprint_rolling" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 4), k -> concat_ws(' ',
+               element_at(t, k), element_at(t, k+1), element_at(t, k+2),
+               element_at(t, k+3), element_at(t, k+4)))"""
+        )).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("fp"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_sh"),
+          count(when(col("fp").startsWith("0"), 1)).as("n_fp"),
+          min(when(col("fp").startsWith("0"), col("fp"))).as("min_fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal feature extraction plumbing: opaque binary column +
+    // typed metadata + per-row "decode" (STUB: deterministic
+    // arithmetic over the bytes — real decoders are not in this
+    // container) + join with the vector table.
+    "multimodal_features" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .filter(col("doc_id") % 50 === 0)
+        .withColumn("bytes", col("text").cast("binary")) // stand-in for image/audio payload
+        .select(
+          col("doc_id"),
+          length(col("bytes")).as("n_bytes"),
+          md5(col("bytes")).as("content_md5"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"),
+          ((length(col("bytes")).cast("long") * 31 + ascii(substring(col("text"), 1, 1)))
+            % 997).as("fake_feat"), // STUB decode output
+          round(sqrt(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"
+          )), 4).as("vnorm"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid_heuristic" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+              prof AS (SELECT lang AS plang, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+              cnt AS (SELECT plang, w, count(*) AS n FROM prof GROUP BY 1, 2),
+              tot AS (SELECT plang, sum(n) AS tot FROM cnt GROUP BY 1),
+              share AS (SELECT c.plang, c.w, CAST(c.n AS DOUBLE) / t.tot AS sh
+                        FROM cnt c JOIN tot t ON c.plang = t.plang),
+              score AS (SELECT k.doc_id, s.plang, sum(s.sh) AS sc
+                        FROM tok k JOIN share s ON k.w = s.w GROUP BY 1, 2),
+              pred AS (SELECT doc_id, plang,
+                              row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(sc, 4) DESC, plang) AS rn
+                       FROM score)
+         SELECT d.lang AS true_lang, p.plang AS pred_lang, count(*) AS n
+         FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+         GROUP BY 1, 2 ORDER BY true_lang, pred_lang""",
+    "text_quality_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+              top5 AS (SELECT w FROM (SELECT w, count(*) AS c,
+                                row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+                              FROM tok GROUP BY w) WHERE rn <= 5),
+              st AS (SELECT t.doc_id, count(*) AS n_tok,
+                            count(DISTINCT t.w) AS n_types,
+                            round(avg(length(t.w)), 4) AS avg_tok_len,
+                            round(CAST(count(*) FILTER (WHERE t.w IN
+                                  (SELECT w FROM top5)) AS DOUBLE)
+                                  / count(*), 4) AS stop_ratio
+                     FROM tok t WHERE t.doc_id % 10 = 0 GROUP BY 1)
+         SELECT doc_id, n_tok, n_types,
+                round(CAST(n_types AS DOUBLE) / n_tok, 4) AS ttr,
+                avg_tok_len, stop_ratio,
+                round(0.4 * (CAST(n_types AS DOUBLE) / n_tok)
+                      + 0.3 * (1 - stop_ratio)
+                      + 0.3 * least(n_tok / 100.0, 1.0), 4) AS quality
+         FROM st ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+                CAST(len(regexp_extract_all(text,
+                     '[bcdfghjklmnpqrstvwxyz]*[aeiou]+')) AS INTEGER) AS n_sub,
+                CAST(length(text) AS INTEGER) AS n_chars_m,
+                round(100.0 * len(string_split(text, ' ')) / length(text), 4)
+                  AS tok_per_100
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "text_fingerprint_rolling" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 10 = 0),
+              sh AS (SELECT doc_id,
+                            md5(unnest(list_transform(range(1, len(t) - 3),
+                              k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]
+                                   || ' ' || t[k+3] || ' ' || t[k+4]))) AS fp
+                     FROM tok WHERE len(t) >= 5)
+         SELECT doc_id, count(*) AS n_sh,
+                count(*) FILTER (WHERE fp LIKE '0%') AS n_fp,
+                min(fp) FILTER (WHERE fp LIKE '0%') AS min_fp
+         FROM sh GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                md5(text) AS content_md5,
+                CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+                CAST((octet_length(encode(text)) * 31
+                      + ascii(substring(text, 1, 1))) % 997 AS BIGINT) AS fake_feat,
+                round(sqrt(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+                  AS vnorm
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE doc_id % 50 = 0 ORDER BY doc_id""",
+  )
+}
