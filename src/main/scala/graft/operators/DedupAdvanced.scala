@@ -92,19 +92,17 @@ object DedupAdvanced {
         .limit(10)
     }),
 
-    // Embedding-cosine near-dup: same double-math as sim_cosine_topk,
-    // pairwise over a sample (ANN candidates at scale).
+    // Embedding-cosine near-dup via the native codegen'd
+    // CosineSimilarity expression (bit-identical to the HOF math the
+    // oracle mirrors), pairwise over a sample (ANN candidates at scale).
     "dedup_embedding_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
-      e.toDF("a", "va", "na").join(e.toDF("b", "vb", "nb"), col("a") < col("b"))
+        .select(col("vec_id"), col("embedding"))
+      e.toDF("a", "va").join(e.toDF("b", "vb"), col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-            / (col("na") * col("nb")), 4).as("cos"))
+          round(expr("cosine_sim(va, vb)"), 4).as("cos"))
         .orderBy(col("cos").desc, col("a"), col("b"))
         .limit(10)
     }),

@@ -65,15 +65,16 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-3 neighbors for query vectors vec_id<5.
+    // Scoring uses the native codegen'd CosineSimilarity expression
+    // (graft.functions) — one fused loop per pair, bit-identical to
+    // the HOF formulation the oracle mirrors.
     "sim_cosine_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr(dbl("embedding")).as("v"))
-        .withColumn("nrm", sqrt(expr(fsum("transform(v, x -> x * x)"))))
-      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm")).filter(col("qid") < 5)
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 5)
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          expr(fsum("zip_with(qv, v, (x, y) -> x * y)")) / (col("qnrm") * col("nrm")))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
       val w = Window.partitionBy("qid")
         .orderBy(round(col("cos"), 4).desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
