@@ -26,6 +26,7 @@ object SparkEntry {
     (sources.Staging.queries, sources.Staging.oracles),
     (operators.DedupAdvanced.queries, operators.DedupAdvanced.oracles),
     (operators.TextPipeline.queries, operators.TextPipeline.oracles),
+    (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

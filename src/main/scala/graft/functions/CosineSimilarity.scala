@@ -26,7 +26,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true // any containsNull
+      case _ => false
+    }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(

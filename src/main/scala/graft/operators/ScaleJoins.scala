@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-technique joins — the two patterns a 100 TB job reaches for
+  * when a plain shuffle join stops working, each declared as an
+  * oracle-checked query proving the technique preserves semantics.
+  *
+  * `join_skew_salted`: a hot join key melts one reducer at scale.
+  * Salting splits each key into S sub-keys: the probe side derives a
+  * deterministic salt in [0,S), the build side is replicated S× with
+  * every salt value, and the join runs on (key, salt) — the hot key's
+  * rows spread over S partitions. The aggregate result is EXACTLY the
+  * plain join's (the oracle runs the unsalted SQL).
+  *
+  * `join_bucketed_colocated`: both fact tables are written bucketed by
+  * the join key into the catalog; a sort-merge join of the bucketed
+  * tables then needs NO shuffle exchange — bucket i joins bucket i in
+  * place. ScaleJoinsSpec asserts the exchange-free plan; the oracle
+  * runs the plain join SQL. At 100 TB this is THE pattern for repeated
+  * fact⋈fact joins: pay the partitioning once at staging time (the
+  * reference's staging write), join shuffle-free forever after.
+  */
+object ScaleJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val salts = 4
+
+  val queries: Map[String, Q] = Map(
+    "join_skew_salted" -> ((s, d) => {
+      val probe = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+      val build = Tables.orders(s, d)
+        .crossJoin(s.range(salts).select(col("id").cast("int").as("salt2")))
+      probe.join(build.hint("merge"),
+          col("l_orderkey") === col("o_orderkey") && col("salt") === col("salt2"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_bucketed_colocated" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").format("parquet")
+        .saveAsTable("graft_li_bucketed")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/ord").format("parquet")
+        .saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                round(sum(l_extendedprice), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_bucketed_colocated" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                round(sum(l_extendedprice), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  )
+}

@@ -125,6 +125,50 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // IVF (inverted-file) ANN — the second scale path beside LSH:
+    // seeded k-means coarse quantizer partitions the corpus into 16
+    // cells; each probe searches only its 2 nearest cells with the
+    // native cosine kernel. At 100 TB the cell id becomes the
+    // partition key, so a probe touches 2/16ths of the data. No
+    // oracle (k-means is float-iterative); recall property-tested in
+    // SimilaritySpec.
+    "sim_ivf_ann" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      graft.functions.GraftFunctions.register(s)
+      val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          toVec(col("embedding")).as("features"))
+      val model = new KMeans().setK(16).setSeed(7L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(emb)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      import s.implicits._
+      val cents = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toDF("cid", "cvec")
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wc = Window.partitionBy("qid")
+        .orderBy(col("csim").desc, col("cid"))
+      val probeCells = probes.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("cosine_sim(qe, cvec)"))
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= 2)
+        .select("qid", "qe", "cid")
+      val wr = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      probeCells.join(assigned,
+          col("cell") === col("cid") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // Approximate NN at scale: seeded random-projection LSH; join
     // touches only hash-colliding pairs. No oracle (approx) — recall
     // vs brute force is property-tested in SimilaritySpec.

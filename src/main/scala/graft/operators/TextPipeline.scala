@@ -140,9 +140,42 @@ object TextPipeline {
             "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"
           )), 4).as("vnorm"))
         .orderBy("doc_id")),
+
+    "multimodal_frame_sample" -> frameSample,
   )
 
+  /** Frame sampling over an opaque binary payload (STUB decode: the
+    * "video" is the document's bytes; a frame is a fixed 32-byte
+    * window at stride 64, checksummed instead of pixel-decoded —
+    * real codecs are not in this container). The Spark-side plumbing
+    * — per-row generator over frame offsets, bounded frames/doc,
+    * deterministic frame ids — is the real thing.
+    */
+  // `def`, not `val`: referenced from `queries` above, which
+  // initializes first.
+  private def frameSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        """filter(transform(sequence(0, 3),
+             k -> named_struct('frame_idx', k, 'off', k * 64 + 1)),
+             f -> f.off + 31 <= length(text))"""
+      )).as("f"))
+      .select(
+        col("doc_id"),
+        col("f.frame_idx").as("frame_idx"),
+        md5(expr("substring(text, f.off, 32)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   val oracles: Map[String, String] = Map(
+    "multimodal_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, unnest(generate_series(0, 3)) AS k
+                    FROM documents WHERE doc_id % 101 = 0)
+         SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+                md5(substring(text, k * 64 + 1, 32)) AS frame_md5
+         FROM f WHERE k * 64 + 32 <= length(text)
+         ORDER BY doc_id, frame_idx""",
     "text_langid_heuristic" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleJoins
+
+/** Plan + semantics tests for the scale-technique joins. */
+class ScaleJoinsSpec extends GraftSuite {
+
+  test("join_skew_salted equals the plain unsalted join") {
+    val salted = ScaleJoins.queries("join_skew_salted")(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("join_bucketed_colocated: sort-merge join with NO shuffle exchange") {
+    val df = ScaleJoins.queries("join_bucketed_colocated")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the join inputs are bucketed on the join key: NO exchange keyed
+    // on either join key may exist anywhere (the groupBy/orderBy
+    // exchanges on o_orderstatus are expected and fine)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles on the join key:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+  }
+}

@@ -58,6 +58,17 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.5, s"LSH recall $recall < 0.5 (${truePairs.size} true pairs)")
   }
 
+  test("sim_ivf_ann: recall ≥ 0.3 vs brute-force cosine top-3") {
+    // IVF with nprobe=2 of 16 cells; brute force = sim_cosine_topk.
+    val truth = Similarity.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.queries("sim_ivf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty, "IVF returned no neighbors")
+    val recall = truth.count(ivf).toDouble / truth.size
+    assert(recall >= 0.3, s"IVF recall $recall < 0.3")
+  }
+
   test("udaf_typed centroid matches built-in per-dim average") {
     val rows = Similarity.queries("udaf_typed")(spark, sf).collect()
     assert(rows.length == 10) // labels 0..9
