@@ -46,7 +46,9 @@ object Aggregates {
         .agg(
           grouping_id().as("gid"),
           count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 4).as("sum_qty"))
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -83,7 +85,9 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(
           round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          // variance of QUANTITY, not price: var(price) ≈ 6e9 leaves
+          // no rounding margin for cross-engine M2-merge-order drift
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
           round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
           count(lit(1)).as("n"))
@@ -100,7 +104,8 @@ object Aggregates {
                 coalesce(l_linestatus, 'ALL') AS ls,
                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                 count(*) AS n,
-                round(sum(l_quantity), 4) AS sum_qty
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY gid, rf, ls""",
@@ -119,7 +124,7 @@ object Aggregates {
     "agg_stats" ->
       """SELECT l_returnflag,
                 round(stddev_samp(l_extendedprice), 4) AS sd_price,
-                round(var_samp(l_extendedprice), 4) AS var_price,
+                round(var_samp(l_quantity), 4) AS var_qty,
                 round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
                 round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
                 count(*) AS n

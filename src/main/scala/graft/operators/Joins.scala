@@ -40,7 +40,9 @@ object Joins {
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 4).as("revenue"))
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("revenue"))
         .orderBy("o_orderstatus")),
 
     // Full star: lineitem → orders → customer, lineitem → supplier →
@@ -58,8 +60,8 @@ object Joins {
         .groupBy("r_name", "c_mktsegment")
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .as("revenue"))
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
         .orderBy("r_name", "c_mktsegment")),
 
     // Outer joins with REAL non-matches on both sides at every SF
@@ -169,12 +171,14 @@ object Joins {
   val oracles: Map[String, String] = Map(
     "join_shuffle_large" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-                round(sum(l_extendedprice), 4) AS revenue
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_multiway_star" ->
       """SELECT r_name, c_mktsegment, count(*) AS n_items,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

@@ -72,17 +72,26 @@ object RelationalCore {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     // Flagship: TPC-H Q1 shape over lineitem.
+    // Large sums go through DECIMAL (exact, order-independent): the
+    // source data is 2-decimal prices, and products of 2-decimal
+    // factors are exactly 4/6-decimal, so the decimal cast recovers
+    // the exact value and the sum is bit-identical in any engine and
+    // any partitioning — round(sum(double),4) is NOT at 1e10 magnitude
+    // (SURVEY §5.4.2, verified failing at sf0.1 without this).
     "agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 4).as("sum_disc_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -101,7 +110,8 @@ object RelationalCore {
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_suppliers"),
-          round(sum(col("s_acctbal")), 4).as("total_bal"))
+          round(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total_bal"))
         .orderBy("r_name")),
 
     // Top-k: physical plan is TakeOrderedAndProject — per-partition
@@ -133,10 +143,14 @@ object RelationalCore {
          ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 4)      AS sum_qty,
-                round(sum(l_extendedprice), 4) AS sum_base_price,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-                round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS sum_base_price,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
                 round(avg(l_quantity), 4)      AS avg_qty,
                 round(avg(l_extendedprice), 4) AS avg_price,
                 round(avg(l_discount), 4)      AS avg_disc,
@@ -147,7 +161,8 @@ object RelationalCore {
          ORDER BY l_returnflag, l_linestatus""",
     "join_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_suppliers,
-                round(sum(s_acctbal), 4) AS total_bal
+                round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total_bal
          FROM supplier
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey

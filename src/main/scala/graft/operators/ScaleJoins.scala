@@ -39,7 +39,9 @@ object ScaleJoins {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 4).as("revenue"))
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("revenue"))
         .orderBy("o_orderpriority")
     }),
 
@@ -63,7 +65,8 @@ object ScaleJoins {
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 4).as("revenue"))
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("revenue"))
         .orderBy("o_orderstatus")
     }),
   )
@@ -71,12 +74,14 @@ object ScaleJoins {
   val oracles: Map[String, String] = Map(
     "join_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-                round(sum(l_extendedprice), 4) AS revenue
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "join_bucketed_colocated" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-                round(sum(l_extendedprice), 4) AS revenue
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )

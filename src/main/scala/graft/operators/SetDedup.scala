@@ -35,7 +35,9 @@ object SetDedup {
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 4).as("total"))
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
         .orderBy("o_orderstatus")
     }),
 
@@ -89,7 +91,8 @@ object SetDedup {
   val oracles: Map[String, String] = Map(
     "set_union_all" ->
       """SELECT o_orderstatus, count(*) AS n,
-                round(sum(o_totalprice), 4) AS total
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
          FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
                WHERE o_orderstatus = 'F'
                UNION ALL

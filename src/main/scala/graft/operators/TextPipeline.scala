@@ -67,21 +67,29 @@ object TextPipeline {
       val top5 = tok.groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(5)
         .select(col("w").as("sw"))
+      // Ratio outputs use floor-scaling (floor(x·10⁴)/10⁴), NOT
+      // round(): round() disagrees cross-engine when a value's
+      // shortest decimal repr lands on .xxxx5 (Spark rounds the
+      // decimal string, DuckDB the binary value — §5.4.2, observed at
+      // sf0.1 with dyadic token counts), while floor is evaluated on
+      // identical double bits in both engines.
+      def trunc4(c: org.apache.spark.sql.Column) =
+        floor(c * 10000).cast("double") / 10000.0
       tok.filter(col("doc_id") % 10 === 0)
         .join(broadcast(top5), col("w") === col("sw"), "left")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_tok"),
           countDistinct("w").as("n_types"),
-          round(avg(length(col("w"))), 4).as("avg_tok_len"),
-          round(count(col("sw")).cast("double") / count(lit(1)), 4)
-            .as("stop_ratio"))
+          avg(length(col("w"))).as("len_raw"),
+          (count(col("sw")).cast("double") / count(lit(1))).as("stop_raw"))
         .select(col("doc_id"), col("n_tok"), col("n_types"),
-          round(col("n_types").cast("double") / col("n_tok"), 4).as("ttr"),
-          col("avg_tok_len"), col("stop_ratio"),
-          round(col("n_types").cast("double") / col("n_tok") * 0.4
-            + (lit(1) - col("stop_ratio")) * 0.3
-            + least(col("n_tok") / 100.0, lit(1.0)) * 0.3, 4).as("quality"))
+          trunc4(col("n_types").cast("double") / col("n_tok")).as("ttr"),
+          trunc4(col("len_raw")).as("avg_tok_len"),
+          trunc4(col("stop_raw")).as("stop_ratio"),
+          trunc4(col("n_types").cast("double") / col("n_tok") * 0.4
+            + (lit(1) - col("stop_raw")) * 0.3
+            + least(col("n_tok") / 100.0, lit(1.0)) * 0.3).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -202,17 +210,19 @@ object TextPipeline {
                               FROM tok GROUP BY w) WHERE rn <= 5),
               st AS (SELECT t.doc_id, count(*) AS n_tok,
                             count(DISTINCT t.w) AS n_types,
-                            round(avg(length(t.w)), 4) AS avg_tok_len,
-                            round(CAST(count(*) FILTER (WHERE t.w IN
-                                  (SELECT w FROM top5)) AS DOUBLE)
-                                  / count(*), 4) AS stop_ratio
+                            avg(length(t.w)) AS len_raw,
+                            CAST(count(*) FILTER (WHERE t.w IN
+                                 (SELECT w FROM top5)) AS DOUBLE)
+                                 / count(*) AS stop_raw
                      FROM tok t WHERE t.doc_id % 10 = 0 GROUP BY 1)
          SELECT doc_id, n_tok, n_types,
-                round(CAST(n_types AS DOUBLE) / n_tok, 4) AS ttr,
-                avg_tok_len, stop_ratio,
-                round(0.4 * (CAST(n_types AS DOUBLE) / n_tok)
-                      + 0.3 * (1 - stop_ratio)
-                      + 0.3 * least(n_tok / 100.0, 1.0), 4) AS quality
+                floor(CAST(n_types AS DOUBLE) / n_tok * 10000) / 10000 AS ttr,
+                floor(len_raw * 10000) / 10000 AS avg_tok_len,
+                floor(stop_raw * 10000) / 10000 AS stop_ratio,
+                floor((CAST(n_types AS DOUBLE) / n_tok * 0.4
+                       + (1 - stop_raw) * 0.3
+                       + least(n_tok / 100.0, 1.0) * 0.3) * 10000) / 10000
+                  AS quality
          FROM st ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,

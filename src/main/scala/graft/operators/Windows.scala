@@ -36,7 +36,9 @@ object Windows {
         .groupBy("rn")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("sum_price"),
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("sum_price"),
           sum(col("rk")).as("sum_rank"),
           sum(col("drk")).as("sum_dense_rank"))
         .orderBy("rn")
@@ -67,13 +69,18 @@ object Windows {
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderstatus").as("st"),
           datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("day"))
-        .agg(round(sum(col("o_totalprice")), 4).as("daily_total"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("daily_total"))
       val wRun = Window.partitionBy("st").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wMav = Window.partitionBy("st").orderBy("day")
         .rangeBetween(-6, 0)
       daily
-        .withColumn("running_total", round(sum(col("daily_total")).over(wRun), 4))
+        // the running sum accumulates to 1e9+: decimal window sum is
+        // exact under any frame-evaluation association (§5.4.2)
+        .withColumn("running_total",
+          round(sum(col("daily_total").cast("decimal(18,4)")).over(wRun)
+            .cast("double"), 4))
         .withColumn("mavg_7d", round(avg(col("daily_total")).over(wMav), 4))
         .filter(col("day") % 50 === 0)
         .select("st", "day", "daily_total", "running_total", "mavg_7d")
@@ -102,7 +109,8 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "window_rank_topk_per_group" ->
       """SELECT rn, count(*) AS n_orders,
-                round(sum(o_totalprice), 4) AS sum_price,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS sum_price,
                 CAST(sum(rk) AS BIGINT) AS sum_rank,
                 CAST(sum(drk) AS BIGINT) AS sum_dense_rank
          FROM (SELECT o_totalprice,
@@ -136,11 +144,13 @@ object Windows {
            SELECT o_orderstatus AS st,
                   date_diff('day', DATE '1992-01-01',
                             CAST(o_orderdate AS DATE)) AS day,
-                  round(sum(o_totalprice), 4) AS daily_total
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                    AS daily_total
            FROM orders GROUP BY 1, 2)
          SELECT st, day, daily_total,
-                round(sum(daily_total) OVER (PARTITION BY st ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                round(CAST(sum(CAST(daily_total AS DECIMAL(18,4)))
+                      OVER (PARTITION BY st ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                   AS running_total,
                 round(avg(daily_total) OVER (PARTITION BY st ORDER BY day
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)

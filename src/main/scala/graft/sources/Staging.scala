@@ -75,7 +75,9 @@ object Staging {
       s.read.parquet(out)
         .groupBy("yr")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 4).as("total"))
+          // decimal-exact sum: order-independent at any SF (§5.4.2)
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
         .orderBy("yr")
     }),
 
@@ -91,7 +93,8 @@ object Staging {
       s.table(table)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("s_acctbal")), 4).as("total_bal"))
+          round(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total_bal"))
         .orderBy("s_nationkey")
     }),
 
@@ -164,11 +167,13 @@ object Staging {
          FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""",
     "sink_parquet_partitioned" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
-                round(sum(o_totalprice), 4) AS total
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
     "catalog_sync" ->
       """SELECT s_nationkey, count(*) AS n,
-                round(sum(s_acctbal), 4) AS total_bal
+                round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total_bal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "source_streaming_files" ->
       """SELECT l_returnflag, count(*) AS n

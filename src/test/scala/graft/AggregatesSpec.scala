@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Aggregates
+
+/** Property tests for the aggregate block — the "done" criterion for
+  * the no-oracle key agg_approx_distinct_hll. */
+class AggregatesSpec extends GraftSuite {
+
+  test("agg_approx_distinct_hll within 3·rsd of exact distinct counts") {
+    val approx = Aggregates.queries("agg_approx_distinct_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 3 * 0.02, s"$k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
+  test("agg_percentile: p50 <= p95 and both within group min/max") {
+    val rows = Aggregates.queries("agg_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), s"p50 > p95 in ${r.getString(0)}")
+    }
+  }
+
+  test("agg_grouping_sets: rollup totals are consistent across levels") {
+    val rows = Aggregates.queries("agg_grouping_sets")(spark, sf).collect()
+    val grand = rows.filter(_.getLong(2) == 3).map(_.getLong(3)).sum
+    val leaves = rows.filter(_.getLong(2) == 0).map(_.getLong(3)).sum
+    assert(grand == leaves, s"grand total $grand != sum of leaves $leaves")
+  }
+}
