@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic invariants that need no oracle (SURVEY §5.3.3),
+  * property-checked with scalacheck generators over the fixture
+  * tables. The scalatestplus bridge isn't on the offline classpath,
+  * so generators are sampled directly with fixed seeds (deterministic
+  * across runs). */
+class PropertiesSpec extends GraftSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  test("dedup idempotence: dropDuplicates twice equals once") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val once = li.dropDuplicates("l_orderkey", "l_linenumber", "l_partkey")
+    val twice = once.dropDuplicates("l_orderkey", "l_linenumber", "l_partkey")
+    assert(once.count() == twice.count())
+  }
+
+  test("union cardinality: |A ∪all B| = |A| + |B| for any predicate split") {
+    val genPivot = Gen.choose(1000.0, 400000.0)
+    forAll(genPivot) { pivot =>
+      val o = Tables.orders(spark, sf)
+      val a = o.filter(col("o_totalprice") <= pivot)
+      val b = o.filter(col("o_totalprice") > pivot)
+      assert(a.unionByName(b).count() == o.count())
+    }
+  }
+
+  test("top-k is a subset of its group and ordered: any k in 1..10") {
+    forAll(Gen.choose(1, 10)) { k =>
+      val top = Tables.orders(spark, sf)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(k).collect().map(_.getAs[Double]("o_totalprice"))
+      assert(top.length == math.min(k, Tables.orders(spark, sf).count()).toInt)
+      assert(top.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("sessionize gap property: consecutive events within a session are < gap apart") {
+    import org.apache.spark.sql.expressions.Window
+    val gapMin = 30
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, sf)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+    // within a session, every non-first event is within gap of its predecessor
+    val violations = sess.filter(col("new_sess") === 0 &&
+      col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES")).count()
+    assert(violations == 0)
+    // across session boundaries the gap always exceeds the threshold
+    val boundaryViolations = sess.filter(col("new_sess") === 1 &&
+      col("prev_ts").isNotNull &&
+      col("ts") <= col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES")).count()
+    assert(boundaryViolations == 0)
+  }
+
+  test("cosine self-similarity == 1 for generated float vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val genVec = Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    forAll(genVec) { v =>
+      import spark.implicits._
+      val c = Seq(Tuple1(v.toArray)).toDF("v")
+        .select(expr("cosine_sim(v, v)").as("c")).collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+  }
+}
