@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.DedupAdvanced.queries, operators.DedupAdvanced.oracles),
     (operators.TextPipeline.queries, operators.TextPipeline.oracles),
     (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
+    (operators.Subqueries.queries, operators.Subqueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Subquery and reshaping operators (round-3 extensions): scalar
+  * subqueries, correlated EXISTS (Catalyst decorrelates both —
+  * SURVEY §4's RewriteCorrelatedScalarSubquery /
+  * PullupCorrelatedPredicates), and pivot (wide reshaping).
+  *
+  * The Spark side uses spark.sql for the subquery keys so the actual
+  * subquery surface (not a hand-rewritten join) goes through the
+  * analyzer/optimizer; plan-wise both decorrelate into the joins a
+  * user would otherwise write by hand.
+  *
+  * Scale notes: the scalar subquery materializes to a 1-row broadcast;
+  * correlated EXISTS decorrelates to a left-semi hash join (one
+  * shuffle on the correlation key); pivot is a single groupBy whose
+  * pivoted columns are a fixed, declared list (never
+  * discover-values-then-pivot, which would add a driver-side pass).
+  */
+object Subqueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Orders above the global average price — scalar subquery.
+    "subquery_scalar_agg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+          |FROM graft_orders_v
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_v)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Customers with ≥1 large order — correlated EXISTS.
+    "subquery_correlated_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n
+          |FROM graft_customer_v c
+          |WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Wide reshape: order counts by status × a fixed priority list.
+    "pivot_wide" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1_urgent"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3_medium"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5_low"))
+        .orderBy("o_orderstatus")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "subquery_scalar_agg" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "subquery_correlated_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "pivot_wide" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                  AS p1_urgent,
+                CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT)
+                  AS p3_medium,
+                CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT)
+                  AS p5_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  )
+}
