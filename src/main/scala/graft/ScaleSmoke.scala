@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: replicate lineitem K× (default 16 → ~9.6M rows from
+  * sf0.1) and time the heavy operator SHAPES (scan-agg, shuffle join,
+  * window top-k, exact dedup, global top-k) against the same shapes at
+  * 1×. Near-linear growth (≈K× work on 32 cores) is the pass signal;
+  * superlinear growth flags a shape that would not survive a real
+  * scale-up. Results recorded in PLANS.md.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [K]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm-up
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def li1 = Tables.lineitem(spark, sfDir)
+    def liK = (1 to k).map(i => li1.withColumn("rep", lit(i)))
+      .reduce(_ unionByName _)
+    val orders = Tables.orders(spark, sfDir)
+
+    def time(label: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      (label, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def shapes(tag: String, li: => org.apache.spark.sql.DataFrame) = Seq(
+      time(s"$tag/agg_q1") {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 4), count(lit(1))).count()
+      },
+      time(s"$tag/join_shuffle") {
+        li.join(orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus").count().count()
+      },
+      time(s"$tag/window_topk") {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("l_returnflag").count().count()
+      },
+      time(s"$tag/dedup_exact") {
+        li.groupBy("l_orderkey", "l_linenumber", "l_partkey")
+          .agg(count(lit(1)).as("m")).groupBy("m").count().count()
+      },
+      time(s"$tag/global_topk") {
+        li.select("l_orderkey", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+          .limit(10).count()
+      },
+    )
+
+    val r1 = shapes("x1", li1)
+    val rk = shapes(s"x$k", liK)
+    (r1 ++ rk).foreach { case (l, s, n) => println(f"$l%-18s $s%7.2f s  ($n rows)") }
+    println("-- ratio (xK / x1), linear target ≈ K on equal parallelism --")
+    r1.zip(rk).foreach { case ((l1, s1, _), (_, sk, _)) =>
+      println(f"${l1.drop(3)}%-15s ${sk / s1}%5.1f× (K=$k)")
+    }
+    spark.stop()
+  }
+}

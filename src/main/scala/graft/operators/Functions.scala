@@ -139,6 +139,24 @@ object Functions {
           size(array_distinct(col("embedding"))).as("ndist"))
         .orderBy("vec_id")),
 
+    // Struct family: named_struct construction, field access, struct
+    // round-trip through an array element.
+    "fn_struct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(
+          col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+            .as("os"),
+          round(col("o_totalprice"), 2).as("tp"))
+        .select(
+          col("o_orderkey"),
+          col("os.st").as("st2"),
+          col("os.pr").as("pr2"),
+          element_at(array(struct(col("o_orderkey").as("k"), col("tp").as("p"))), 1)
+            .getField("p").as("price2"))
+        .orderBy("o_orderkey")),
+
     // Map/JSON family over events.props (JSON-encoded {"k": <int>}):
     // path extraction and from_json→map access agree with the oracle's
     // ->> extraction.
@@ -228,6 +246,12 @@ object Functions {
                 round(CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE), 4) AS e2,
                 CAST(len(list_distinct(embedding)) AS INTEGER) AS ndist
          FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""",
+    "fn_struct" ->
+      """SELECT o_orderkey,
+                struct_pack(st := o_orderstatus, pr := o_orderpriority).st AS st2,
+                struct_pack(st := o_orderstatus, pr := o_orderpriority).pr AS pr2,
+                [{'k': o_orderkey, 'p': round(o_totalprice, 2)}][1].p AS price2
+         FROM orders WHERE o_orderkey % 997 = 0 ORDER BY o_orderkey""",
     "fn_map_json" ->
       """SELECT event_id,
                 CAST(props->>'$.k' AS INTEGER) AS k_json,

@@ -39,6 +39,21 @@ class CosineSimilaritySpec extends GraftSuite {
       s"expression fell out of whole-stage codegen:\n$plan")
   }
 
+  test("cosine_sim over literals is constant-folded by Catalyst") {
+    GraftFunctions.register(spark)
+    // foldable children → ConstantFolding evaluates the expression at
+    // plan time; the optimized plan must contain the literal result,
+    // not a cosine_sim call — evidence the custom Expression
+    // participates in standard Catalyst rewrites.
+    val df = spark.range(1)
+      .selectExpr("cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"),
+      s"literal cosine_sim not constant-folded:\n$optimized")
+    assert(df.collect()(0).getDouble(0) == 1.0)
+  }
+
   test("GraftExtensions injects cosine_sim via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
