@@ -12,9 +12,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/session initialization is fixed cost,
     // not operator cost — first timed query otherwise absorbs ~4-5 s.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("count(*)").collect()
+    // Best-effort: a bad sfDir must still fall through to the timed
+    // loop (which degrades per-query to -1) and emit the JSON line.
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(*)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

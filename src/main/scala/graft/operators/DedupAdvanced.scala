@@ -32,6 +32,27 @@ import graft.Tables
 object DedupAdvanced {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 64-bit SimHash per document from a (doc_id, text) frame —
+    * xxhash64 token hashes, per-bit majority vote, emitted as a
+    * 64-char bit string. Shared by the declared query and
+    * DedupAdvancedSpec (so the spec always tests THIS construction). */
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val bits = tok.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 63), j -> named_struct(
+           'pos', j,
+           'pm', CASE WHEN ((xxhash64(token) >> j) & 1) = 1
+                      THEN 1 ELSE -1 END))"""
+    )).as("pb")).select(col("doc_id"), col("pb.pos").as("pos"), col("pb.pm").as("pm"))
+    bits.groupBy("doc_id", "pos").agg(sum("pm").as("sg"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """array_join(transform(
+             array_sort(collect_list(named_struct('pos', pos,
+               'bit', CASE WHEN sg > 0 THEN '1' ELSE '0' END))),
+             x -> x.bit), '')""").as("simhash"))
+  }
+
   /** distinct word-3-gram shingles per sampled document */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -111,22 +132,10 @@ object DedupAdvanced {
     // pairwise Hamming distance. xxhash64 has no DuckDB twin →
     // no-oracle; properties tested in DedupAdvancedSpec.
     "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val bits = tok.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 63), j -> named_struct(
-             'pos', j,
-             'pm', CASE WHEN ((xxhash64(token) >> j) & 1) = 1
-                        THEN 1 ELSE -1 END))"""
-      )).as("pb")).select(col("doc_id"), col("pb.pos").as("pos"), col("pb.pm").as("pm"))
-      val sims = bits.groupBy("doc_id", "pos").agg(sum("pm").as("sg"))
-        .groupBy("doc_id")
-        .agg(expr(
-          """array_join(transform(
-               array_sort(collect_list(named_struct('pos', pos,
-                 'bit', CASE WHEN sg > 0 THEN '1' ELSE '0' END))),
-               x -> x.bit), '')""").as("simhash"))
+      val sims = simhash(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")))
       sims.toDF("a", "ha").join(sims.toDF("b", "hb"), col("a") < col("b"))
         .select(col("a"), col("b"),
           expr("size(filter(zip_with(split(ha, ''), split(hb, ''), (x, y) -> x = y), v -> NOT v))")

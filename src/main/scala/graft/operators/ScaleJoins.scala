@@ -46,7 +46,7 @@ object ScaleJoins {
     }),
 
     "join_bucketed_colocated" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      val base = graft.sources.Staging.tmpDir("bucket")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice")
         .write.mode("overwrite")

@@ -31,8 +31,19 @@ import graft.Tables
 object Staging {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Fixed scratch path per purpose, pre-cleaned on reuse: repeated
+    * Bench/Verify runs overwrite the same directories instead of
+    * accumulating orphaned /tmp copies of the fixtures. */
+  private[graft] def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_scratch", prefix)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+    }
+    Files.createDirectories(p)
+    p.toString
+  }
 
   val queries: Map[String, Q] = Map(
     // CSV ingest with a declared schema (header round-trip through the

@@ -122,7 +122,9 @@ object Streaming {
     // partition column, write partitioned parquet } → read staged
     // table back and fingerprint it.
     "stream_foreachbatch_stage" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+      // fixed, pre-cleaned scratch dir — append-mode writes must not
+      // accumulate across runs (and /tmp must not fill up over rounds)
+      val out = graft.sources.Staging.tmpDir("stage")
       val q = eventsStream(s, d).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch
@@ -137,7 +139,9 @@ object Streaming {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("total"),
+          // value is 2-decimal data → decimal-exact sum (§5.4.2)
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"),
           countDistinct(col("day")).as("n_days"))
         .orderBy("event_type")
     }),
@@ -178,7 +182,8 @@ object Streaming {
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 10 = 0 GROUP BY user_id ORDER BY user_id""",
     "stream_foreachbatch_stage" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
                 count(DISTINCT CAST(ts AS DATE)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
   )

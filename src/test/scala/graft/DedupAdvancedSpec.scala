@@ -14,27 +14,15 @@ class DedupAdvancedSpec extends GraftSuite {
       val h = r.getInt(2); h >= 0 && h <= 64
     })
     // identical documents must produce identical simhashes: duplicate a
-    // doc under two ids and check hamming == 0 via the same pipeline
+    // doc under two ids and run it through the PRODUCTION builder
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("graft_simhash_fixture")
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val bits = tok.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 63), j -> named_struct(
-           'pos', j,
-           'pm', CASE WHEN ((xxhash64(token) >> j) & 1) = 1 THEN 1 ELSE -1 END))"""
-    )).as("pb")).select(col("doc_id"), col("pb.pos").as("pos"), col("pb.pm").as("pm"))
-    val sims = bits.groupBy("doc_id", "pos").agg(sum("pm").as("sg"))
-      .groupBy("doc_id")
-      .agg(expr(
-        """array_join(transform(
-             array_sort(collect_list(named_struct('pos', pos,
-               'bit', CASE WHEN sg > 0 THEN '1' ELSE '0' END))),
-             x -> x.bit), '')""").as("simhash"))
+    val sims = DedupAdvanced.simhash(docs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sims(1L) == sims(2L), "identical docs must hash identically")
     assert(sims(1L) != sims(3L), "different docs should differ")
+    assert(sims.values.forall(_.length == 64))
   }
 
   test("dedup_minhash_lsh: jaccard values are valid and candidates are ordered pairs") {

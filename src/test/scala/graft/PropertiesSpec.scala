@@ -44,26 +44,18 @@ class PropertiesSpec extends GraftSuite {
     }
   }
 
-  test("sessionize gap property: consecutive events within a session are < gap apart") {
-    import org.apache.spark.sql.expressions.Window
-    val gapMin = 30
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val sess = Tables.events(spark, sf)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES"), 1)
-          .otherwise(0))
-      .withColumn("sess_id", sum(col("new_sess")).over(w))
-    // within a session, every non-first event is within gap of its predecessor
-    val violations = sess.filter(col("new_sess") === 0 &&
-      col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES")).count()
-    assert(violations == 0)
-    // across session boundaries the gap always exceeds the threshold
-    val boundaryViolations = sess.filter(col("new_sess") === 1 &&
-      col("prev_ts").isNotNull &&
-      col("ts") <= col("prev_ts") + expr(s"INTERVAL $gapMin MINUTES")).count()
-    assert(boundaryViolations == 0)
+  test("sessionize cross-implementation property: lag-based and session_window histograms agree") {
+    // Two INDEPENDENT sessionization implementations — the batch
+    // lag/running-sum formulation (window_lag_lead_sessionize) and
+    // Structured Streaming's session_window (stream_session_window) —
+    // must produce the same session-size histogram on the same fixture.
+    val lagBased = graft.operators.Windows
+      .queries("window_lag_lead_sessionize")(spark, sf)
+    val streamBased = graft.streaming.Streaming
+      .queries("stream_session_window")(spark, sf)
+    assert(lagBased.except(streamBased).isEmpty &&
+      streamBased.except(lagBased).isEmpty,
+      "lag-based and session_window sessionization disagree")
   }
 
   test("cosine self-similarity == 1 for generated float vectors") {

@@ -12,7 +12,10 @@ class ScaleJoinsSpec extends GraftSuite {
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"))
+        // same decimal-exact formulation as the operator — a plain
+        // double sum could differ in the 4th decimal (§5.4.2)
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"))
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 

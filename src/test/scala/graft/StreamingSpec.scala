@@ -38,7 +38,9 @@ class StreamingSpec extends GraftSuite {
     val staged = Streaming.queries("stream_foreachbatch_stage")(spark, sf)
     val batch = Tables.events(spark, sf)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"),
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+          .as("total"),
         countDistinct(to_date(col("ts"))).as("n_days"))
     assert(staged.except(batch).isEmpty && batch.except(staged).isEmpty)
   }
