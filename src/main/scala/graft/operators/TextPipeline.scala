@@ -150,6 +150,24 @@ object TextPipeline {
         .orderBy("doc_id")),
 
     "multimodal_frame_sample" -> frameSample,
+
+    // "Resize" over the opaque payload (STUB decode: stride-4 byte
+    // downsampling stands in for pixel resampling — real codecs are
+    // not in this container). Output: old/new sizes + checksum of the
+    // downsampled payload.
+    "multimodal_resize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 101 === 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("orig_len"),
+          (length(col("text")) / 4).cast("int").as("new_len"),
+          md5(expr(
+            """concat_ws('', transform(sequence(1, CAST(length(text) / 4 AS INT)),
+                 i -> substring(text, (i - 1) * 4 + 1, 1)))"""
+          )).as("resized_md5"),
+          substring(col("text"), 1, 1).as("px0"))
+        .orderBy("doc_id")),
   )
 
   /** Frame sampling over an opaque binary payload (STUB decode: the
@@ -177,6 +195,16 @@ object TextPipeline {
       .orderBy("doc_id", "frame_idx")
 
   val oracles: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS orig_len,
+                CAST(length(text) // 4 AS INTEGER) AS new_len,
+                md5(array_to_string(list_transform(
+                    range(1, length(text) // 4 + 1),
+                    i -> substring(text, (i - 1) * 4 + 1, 1)), ''))
+                  AS resized_md5,
+                substring(text, 1, 1) AS px0
+         FROM documents WHERE doc_id % 101 = 0 ORDER BY doc_id""",
     "multimodal_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, unnest(generate_series(0, 3)) AS k
                     FROM documents WHERE doc_id % 101 = 0)
