@@ -28,6 +28,7 @@ object SparkEntry {
     (operators.TextPipeline.queries, operators.TextPipeline.oracles),
     (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
+    (operators.Analytics2.queries, operators.Analytics2.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second analytics wave (round-3 extensions): arg-max/min
+  * aggregation, distribution window functions, bitwise functions, and
+  * edit-distance fuzzy dedup.
+  *
+  * `agg_minmax_by` is the load-bearing one: PLANS.md's scale-up smoke
+  * showed window-top-1-per-key is the heaviest operator shape (11× at
+  * 16× data); `max_by`/`min_by` computes the same answer with a single
+  * partial-aggregating shuffle. The fixture HAS real ties on
+  * (status, o_totalprice) at sf0.1, so the ordering key is a
+  * fixed-width sortable string (price|orderkey) — lexicographic order
+  * equals numeric order for zero-padded positives, making the choice
+  * deterministic in both engines (bare max_by under ties is
+  * implementation-defined in Spark AND DuckDB).
+  */
+object Analytics2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic arg-max/arg-min per group — the single-shuffle
+    // alternative to window row_number()=1.
+    "agg_minmax_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("sk",
+          format_string("%020.4f|%012d", col("o_totalprice"), col("o_orderkey")))
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("max_by(o_orderkey, sk)").as("top_order"),
+          expr("min_by(o_orderkey, sk)").as("bottom_order"),
+          round(max(col("o_totalprice")), 4).as("top_price"))
+        .orderBy("o_orderstatus")),
+
+    // Distribution window functions over a sampled, uniquely-ordered
+    // window (tie-free: c_custkey tiebreak).
+    "window_cume_dist" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(
+          col("c_custkey"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(percent_rank().over(w), 4).as("pr"))
+        .orderBy("c_custkey")
+    }),
+
+    // Bitwise family (and/or/xor/shifts) on a lineitem sample.
+    "fn_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1999 === 0 && col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          col("l_orderkey").bitwiseAND(255).as("b_and"),
+          col("l_orderkey").bitwiseOR(16).as("b_or"),
+          col("l_orderkey").bitwiseXOR(85).as("b_xor"),
+          expr("shiftleft(l_orderkey, 2)").as("b_shl"),
+          expr("shiftright(l_orderkey, 1)").as("b_shr"))
+        .orderBy("l_orderkey", "b_and", "b_or", "b_xor", "b_shl", "b_shr")),
+
+    // Fuzzy near-dup by edit distance on document prefixes (the
+    // verify primitive an LSH/blocking stage would feed at scale —
+    // never run all-pairs on a full corpus).
+    "dedup_levenshtein" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+      p.toDF("a", "pa").join(p.toDF("b", "pb"), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("pa"), col("pb")).as("dist"))
+        .orderBy("dist", "a", "b")
+        .limit(15)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+                arg_max(o_orderkey, printf('%020.4f|%012d', o_totalprice, o_orderkey))
+                  AS top_order,
+                arg_min(o_orderkey, printf('%020.4f|%012d', o_totalprice, o_orderkey))
+                  AS bottom_order,
+                round(max(o_totalprice), 4) AS top_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "window_cume_dist" ->
+      """SELECT c_custkey, round(cume_dist() OVER w, 4) AS cd,
+                round(percent_rank() OVER w, 4) AS pr
+         FROM customer WHERE c_custkey % 97 = 0
+         WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    "fn_bitwise" ->
+      """SELECT l_orderkey,
+                CAST(l_orderkey & 255 AS BIGINT) AS b_and,
+                CAST(l_orderkey | 16 AS BIGINT) AS b_or,
+                CAST(xor(l_orderkey, 85) AS BIGINT) AS b_xor,
+                CAST(l_orderkey << 2 AS BIGINT) AS b_shl,
+                CAST(l_orderkey >> 1 AS BIGINT) AS b_shr
+         FROM lineitem WHERE l_orderkey % 1999 = 0 AND l_linenumber = 1
+         ORDER BY l_orderkey, b_and, b_or, b_xor, b_shl, b_shr""",
+    "dedup_levenshtein" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 30) AS prefix
+                    FROM documents WHERE doc_id % 50 = 0)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         ORDER BY dist, a, b LIMIT 15""",
+  )
+}
