@@ -104,9 +104,34 @@ object Windows {
           round(max(col("seg_max_bal")), 4).as("seg_max"))
         .orderBy("c_mktsegment", "quartile")
     }),
+
+    "window_range_interval" -> rangeInterval,
   )
 
+  /** Time-interval RANGE frame: events per user in the trailing hour.
+    * Both engines order by epoch-microseconds (BIGINT) with an
+    * integer range — interval frames over raw timestamps would hit
+    * the ns-vs-µs precision landmine (§5.4.3); the integer form is
+    * precision-exact on both sides. */
+  private def rangeInterval: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(
+        Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-3600000000L, 0)))
+      .select("user_id", "event_id", "n_1h")
+      .orderBy("user_id", "event_id")
+
   val oracles: Map[String, String] = Map(
+    "window_range_interval" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                    FROM events WHERE user_id % 25 = 0)
+         SELECT user_id, event_id,
+                CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_1h
+         FROM e ORDER BY user_id, event_id""",
     "window_rank_topk_per_group" ->
       """SELECT rn, count(*) AS n_orders,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -118,6 +118,25 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Stream-static join: the streaming events enriched against a
+    // static dimension (batch-computed user→bucket map) — the standard
+    // enrichment shape of the reference's microbatch ETL. The static
+    // side is re-read per micro-batch by Spark; at 100 TB it should be
+    // a broadcast-sized dim or a pre-bucketed table.
+    "stream_static_join" -> ((s, d) => {
+      val staticDim = graft.Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("bucket", col("user_id") % 10)
+      val joined = eventsStream(s, d)
+        .join(staticDim, "user_id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n")) // exact distinct is unsupported in
+                                    // streaming aggs; count suffices
+      drain(joined, "complete")
+        .select(col("bucket"), col("n"))
+        .orderBy("bucket")
+    }),
+
     // THE reference pipeline: stream → foreachBatch { dedup, derive
     // partition column, write partitioned parquet } → read staged
     // table back and fingerprint it.
@@ -181,6 +200,12 @@ object Streaming {
     "stream_stateful_counter" ->
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 10 = 0 GROUP BY user_id ORDER BY user_id""",
+    "stream_static_join" ->
+      """WITH stat AS (SELECT DISTINCT user_id, user_id % 10 AS bucket
+                       FROM events)
+         SELECT bucket, count(*) AS n
+         FROM events e JOIN stat ON e.user_id = stat.user_id
+         GROUP BY bucket ORDER BY bucket""",
     "stream_foreachbatch_stage" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
