@@ -139,6 +139,21 @@ object Functions {
           size(array_distinct(col("embedding"))).as("ndist"))
         .orderBy("vec_id")),
 
+    // Encoding family: base64, hex, byte length, md5/sha2 digests —
+    // all over utf8 bytes of string columns (byte-identical in both
+    // engines, SURVEY §5.4.5).
+    "fn_encoding" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 37 === 0)
+        .select(
+          col("p_partkey"),
+          base64(col("p_brand").cast("binary")).as("b64"),
+          hex(col("p_type").cast("binary")).as("hx"),
+          length(col("p_name").cast("binary")).as("nbytes"),
+          md5(col("p_name")).as("m5"),
+          sha2(col("p_brand"), 256).as("s256"))
+        .orderBy("p_partkey")),
+
     // Struct family: named_struct construction, field access, struct
     // round-trip through an array element.
     "fn_struct" -> ((s, d) =>
@@ -246,6 +261,14 @@ object Functions {
                 round(CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE), 4) AS e2,
                 CAST(len(list_distinct(embedding)) AS INTEGER) AS ndist
          FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""",
+    "fn_encoding" ->
+      """SELECT p_partkey,
+                base64(encode(p_brand)) AS b64,
+                hex(encode(p_type)) AS hx,
+                CAST(octet_length(encode(p_name)) AS INTEGER) AS nbytes,
+                md5(p_name) AS m5,
+                sha256(p_brand) AS s256
+         FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
     "fn_struct" ->
       """SELECT o_orderkey,
                 struct_pack(st := o_orderstatus, pr := o_orderpriority).st AS st2,
