@@ -68,6 +68,19 @@ object Aggregates {
           count(lit(1)).as("n_items"))
         .orderBy("l_orderkey")),
 
+    // Sketch-based percentiles — THE 100 TB percentile path (exact
+    // percentile sorts per group; approx_percentile is a bounded-
+    // memory mergeable sketch). No oracle (approx); AggregatesSpec
+    // bounds its error against the exact variant.
+    "agg_percentile_approx" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.95, 1000)").as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont` — both linear interpolation).
     "agg_percentile" -> ((s, d) =>

@@ -155,6 +155,23 @@ object TextPipeline {
     // downsampling stands in for pixel resampling — real codecs are
     // not in this container). Output: old/new sizes + checksum of the
     // downsampled payload.
+    // Deterministic content-hash sampling / train-test split: the
+    // md5-prefix bucket decides membership, so the split is
+    // reproducible across engines, runs, partitionings, and re-ingests
+    // of the same corpus — unlike random sampling, THE property a
+    // training-data pipeline needs (no leakage when data is re-staged).
+    // '0'|'1' prefix ≈ 2/16 → ~12.5% test split.
+    "sample_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(md5(col("text")) < "2", "test").otherwise("train"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
     "multimodal_resize" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") % 101 === 0)
@@ -195,6 +212,12 @@ object TextPipeline {
       .orderBy("doc_id", "frame_idx")
 
   val oracles: Map[String, String] = Map(
+    "sample_hash_split" ->
+      """SELECT CASE WHEN md5(text) < '2' THEN 'test' ELSE 'train' END AS split,
+                count(*) AS n,
+                CAST(min(doc_id) AS BIGINT) AS min_id,
+                CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM documents GROUP BY 1 ORDER BY split""",
     "multimodal_resize" ->
       """SELECT doc_id,
                 CAST(length(text) AS INTEGER) AS orig_len,

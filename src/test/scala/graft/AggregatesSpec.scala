@@ -20,6 +20,19 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("agg_percentile_approx within 2% relative error of exact percentiles") {
+    val approx = Aggregates.queries("agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Aggregates.queries("agg_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02,
+        s"$k p50: approx=${approx(k)._1} exact=$p50")
+      assert(math.abs(approx(k)._2 - p95) / p95 <= 0.02,
+        s"$k p95: approx=${approx(k)._2} exact=$p95")
+    }
+  }
+
   test("agg_percentile: p50 <= p95 and both within group min/max") {
     val rows = Aggregates.queries("agg_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
