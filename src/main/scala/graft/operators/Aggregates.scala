@@ -68,6 +68,21 @@ object Aggregates {
           count(lit(1)).as("n_items"))
         .orderBy("l_orderkey")),
 
+    // Explicit GROUPING SETS (complements the rollup key): per-flag,
+    // per-status, and grand-total levels in one pass, via the SQL
+    // surface so the actual GROUPING SETS analyzer path is exercised.
+    "agg_grouping_sets_explicit" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS n
+          |FROM graft_lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    }),
+
     // Sketch-based percentiles — THE 100 TB percentile path (exact
     // percentile sorts per group; approx_percentile is a bounded-
     // memory mergeable sketch). No oracle (approx); AggregatesSpec
@@ -121,6 +136,14 @@ object Aggregates {
                   AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "agg_grouping_sets_explicit" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY gid, rf, ls""",
     "agg_collect_list_sorted" ->
       """SELECT l_orderkey,
