@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout in forked runs: without this, every line a
+// `runMain` prints is routed through sbt's logger and prefixed with
+// "[info] ", which breaks line-oriented JSON consumers of Bench/Verify
+// output (a bare `{"metric":...}` line must stay bare).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,10 +24,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding via Double.toString (locale-independent '.')
+    // keeps the line compact, and "value" goes LAST: the driver stores
+    // only the TAIL of the output, so a long queries map must never
+    // push the total off the front of the captured window.
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"value":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -46,15 +46,32 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run a stream with few shuffle partitions. Streaming state is
+    * partitioned by `spark.sql.shuffle.partitions` AT QUERY START, and
+    * every micro-batch pays one state-store open/commit per partition:
+    * at local[32] that is 32 store instances + checkpoint files per
+    * batch for kilobytes of state — pure fixed overhead. 8 partitions
+    * keeps the commit cost bounded; on a real cluster this knob is
+    * sized to state volume (state rows / partition ≈ store block), not
+    * to core count. Restored after the stream drains so batch queries
+    * keep the session default. */
+  private def withStreamShuffle[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Drain a streaming DataFrame into a memory sink and return the
     * sink contents as a batch DataFrame. */
-  private def drain(sdf: DataFrame, mode: String): DataFrame = {
-    val name = "graft_sink_" + sinkId.incrementAndGet()
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    sdf.sparkSession.table(name)
-  }
+  private def drain(sdf: DataFrame, mode: String): DataFrame =
+    withStreamShuffle(sdf.sparkSession) {
+      val name = "graft_sink_" + sinkId.incrementAndGet()
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sdf.sparkSession.table(name)
+    }
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows × event_type (epoch-aligned — equivalent
@@ -144,16 +161,18 @@ object Streaming {
       // fixed, pre-cleaned scratch dir — append-mode writes must not
       // accumulate across runs (and /tmp must not fill up over rounds)
       val out = graft.sources.Staging.tmpDir("stage")
-      val q = eventsStream(s, d).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch
-            .dropDuplicates("event_id")
-            .withColumn("day", to_date(col("ts")))
-            .write.mode("append").partitionBy("day").parquet(out)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamShuffle(s) {
+        val q = eventsStream(s, d).writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch
+              .dropDuplicates("event_id")
+              .withColumn("day", to_date(col("ts")))
+              .write.mode("append").partitionBy("day").parquet(out)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .groupBy("event_type")
         .agg(

@@ -21,39 +21,29 @@ class SimilaritySpec extends GraftSuite {
   }
 
   test("sim_lsh_ann: recall ≥ 0.5 vs brute-force nearest neighbor") {
-    // Brute-force 1-NN by euclidean distance for each of 20 probe
-    // vectors; the LSH approx join (same threshold as the declared
-    // query) must recover at least half of the true NN pairs —
-    // random-projection LSH with 4 tables comfortably exceeds this
-    // when the true NN is inside the join threshold.
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val df = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), toVec(col("embedding")).as("features"))
-    val probes = df.filter(col("vec_id") < 20)
-    // brute force: true nearest neighbor per probe (within threshold)
-    val distUdf = udf((a: org.apache.spark.ml.linalg.Vector,
-                       b: org.apache.spark.ml.linalg.Vector) =>
-      Vectors.sqdist(a, b))
-    val truePairs = probes.as("p").crossJoin(df.as("c"))
-      .filter(col("p.vec_id") =!= col("c.vec_id"))
-      .withColumn("d2", distUdf(col("p.features"), col("c.features")))
+    // Brute-force 1-NN by cosine for each of 20 probe vectors; the
+    // LSH candidate set (the exact pair set the declared query
+    // aggregates) must recover at least half of the true NN pairs —
+    // sign-random-projection with 6 tables comfortably exceeds this
+    // on clustered data.
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val probes = e.select(col("vec_id").as("q"), col("embedding").as("qe"))
+      .filter(col("q") < 20)
+    val truePairs = probes.crossJoin(e)
+      .filter(col("q") =!= col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("p.vec_id").orderBy(col("d2"), col("c.vec_id"))))
-      .filter(col("rn") === 1 && sqrt(col("d2")) <= 1.15)
-      .select(col("p.vec_id").as("q"), col("c.vec_id").as("nn"))
+          .partitionBy("q").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q"), col("vec_id").as("nn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truePairs.nonEmpty, "threshold too tight: no true NN pairs")
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(df)
-    val found = model.approxSimilarityJoin(probes, df, 1.15, "dist")
-      .select(col("datasetA.vec_id").as("q"), col("datasetB.vec_id").as("nn"))
-      .filter(col("q") =!= col("nn"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    val found = graft.operators.Similarity.lshCandidates(spark, sf)
+      .select(col("a"), col("b"))
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+                                  (r.getLong(1), r.getLong(0)))).toSet
     val recall = truePairs.count(found).toDouble / truePairs.size
     assert(recall >= 0.5, s"LSH recall $recall < 0.5 (${truePairs.size} true pairs)")
   }
