@@ -29,6 +29,7 @@ object SparkEntry {
     (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (operators.Analytics2.queries, operators.Analytics2.oracles),
+    (operators.Clustering.queries, operators.Clustering.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

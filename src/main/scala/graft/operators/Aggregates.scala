@@ -120,6 +120,44 @@ object Aggregates {
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+
+    // Deterministic exact mode (most frequent value per group). Bare
+    // mode() is implementation-defined under ties in both engines, so
+    // the declared formulation is the two-level one a 100 TB job runs
+    // anyway: partial-aggregated (group, value) counts, then a bounded
+    // per-group argmax with an explicit (count DESC, value ASC)
+    // tiebreak — the heavy shuffle carries one row per distinct
+    // (group, value), never raw rows.
+    "agg_mode_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n_occ"))
+      val w = Window.partitionBy("rf")
+        .orderBy(col("n_occ").desc, col("qty").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("rf"), col("qty").as("mode_qty"), col("n_occ"))
+        .orderBy("rf")
+    }),
+
+    // Mergeable HLL sketches (Apache DataSketches via Spark SQL) — THE
+    // 100 TB distinct path: each shard partial-aggregates user ids
+    // into a fixed-size sketch, and the final stage unions SKETCHES,
+    // not id sets — the shuffle carries kilobytes per (group × shard)
+    // regardless of cardinality. Sketches are deterministic, but the
+    // binary layout has no DuckDB twin → no oracle; AggregatesSpec
+    // bounds the estimate against exact countDistinct.
+    "agg_hll_sketch_merge" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(32)).as("shard"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("n_shards"))
+        .orderBy("event_type")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +203,16 @@ object Aggregates {
                 round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_mode_exact" ->
+      """WITH c AS (SELECT l_returnflag AS rf,
+                           CAST(l_quantity AS BIGINT) AS qty,
+                           count(*) AS n_occ
+                    FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT rf, qty, n_occ,
+                           row_number() OVER (PARTITION BY rf
+                             ORDER BY n_occ DESC, qty) AS rn
+                    FROM c)
+         SELECT rf, qty AS mode_qty, n_occ
+         FROM r WHERE rn = 1 ORDER BY rf""",
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate cluster closure (SURVEY.md §2.11, round 4).
+  *
+  * LSH / pairwise scoring emits near-dup PAIRS, but a dedup pipeline
+  * keeps one representative per transitive CLUSTER: if A~B and B~C,
+  * all three are one group even when A~C scores below threshold.
+  * That closure is connected components over the pair graph — the
+  * step every production dedup job runs after candidate generation.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each round
+  * (1) every node takes the min label over itself and its neighbors
+  * (one shuffle: edges ⋈ labels + groupBy), then (2) compresses paths
+  * by re-reading its label's label (one more shuffle). The jump step
+  * doubles propagation distance per round, so rounds are
+  * O(log diameter), not O(diameter) — at 100 TB this is the
+  * difference between ~6 rounds and hundreds for chain-shaped
+  * clusters. Per-round state is one (node, label) row per node —
+  * linear, partitioned by node, no driver-side graph. The driver
+  * only counts changed labels per round to detect the fixpoint
+  * (a scalar per round, same pattern as any iterative MLlib job).
+  *
+  * The pair stage here scores the sampled corpus all-pairs with the
+  * native cosine kernel (bounded: |sample|² evaluations); at scale the
+  * input pairs come from `sim_lsh_ann`/`dedup_minhash_lsh` candidates
+  * instead — the closure is agnostic to the candidate generator.
+  *
+  * Oracle: DuckDB computes the same components via a recursive CTE
+  * (label = min reachable node id), so rows+hash check end-to-end.
+  */
+object Clustering {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CosThreshold = 0.3
+
+  val queries: Map[String, Q] = Map(
+    "dedup_cluster_cc" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sample = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .cache()
+      val pairs = sample.toDF("a", "va")
+        .join(sample.toDF("b", "vb"), col("a") < col("b"))
+        .filter(expr("cosine_sim(va, vb)") >= CosThreshold)
+        .select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a")))
+        .toDF("src", "dst").cache()
+      var labels = sample.select(col("vec_id").as("n"), col("vec_id").as("lab"))
+        .cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 16) {
+        // (1) neighbor min
+        val nbr = edges.join(labels, edges("src") === labels("n"))
+          .select(edges("dst").as("n2"), labels("lab").as("nl"))
+          .groupBy("n2").agg(min(col("nl")).as("nl"))
+        val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
+          .select(labels("n"),
+            least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
+        // (2) pointer jump: lab := lab(lab) — labels only decrease and
+        // every label is itself a node, so the lookup always hits
+        val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
+        // localCheckpoint, not cache: each round references the prior
+        // round's frame TWICE (neighbor join + pointer jump), so the
+        // logical plan doubles per round — lineage must be truncated
+        // or planning itself blows up exponentially
+        val next = m1.join(j, m1("lab") === j("jn"))
+          .select(m1("n"), col("jlab").as("lab"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
+          .filter(col("lab") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val out = labels.groupBy("lab")
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("lab").as("rep"), col("n_members"))
+        .orderBy("rep")
+      edges.unpersist(); sample.unpersist()
+      out
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE
+           e0 AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id % 5 = 0),
+           n AS (SELECT vec_id, v,
+                        sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                            'sum')) AS nrm
+                 FROM e0),
+           p AS (SELECT a.vec_id AS a, b.vec_id AS b
+                 FROM n a JOIN n b ON b.vec_id > a.vec_id
+                 WHERE list_aggregate(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm)
+                       >= 0.3),
+           ed AS (SELECT a AS s, b AS t FROM p
+                  UNION ALL SELECT b, a FROM p),
+           reach AS (
+             SELECT vec_id AS node, vec_id AS lab FROM e0
+             UNION
+             SELECT ed.t, r.lab FROM reach r JOIN ed ON ed.s = r.node),
+           comp AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node)
+         SELECT rep, count(*) AS n_members
+         FROM comp GROUP BY rep ORDER BY rep""",
+  )
+}

@@ -69,6 +69,37 @@ object ScaleJoins {
             .as("revenue"))
         .orderBy("o_orderstatus")
     }),
+
+    // Interval join as a pure equi-join: bucket event time into
+    // interval-width cells; a row b with b_ts ∈ (a_ts, a_ts + W] can
+    // only sit in a's cell or the next one, so replicating the probe
+    // side into those two cells turns the range join into an
+    // equi-join on (user, cell) + a cheap refine filter. At 100 TB
+    // this is the scale path for time-window joins: a hash shuffle on
+    // (user, cell) with 2× probe replication, instead of a per-user
+    // range scan whose hot users melt a partition. Same 5-minute
+    // semantics as join_interval_events; all time arithmetic on
+    // epoch-µs BIGINTs (ns-fixture parity, §5.4.3). The oracle runs
+    // the PLAIN interval join — the rewrite must not change results.
+    "join_interval_bucketed" -> ((s, d) => {
+      val w = 300000000L // 5 min in µs
+      val e = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+      val a = e.select(col("user_id"), col("us").as("a_us"),
+          col("event_type").as("a_type"))
+        .withColumn("cell",
+          explode(array(expr(s"a_us div $w"), expr(s"a_us div $w + 1"))))
+      val b = e.select(col("user_id").as("b_user"), col("us").as("b_us"))
+        .withColumn("b_cell", expr(s"b_us div $w"))
+      a.join(b,
+          col("user_id") === col("b_user") && col("cell") === col("b_cell") &&
+            col("b_us") > col("a_us") && col("b_us") <= col("a_us") + w)
+        .groupBy("a_type")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("b_us") - col("a_us")).as("sum_gap_us"))
+        .orderBy("a_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +115,14 @@ object ScaleJoins {
                   AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_interval_bucketed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events)
+         SELECT a.event_type AS a_type, count(*) AS n_pairs,
+                CAST(sum(b.us - a.us) AS BIGINT) AS sum_gap_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us > a.us AND b.us <= a.us + 300000000
+         GROUP BY a.event_type ORDER BY a_type""",
   )
 }

@@ -86,6 +86,26 @@ object SetDedup {
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
         .orderBy("doc_id")),
+
+    // Incremental-ingest dedup — the staging engine's steady state:
+    // each arriving micro-batch is anti-joined by content hash against
+    // the already-staged corpus, so only genuinely new content lands.
+    // At 100 TB the staged-hash side is a bucketed table keyed by the
+    // hash (the anti-join then shuffles only the new batch), and the
+    // hash set grows append-only with the corpus. doc_id % 5 splits
+    // the fixture into "staged" (4/5) and "incoming" (1/5).
+    "dedup_incremental_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stagedHashes = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("h")).distinct()
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("h", md5(col("text")))
+        .join(stagedHashes, Seq("h"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          countDistinct(col("h")).as("n_unique"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +145,13 @@ object SetDedup {
     "dedup_content_hash" ->
       """SELECT doc_id, sha256(text) AS content_hash
          FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "dedup_incremental_ingest" ->
+      """WITH staged AS (SELECT DISTINCT md5(text) AS h
+                         FROM documents WHERE doc_id % 5 <> 0),
+              inc AS (SELECT lang, md5(text) AS h
+                      FROM documents WHERE doc_id % 5 = 0)
+         SELECT lang, count(*) AS n_new, count(DISTINCT h) AS n_unique
+         FROM inc WHERE h NOT IN (SELECT h FROM staged)
+         GROUP BY lang ORDER BY lang""",
   )
 }

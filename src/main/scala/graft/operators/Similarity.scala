@@ -135,10 +135,13 @@ object Similarity {
       import org.apache.spark.ml.clustering.KMeans
       graft.functions.GraftFunctions.register(s)
       val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+      // cached: k-means is iterative — without this every iteration
+      // re-scans parquet and re-runs the vectorizing UDF
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           toVec(col("embedding")).as("features"))
-      val model = new KMeans().setK(16).setSeed(7L).setMaxIter(5)
+        .cache()
+      val model = new KMeans().setK(16).setSeed(7L).setMaxIter(3)
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(emb)
       val assigned = model.transform(emb)

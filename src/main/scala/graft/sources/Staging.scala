@@ -92,6 +92,33 @@ object Staging {
         .orderBy("yr")
     }),
 
+    // Clustered staging layout: repartition by the query key and sort
+    // within partitions by (key, time, id) before writing. Parquet
+    // row-group min/max stats then cover disjoint key/time ranges, so
+    // a later filtered scan prunes row groups instead of reading the
+    // file — at 100 TB this layout choice, made once at staging time,
+    // is the difference between scanning a partition and scanning a
+    // few row groups. No global sort: sortWithinPartitions is a
+    // per-partition sort with no range-exchange barrier. Fingerprint
+    // read back through the clustered layout; oracle recomputes from
+    // the fixture (layout must not change results).
+    "sink_sorted_clustered" -> ((s, d) => {
+      val out = tmpDir("graft_clust_")
+      Tables.events(s, d)
+        .repartition(4, col("event_type"))
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          // value is 2-decimal data → decimal-exact sum (§5.4.2)
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     // Glue-sync equivalent: register the staged table in the session
     // catalog, then query it BY NAME (proving catalog visibility).
     "catalog_sync" -> ((s, d) => {
@@ -181,6 +208,13 @@ object Staging {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
+    "sink_sorted_clustered" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "catalog_sync" ->
       """SELECT s_nationkey, count(*) AS n,
                 round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -20,6 +20,19 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("agg_hll_sketch_merge estimate within 5% of exact distinct") {
+    val approx = Aggregates.queries("agg_hll_sketch_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n) / n
+      assert(err <= 0.05, s"$k: sketch=${approx(k)} exact=$n err=$err")
+    }
+  }
+
   test("agg_percentile_approx within 2% relative error of exact percentiles") {
     val approx = Aggregates.queries("agg_percentile_approx")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

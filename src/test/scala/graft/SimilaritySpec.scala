@@ -24,8 +24,9 @@ class SimilaritySpec extends GraftSuite {
     // Brute-force 1-NN by cosine for each of 20 probe vectors; the
     // LSH candidate set (the exact pair set the declared query
     // aggregates) must recover at least half of the true NN pairs —
-    // sign-random-projection with 6 tables comfortably exceeds this
-    // on clustered data.
+    // the 20-table OR-amplified geometry holds this even on the
+    // fixture's near-random vectors (see the LSH geometry note in
+    // Similarity).
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val probes = e.select(col("vec_id").as("q"), col("embedding").as("qe"))
