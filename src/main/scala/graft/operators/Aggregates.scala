@@ -142,6 +142,24 @@ object Aggregates {
         .orderBy("rf")
     }),
 
+    // Conditional (filtered) aggregation: Spark's sum(when(cond, x))
+    // ≡ SQL's FILTER clause — nulls outside the condition are ignored
+    // by the aggregate, so each branch aggregates its own subset in
+    // ONE pass over the data (no per-condition self-joins, the
+    // classic anti-pattern this key exists to rule out at 100 TB).
+    "agg_filtered" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          round(coalesce(
+            sum(when(col("o_totalprice") > 200000,
+              col("o_totalprice").cast("decimal(18,2)"))),
+            lit(0).cast("decimal(18,2)")).cast("double"), 4).as("big_total"))
+        .orderBy("o_orderpriority")),
+
     // Mergeable HLL sketches (Apache DataSketches via Spark SQL) — THE
     // 100 TB distinct path: each shard partial-aggregates user ids
     // into a fixed-size sketch, and the final stage unions SKETCHES,
@@ -214,5 +232,14 @@ object Aggregates {
                     FROM c)
          SELECT rf, qty AS mode_qty, n_occ
          FROM r WHERE rn = 1 ORDER BY rf""",
+    "agg_filtered" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (o_totalprice > 200000) AS n_big,
+                round(CAST(coalesce(
+                  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_totalprice > 200000),
+                  0) AS DOUBLE), 4) AS big_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

@@ -188,6 +188,29 @@ object Similarity {
           count(lit(1)).as("n_pairs"),
           round(avg(col("cos")), 4).as("avg_cos"),
           round(max(col("cos")), 4).as("max_cos"))),
+
+    // Int8 scalar quantization of the embedding column — the memory/
+    // bandwidth lever for ANN at 100 TB: 4× smaller vectors mean 4×
+    // more candidates per scan and a broadcastable quantized corpus
+    // slice. Per-vector scale = max|x|, code = floor(x·127/scale);
+    // pure per-row HOF compute (no shuffle), and the whole pipeline —
+    // quantize, reconstruct, L1 error — is SQL-expressible with
+    // left-fold double math, so DuckDB recomputes it bit-identically.
+    "sim_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 97 === 0)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("scale", expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("q",
+          expr("transform(v, x -> CAST(floor(x * 127.0 / scale) AS INT))"))
+        .withColumn("err", expr(
+          "aggregate(zip_with(v, q, (x, qv) -> abs(x - qv * scale / 127.0)), " +
+            "0D, (a, b) -> a + b)"))
+        .select(col("vec_id"),
+          round(col("scale"), 4).as("scale4"),
+          round(col("err"), 4).as("l1_err"),
+          expr("q[0]").as("q0"), expr("q[1]").as("q1"))
+        .orderBy("vec_id")),
   )
 
   // LSH geometry: L tables × b sign-bits. The fixture embeddings are
@@ -299,6 +322,27 @@ object Similarity {
               n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
          SELECT agg.label, n.n, agg.c0, agg.c1, agg.cnorm
          FROM agg JOIN n ON agg.label = n.label ORDER BY agg.label""",
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings WHERE vec_id % 97 = 0),
+              s AS (SELECT vec_id, v,
+                           list_aggregate(list_transform(v, x -> abs(x)),
+                                          'max') AS scale
+                    FROM e),
+              q AS (SELECT vec_id, v, scale,
+                           list_transform(v,
+                             x -> CAST(floor(x * 127.0 / scale) AS INT)) AS q
+                    FROM s),
+              r AS (SELECT vec_id, scale, q,
+                           list_aggregate(
+                             list_transform(range(1, len(v) + 1),
+                               i -> abs(v[i] - q[i] * scale / 127.0)),
+                             'sum') AS err
+                    FROM q)
+         SELECT vec_id, round(scale, 4) AS scale4, round(err, 4) AS l1_err,
+                q[1] AS q0, q[2] AS q1
+         FROM r ORDER BY vec_id""",
     "udf_scalar" ->
       """SELECT doc_id,
                 substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'),

@@ -50,4 +50,29 @@ class PlanShapeSpec extends GraftSuite {
     val plan = executedPlan("join_shuffle_large")
     assert(plan.contains("SortMergeJoin"), s"merge hint not honored:\n$plan")
   }
+
+  test("join_interval_bucketed is an equi-join, never a nested-loop join") {
+    // the whole point of the cell rewrite: the range predicate must
+    // ride an equi hash/merge join as a post-join condition
+    val plan = executedPlan("join_interval_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval rewrite fell back to a nested-loop join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi-join in interval-bucketed plan:\n$plan")
+  }
+
+  test("dedup_incremental_ingest anti-join stays a hash join") {
+    val plan = executedPlan("dedup_incremental_ingest")
+    assert(plan.contains("LeftAnti"), s"anti join missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"anti join degenerated to nested loop:\n$plan")
+  }
+
+  test("agg_hll_sketch_merge partial-aggregates sketches map-side") {
+    val plan = executedPlan("agg_hll_sketch_merge")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final sketch aggregation:\n$plan")
+  }
 }
