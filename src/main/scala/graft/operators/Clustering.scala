@@ -40,6 +40,12 @@ object Clustering {
   val queries: Map[String, Q] = Map(
     "dedup_cluster_cc" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // iterative state is a few hundred (node,label) rows — 8 shuffle
+      // partitions bound per-round task overhead; on a cluster this is
+      // sized to component-state volume, not core count (restored
+      // after the loop; the returned frame re-plans lazily)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val sample = Tables.embeddings(s, d)
         .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
@@ -83,6 +89,7 @@ object Clustering {
         .select(col("lab").as("rep"), col("n_members"))
         .orderBy("rep")
       edges.unpersist(); sample.unpersist()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out
     }),
   )

@@ -92,6 +92,27 @@ object Staging {
         .orderBy("yr")
     }),
 
+    // Partition-pruned read-back: filter on the partition column of a
+    // staged table — the scan must touch ONLY the matching partition
+    // directories (PartitionFilters in the plan, asserted in
+    // PlanShapeSpec). At 100 TB this is the first-line scan reducer:
+    // a date-partitioned staging layout turns a time-bounded query
+    // from a full-table scan into a few directories. Oracle recomputes
+    // from the fixture with the same predicate.
+    "scan_partition_pruned" -> ((s, d) => {
+      val out = tmpDir("graft_prune_")
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+      s.read.parquet(out)
+        .filter(col("yr") === 1995)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Clustered staging layout: repartition by the query key and sort
     // within partitions by (key, time, id) before writing. Parquet
     // row-group min/max stats then cover disjoint key/time ranges, so
@@ -208,6 +229,12 @@ object Staging {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
+    "scan_partition_pruned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_sorted_clustered" ->
       """SELECT event_type, count(*) AS n,
                 CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,

@@ -70,6 +70,15 @@ class PlanShapeSpec extends GraftSuite {
       s"anti join degenerated to nested loop:\n$plan")
   }
 
+  test("scan_partition_pruned touches only the matching partition") {
+    val plan = executedPlan("scan_partition_pruned")
+    assert(plan.contains("PartitionFilters:") && plan.contains("yr"),
+      s"partition filter missing from scan:\n$plan")
+    // the predicate must NOT survive as a post-scan data filter on yr
+    assert(!plan.contains("PushedFilters: [IsNotNull(yr)"),
+      s"yr treated as a data column, not a partition column:\n$plan")
+  }
+
   test("agg_hll_sketch_merge partial-aggregates sketches map-side") {
     val plan = executedPlan("agg_hll_sketch_merge")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,

@@ -32,4 +32,16 @@ class ScaleJoinsSpec extends GraftSuite {
       s"bucketed join still shuffles on the join key:\n$plan")
     assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
   }
+
+  test("join_interval_bucketed pair counts equal the plain interval join") {
+    // the cell rewrite must be a pure plan transformation: same pairs,
+    // same groups, as the declared range-join key
+    val bucketed = ScaleJoins.queries("join_interval_bucketed")(spark, sf)
+      .select(col("a_type"), col("n_pairs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = graft.operators.Joins.queries("join_interval_events")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketed == plain,
+      s"cell rewrite changed the join result: $bucketed vs $plain")
+  }
 }
