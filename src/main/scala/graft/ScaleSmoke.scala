@@ -64,6 +64,22 @@ object ScaleSmoke {
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
           .limit(10).count()
       },
+      // interval join via the (key, time-cell) equi rewrite — the
+      // join_interval_bucketed shape with lineitem's orderkey as the
+      // entity and linenumber-scaled synthetic micro-times; candidate
+      // growth must stay ~linear in rows (cells bound pair fan-out)
+      time(s"$tag/interval_bucketed") {
+        val w = 1000L
+        val ev = li.select(col("l_orderkey").as("k"),
+          (col("l_partkey") * 7 % 100000).as("t"))
+        val a = ev.withColumn("cell",
+          explode(array(expr(s"t div $w"), expr(s"t div $w + 1"))))
+        val b = ev.select(col("k").as("bk"), col("t").as("bt"))
+          .withColumn("bcell", expr(s"bt div $w"))
+        a.join(b, col("k") === col("bk") && col("cell") === col("bcell") &&
+            col("bt") > col("t") && col("bt") <= col("t") + w)
+          .groupBy(col("k") % 100).count().count()
+      },
     )
 
     val r1 = shapes("x1", li1)

@@ -154,6 +154,41 @@ object Streaming {
         .orderBy("bucket")
     }),
 
+    // TRUE incremental processing: the source is split into multiple
+    // files and maxFilesPerTrigger=1 forces AvailableNow to run one
+    // micro-batch PER FILE — each batch independently deduped and
+    // appended to the staged table (the reference's S3-event cadence,
+    // where every arriving object is its own micro-batch). The
+    // fingerprint is batch-boundary-invariant, so the oracle is the
+    // plain batch SQL; StreamingSpec asserts >1 batch actually ran.
+    "stream_multi_microbatch_stage" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("mb_src")
+      val out = graft.sources.Staging.tmpDir("mb_stage")
+      // re-stage the fixture as 4 files with the ts already µs-typed
+      Tables.events(s, d).repartition(4)
+        .write.mode("overwrite").parquet(src)
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.dropDuplicates("event_id")
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     // THE reference pipeline: stream → foreachBatch { dedup, derive
     // partition column, write partitioned parquet } → read staged
     // table back and fingerprint it.
@@ -225,6 +260,10 @@ object Streaming {
          SELECT bucket, count(*) AS n
          FROM events e JOIN stat ON e.user_id = stat.user_id
          GROUP BY bucket ORDER BY bucket""",
+    "stream_multi_microbatch_stage" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_foreachbatch_stage" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,

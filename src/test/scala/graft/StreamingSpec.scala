@@ -44,4 +44,32 @@ class StreamingSpec extends GraftSuite {
         countDistinct(to_date(col("ts"))).as("n_days"))
     assert(staged.except(batch).isEmpty && batch.except(staged).isEmpty)
   }
+
+  test("stream_multi_microbatch_stage runs >1 micro-batch and equals batch totals") {
+    // replicate the declared query's stream but count the batches, to
+    // prove maxFilesPerTrigger=1 really drove incremental processing
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.sources.Staging.tmpDir("mb_spec_src")
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() >= 2, s"expected >1 micro-batch, got ${batches.get()}")
+
+    val staged = Streaming.queries("stream_multi_microbatch_stage")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+          .as("total"))
+    assert(staged.except(batch).isEmpty && batch.except(staged).isEmpty)
+  }
 }
