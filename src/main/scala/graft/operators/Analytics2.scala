@@ -36,6 +36,53 @@ object Analytics2 {
           round(max(col("o_totalprice")), 4).as("top_price"))
         .orderBy("o_orderstatus")),
 
+    // Time-series densification (gap fill): per event_type, an hourly
+    // grid spanning [first, last] hour is generated with `sequence` +
+    // explode and left-joined against the hourly aggregates — missing
+    // hours materialize as zero rows. The resample primitive every
+    // time-series pipeline needs before windowed models; grid size is
+    // span-bounded (hours × groups), never row-bounded, and the
+    // left join shuffles only the aggregated hourly table, not raw
+    // events. Oracle: DuckDB generate_series (both grids are
+    // inclusive-end).
+    "timeseries_gap_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("n"),
+          round(coalesce(col("sv"), lit(0).cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .orderBy("event_type", "h")
+    }),
+
+    // Mergeable heavy-hitters sketch (ApproxTopK, Spark 4): per-shard
+    // approx_top_k_accumulate partials combine into one sketch — the
+    // 100 TB frequent-items path (the shuffle carries sketch state,
+    // never per-item counts). Estimate explodes to (item, count) rows.
+    // Sketch internals have no DuckDB twin → no oracle;
+    // Analytics2Spec checks the result against exact counts (the
+    // fixture's distinct-value count is far below the sketch capacity,
+    // so the sketch is exact here).
+    "agg_approx_topk" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(pmod(col("l_orderkey"), lit(16)).as("shard"))
+        .agg(expr("approx_top_k_accumulate(CAST(l_quantity AS INT), 64)")
+          .as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 64), 5)")
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("rank", "ic")))
+        .select(col("rank"), col("ic.item").as("item"),
+          col("ic.count").as("cnt"))
+        .orderBy("rank")),
+
     // Distribution window functions over a sampled, uniquely-ordered
     // window (tie-free: c_custkey tiebreak).
     "window_cume_dist" -> ((s, d) => {
@@ -78,6 +125,24 @@ object Analytics2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "timeseries_gap_fill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  count(*) AS cnt,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1
+           FROM hourly GROUP BY event_type),
+         grid AS (
+           SELECT event_type,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM spans)
+         SELECT g.event_type, g.h,
+                coalesce(cnt, 0) AS n,
+                round(CAST(coalesce(sv, 0) AS DOUBLE), 4) AS total
+         FROM grid g LEFT JOIN hourly USING (event_type, h)
+         ORDER BY g.event_type, g.h""",
     "agg_minmax_by" ->
       """SELECT o_orderstatus,
                 arg_max(o_orderkey, printf('%020.4f|%012d', o_totalprice, o_orderkey))

@@ -33,6 +33,25 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("agg_approx_topk matches exact top-5 counts (distinct values < sketch capacity)") {
+    val got = graft.operators.Analytics2.queries("agg_approx_topk")(spark, sf)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("int").as("q"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("q"))
+      .limit(5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // 50 distinct quantities < 64 sketch slots → counts are exact;
+    // rank order under count ties may differ, so compare as sets
+    got.foreach { case (item, cnt) =>
+      assert(exact.get(item).contains(cnt) || exact.values.toSet.contains(cnt),
+        s"sketch item $item count $cnt not consistent with exact $exact")
+    }
+    assert(got.values.toSeq.sorted == exact.values.toSeq.sorted,
+      s"top-5 count multiset differs: got=$got exact=$exact")
+  }
+
   test("agg_percentile_approx within 2% relative error of exact percentiles") {
     val approx = Aggregates.queries("agg_percentile_approx")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
