@@ -37,15 +37,60 @@ object Clustering {
 
   private val CosThreshold = 0.3
 
+  /** Connected components over an undirected pair graph.
+    *
+    * @param verts one LongType column `n` (every node, incl. isolated)
+    * @param pairs two LongType columns `a`, `b` (undirected edges)
+    * @return (n, lab) — lab = min node id reachable from n
+    *
+    * Min-label propagation with pointer jumping; per-round state is
+    * one (node, label) row per node on 8 shuffle partitions (the
+    * iterative state here is sample-sized; on a cluster this knob
+    * sizes to component-state volume, not core count — restored after
+    * the loop, the returned frame re-plans lazily). Shared by
+    * dedup_cluster_cc and the composed pipeline_dedup_e2e. */
+  private[graft] def components(verts: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = verts.sparkSession
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = verts.select(col("n"), col("n").as("lab")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 16) {
+      // (1) neighbor min
+      val nbr = edges.join(labels, edges("src") === labels("n"))
+        .select(edges("dst").as("n2"), labels("lab").as("nl"))
+        .groupBy("n2").agg(min(col("nl")).as("nl"))
+      val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
+        .select(labels("n"),
+          least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
+      // (2) pointer jump: lab := lab(lab) — labels only decrease and
+      // every label is itself a node, so the lookup always hits
+      val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
+      // localCheckpoint, not cache: each round references the prior
+      // round's frame TWICE (neighbor join + pointer jump), so the
+      // logical plan doubles per round — lineage must be truncated
+      // or planning itself blows up exponentially
+      val next = m1.join(j, m1("lab") === j("jn"))
+        .select(m1("n"), col("jlab").as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster_cc" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // iterative state is a few hundred (node,label) rows — 8 shuffle
-      // partitions bound per-round task overhead; on a cluster this is
-      // sized to component-state volume, not core count (restored
-      // after the loop; the returned frame re-plans lazily)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       val sample = Tables.embeddings(s, d)
         .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
@@ -54,42 +99,12 @@ object Clustering {
         .join(sample.toDF("b", "vb"), col("a") < col("b"))
         .filter(expr("cosine_sim(va, vb)") >= CosThreshold)
         .select(col("a"), col("b"))
-      val edges = pairs.union(pairs.select(col("b"), col("a")))
-        .toDF("src", "dst").cache()
-      var labels = sample.select(col("vec_id").as("n"), col("vec_id").as("lab"))
-        .cache()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 16) {
-        // (1) neighbor min
-        val nbr = edges.join(labels, edges("src") === labels("n"))
-          .select(edges("dst").as("n2"), labels("lab").as("nl"))
-          .groupBy("n2").agg(min(col("nl")).as("nl"))
-        val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
-          .select(labels("n"),
-            least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
-        // (2) pointer jump: lab := lab(lab) — labels only decrease and
-        // every label is itself a node, so the lookup always hits
-        val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
-        // localCheckpoint, not cache: each round references the prior
-        // round's frame TWICE (neighbor join + pointer jump), so the
-        // logical plan doubles per round — lineage must be truncated
-        // or planning itself blows up exponentially
-        val next = m1.join(j, m1("lab") === j("jn"))
-          .select(m1("n"), col("jlab").as("lab"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
-          .filter(col("lab") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
+      val labels = components(sample.select(col("vec_id").as("n")), pairs)
       val out = labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"))
         .select(col("lab").as("rep"), col("n_members"))
         .orderBy("rep")
-      edges.unpersist(); sample.unpersist()
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sample.unpersist()
       out
     }),
   )

@@ -97,6 +97,48 @@ object DedupAdvanced {
         .limit(20)
     }),
 
+    // THE composed curation flow, end-to-end in one declared query:
+    // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
+    // (≥ 0.5) → connected-component closure → keep the min-id doc per
+    // cluster. This is what a 100 TB near-dup job actually runs; every
+    // stage is the already-verified primitive (minhash key, CC
+    // helper), so the whole pipeline stays oracle-checkable. At
+    // sf0.01's sample no candidate survives the verify threshold (all
+    // docs kept — the oracle agrees); sf0.1 has real near-dup pairs
+    // (Jaccard up to 0.99) that merge and drop survivors.
+    "pipeline_dedup_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val shing = shingles(s, d)
+      val seeds = s.range(8).toDF("i")
+      val mh = shing.crossJoin(seeds)
+        .groupBy("doc_id", "i")
+        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
+      val cand = mh.toDF("da", "ia", "ha")
+        .join(mh.toDF("db", "ib", "hb"),
+          col("ia") === col("ib") && col("ha") === col("hb") &&
+            col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
+        .join(shing.toDF("sdb", "shb"),
+          col("sdb") === col("db") && col("shb") === col("sha"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      val verified = cand.join(inter, Seq("da", "db"), "left")
+        .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
+        .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
+        .filter(coalesce(col("ni"), lit(0)).cast("double") /
+          (col("xn") + col("yn") - coalesce(col("ni"), lit(0))) >= 0.5)
+        .select(col("da").as("a"), col("db").as("b"))
+      val labels = Clustering.components(
+        docs.select(col("doc_id").as("n")), verified)
+      docs.join(labels, docs("doc_id") === labels("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_in"),
+          count(when(col("n") === col("lab"), 1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Exact word-set Jaccard over a small sample — the verify
     // primitive (fed by LSH candidates at scale).
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -174,6 +216,46 @@ object DedupAdvanced {
          JOIN sizes x ON x.doc_id = c.da
          JOIN sizes y ON y.doc_id = c.db
          ORDER BY jac DESC, a, b LIMIT 20""",
+    "pipeline_dedup_e2e" ->
+      """WITH RECURSIVE
+           tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents WHERE doc_id % 5 = 0),
+           shing AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                     FROM tok WHERE len(t) >= 3),
+           seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+           mh AS (SELECT doc_id, i,
+                         min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                  FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                    FROM mh a JOIN mh b
+                      ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+           sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+           inter AS (SELECT c.da, c.db, count(*) AS n
+                     FROM cand c
+                     JOIN shing sa ON sa.doc_id = c.da
+                     JOIN shing sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                     GROUP BY c.da, c.db),
+           ver AS (SELECT c.da AS a, c.db AS b
+                   FROM cand c
+                   LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                   JOIN sizes x ON x.doc_id = c.da
+                   JOIN sizes y ON y.doc_id = c.db
+                   WHERE CAST(coalesce(i.n, 0) AS DOUBLE)
+                         / (x.n + y.n - coalesce(i.n, 0)) >= 0.5),
+           ed AS (SELECT a AS s, b AS t FROM ver
+                  UNION ALL SELECT b, a FROM ver),
+           verts AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+           reach AS (
+             SELECT doc_id AS node, doc_id AS lab FROM verts
+             UNION
+             SELECT ed.t, r.lab FROM reach r JOIN ed ON ed.s = r.node),
+           comp AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+         SELECT d.lang, count(*) AS n_in,
+                count(*) FILTER (c.node = c.lab) AS n_kept
+         FROM documents d JOIN comp c ON c.node = d.doc_id
+         GROUP BY d.lang ORDER BY d.lang""",
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
                     FROM documents WHERE doc_id % 25 = 0),
