@@ -53,39 +53,40 @@ object Clustering {
     val s = verts.sparkSession
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
-    var labels = verts.select(col("n"), col("n").as("lab")).cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 16) {
-      // (1) neighbor min
-      val nbr = edges.join(labels, edges("src") === labels("n"))
-        .select(edges("dst").as("n2"), labels("lab").as("nl"))
-        .groupBy("n2").agg(min(col("nl")).as("nl"))
-      val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
-        .select(labels("n"),
-          least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
-      // (2) pointer jump: lab := lab(lab) — labels only decrease and
-      // every label is itself a node, so the lookup always hits
-      val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
-      // localCheckpoint, not cache: each round references the prior
-      // round's frame TWICE (neighbor join + pointer jump), so the
-      // logical plan doubles per round — lineage must be truncated
-      // or planning itself blows up exponentially
-      val next = m1.join(j, m1("lab") === j("jn"))
-        .select(m1("n"), col("jlab").as("lab"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
-        .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    labels
+    try {
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      var labels = verts.select(col("n"), col("n").as("lab")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 16) {
+        // (1) neighbor min
+        val nbr = edges.join(labels, edges("src") === labels("n"))
+          .select(edges("dst").as("n2"), labels("lab").as("nl"))
+          .groupBy("n2").agg(min(col("nl")).as("nl"))
+        val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
+          .select(labels("n"),
+            least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
+        // (2) pointer jump: lab := lab(lab) — labels only decrease and
+        // every label is itself a node, so the lookup always hits
+        val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
+        // localCheckpoint, not cache: each round references the prior
+        // round's frame TWICE (neighbor join + pointer jump), so the
+        // logical plan doubles per round — lineage must be truncated
+        // or planning itself blows up exponentially
+        val next = m1.join(j, m1("lab") === j("jn"))
+          .select(m1("n"), col("jlab").as("lab"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
+          .filter(col("lab") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val queries: Map[String, Q] = Map(

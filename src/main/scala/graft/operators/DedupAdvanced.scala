@@ -67,35 +67,45 @@ object DedupAdvanced {
              (ab, c) -> concat(ab, ' ', c)))"""
       )).as("sh"))
 
+  /** MinHash-LSH candidate pairs with exact Jaccard: shingle → 8-seed
+    * MinHash → single-hash bands → bucket self-join → shingle-set
+    * Jaccard on candidates only. Returns (a, b, jac) with jac
+    * UNROUNDED — the shared stage behind dedup_minhash_lsh (ranked
+    * report) and pipeline_dedup_e2e (threshold + closure), so the two
+    * keys can never diverge on band/hash structure. */
+  private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
+    val shing = shingles(s, d)
+    val seeds = s.range(8).toDF("i")
+    val mh = shing.crossJoin(seeds)
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
+    val cand = mh.toDF("da", "ia", "ha")
+      .join(mh.toDF("db", "ib", "hb"),
+        col("ia") === col("ib") && col("ha") === col("hb") &&
+          col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
+      .join(shing.toDF("sdb", "shb"),
+        col("sdb") === col("db") && col("shb") === col("sha"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    cand.join(inter, Seq("da", "db"), "left")
+      .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
+      .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
+      .select(col("da").as("a"), col("db").as("b"),
+        (coalesce(col("ni"), lit(0)).cast("double") /
+          (col("xn") + col("yn") - coalesce(col("ni"), lit(0)))).as("jac"))
+  }
+
   val queries: Map[String, Q] = Map(
     // shingle → 8-seed MinHash → 8 single-hash bands → bucket join →
     // Jaccard verify on candidates only.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val shing = shingles(s, d)
-      val seeds = s.range(8).toDF("i")
-      val mh = shing.crossJoin(seeds)
-        .groupBy("doc_id", "i")
-        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
-      val cand = mh.toDF("da", "ia", "ha")
-        .join(mh.toDF("db", "ib", "hb"),
-          col("ia") === col("ib") && col("ha") === col("hb") &&
-            col("da") < col("db"))
-        .select("da", "db").distinct()
-      val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
-        .join(shing.toDF("sdb", "shb"),
-          col("sdb") === col("db") && col("shb") === col("sha"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      cand.join(inter, Seq("da", "db"), "left")
-        .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
-        .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
-        .select(col("da").as("a"), col("db").as("b"),
-          round(coalesce(col("ni"), lit(0)).cast("double") /
-            (col("xn") + col("yn") - coalesce(col("ni"), lit(0))), 4).as("jac"))
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashJaccard(s, d)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
         .orderBy(col("jac").desc, col("a"), col("b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // THE composed curation flow, end-to-end in one declared query:
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
@@ -108,28 +118,9 @@ object DedupAdvanced {
     // (Jaccard up to 0.99) that merge and drop survivors.
     "pipeline_dedup_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      val shing = shingles(s, d)
-      val seeds = s.range(8).toDF("i")
-      val mh = shing.crossJoin(seeds)
-        .groupBy("doc_id", "i")
-        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
-      val cand = mh.toDF("da", "ia", "ha")
-        .join(mh.toDF("db", "ib", "hb"),
-          col("ia") === col("ib") && col("ha") === col("hb") &&
-            col("da") < col("db"))
-        .select("da", "db").distinct()
-      val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
-        .join(shing.toDF("sdb", "shb"),
-          col("sdb") === col("db") && col("shb") === col("sha"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      val verified = cand.join(inter, Seq("da", "db"), "left")
-        .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
-        .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
-        .filter(coalesce(col("ni"), lit(0)).cast("double") /
-          (col("xn") + col("yn") - coalesce(col("ni"), lit(0))) >= 0.5)
-        .select(col("da").as("a"), col("db").as("b"))
+      val verified = minhashJaccard(s, d)
+        .filter(col("jac") >= 0.5)
+        .select(col("a"), col("b"))
       val labels = Clustering.components(
         docs.select(col("doc_id").as("n")), verified)
       docs.join(labels, docs("doc_id") === labels("n"))

@@ -151,7 +151,8 @@ object SetDedup {
               inc AS (SELECT lang, md5(text) AS h
                       FROM documents WHERE doc_id % 5 = 0)
          SELECT lang, count(*) AS n_new, count(DISTINCT h) AS n_unique
-         FROM inc WHERE h NOT IN (SELECT h FROM staged)
+         FROM inc
+         WHERE NOT EXISTS (SELECT 1 FROM staged WHERE staged.h = inc.h)
          GROUP BY lang ORDER BY lang""",
   )
 }

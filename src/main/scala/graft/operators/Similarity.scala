@@ -161,7 +161,7 @@ object Similarity {
         .select("qid", "qe", "cid")
       val wr = Window.partitionBy("qid")
         .orderBy(round(col("cos"), 4).desc, col("vec_id"))
-      probeCells.join(assigned,
+      val out = probeCells.join(assigned,
           col("cell") === col("cid") && col("vec_id") =!= col("qid"))
         .withColumn("cos", expr("cosine_sim(qe, embedding)"))
         .withColumn("rank", row_number().over(wr))
@@ -169,6 +169,10 @@ object Similarity {
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rank")
+      // the cache only serves the iterative fit; the returned plan may
+      // recompute the cheap projection — don't pin it for the session
+      emb.unpersist()
+      out
     }),
 
     // Approximate NN at scale: seeded sign-random-projection LSH in
@@ -201,6 +205,9 @@ object Similarity {
         .filter(col("vec_id") % 97 === 0)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("scale", expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))"))
+        // zero vectors have no codes: x/scale would be NaN in Spark
+        // but a CAST error in DuckDB — excluded identically in both
+        .filter(col("scale") > 0)
         .withColumn("q",
           expr("transform(v, x -> CAST(floor(x * 127.0 / scale) AS INT))"))
         .withColumn("err", expr(
@@ -333,7 +340,7 @@ object Similarity {
               q AS (SELECT vec_id, v, scale,
                            list_transform(v,
                              x -> CAST(floor(x * 127.0 / scale) AS INT)) AS q
-                    FROM s),
+                    FROM s WHERE scale > 0),
               r AS (SELECT vec_id, scale, q,
                            list_aggregate(
                              list_transform(range(1, len(v) + 1),

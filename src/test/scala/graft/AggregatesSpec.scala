@@ -36,20 +36,22 @@ class AggregatesSpec extends GraftSuite {
   test("agg_approx_topk matches exact top-5 counts (distinct values < sketch capacity)") {
     val got = graft.operators.Analytics2.queries("agg_approx_topk")(spark, sf)
       .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
-    val exact = Tables.lineitem(spark, sf)
+    assert(got.size == 5)
+    // 50 distinct quantities < 64 sketch slots → per-item counts are
+    // exact: every reported item must carry its TRUE count, and the
+    // count multiset must equal the exact top-5 (rank order under
+    // count ties may differ, item identity may not)
+    val exactAll = Tables.lineitem(spark, sf)
       .groupBy(col("l_quantity").cast("int").as("q"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("q"))
-      .limit(5)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    // 50 distinct quantities < 64 sketch slots → counts are exact;
-    // rank order under count ties may differ, so compare as sets
     got.foreach { case (item, cnt) =>
-      assert(exact.get(item).contains(cnt) || exact.values.toSet.contains(cnt),
-        s"sketch item $item count $cnt not consistent with exact $exact")
+      assert(exactAll.get(item).contains(cnt),
+        s"sketch item $item count $cnt != exact ${exactAll.get(item)}")
     }
-    assert(got.values.toSeq.sorted == exact.values.toSeq.sorted,
-      s"top-5 count multiset differs: got=$got exact=$exact")
+    val exactTop5 = exactAll.values.toSeq.sorted.reverse.take(5)
+    assert(got.values.toSeq.sorted.reverse == exactTop5,
+      s"top-5 count multiset differs: got=$got exactTop5=$exactTop5")
   }
 
   test("agg_percentile_approx within 2% relative error of exact percentiles") {

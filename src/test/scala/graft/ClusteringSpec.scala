@@ -47,10 +47,14 @@ class ClusteringSpec extends GraftSuite {
 
   test("dedup_cluster_cc covers every sampled node exactly once") {
     val rows = Clustering.queries("dedup_cluster_cc")(spark, sf).collect()
-    val nNodes = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 5 === 0).count()
-    assert(rows.map(_.getLong(1)).sum == nNodes)
-    // every representative is a member of its own component (min id)
-    assert(rows.forall(r => r.getLong(1) >= 1))
+    val nodes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).sum == nodes.size)
+    // representatives are distinct sampled nodes (labels never escape
+    // the vertex set — a stale label would surface here)
+    val reps = rows.map(_.getLong(0))
+    assert(reps.distinct.length == reps.length)
+    assert(reps.forall(nodes.contains))
   }
 }
