@@ -69,4 +69,39 @@ class PropertiesSpec extends GraftSuite {
       assert(math.abs(c - 1.0) < 1e-9)
     }
   }
+
+  test("connected components equal union-find on random graphs") {
+    // random sparse graphs (path/star/cycle-ish mixes emerge naturally)
+    // exercise the propagation + pointer-jump loop well beyond the
+    // fixture graph's shape, including diameter-heavy chains
+    import spark.implicits._
+    val genGraph = for {
+      n <- Gen.choose(5, 60)
+      m <- Gen.choose(0, n * 2)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2).distinct)
+    forAll(genGraph, n = 6) { case (n, edges) =>
+      val verts = spark.range(n).toDF("n")
+      val pairs = edges.toDF("a", "b")
+      val got = graft.operators.Clustering.components(verts, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until n).map(i => i -> find(i)).toMap
+      assert(got == expected,
+        s"n=$n edges=$edges:\n got=$got\n expected=$expected")
+    }
+  }
 }
