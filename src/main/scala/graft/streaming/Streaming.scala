@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.Tables
 
 /** Structured-Streaming operators (SURVEY.md §2.9).
@@ -73,7 +74,59 @@ object Streaming {
       sdf.sparkSession.table(name)
     }
 
+  /** Per-user state carried by the transformWithState processor. */
+  case class UserStats(n: Long, lastUs: Long)
+
+  /** Spark 4 `StatefulProcessor` (the transformWithState API — the
+    * successor to mapGroupsWithState): explicit named ValueState per
+    * key, RocksDB-backed, emitting the running (count, last-seen
+    * epoch-µs) per user on every input batch. Integer-only state, so
+    * the final-state fingerprint is float-free for the oracle. */
+  class UserStatsProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStats](
+        "userStats", Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var cur = if (st.exists()) st.get() else UserStats(0L, 0L)
+      rows.foreach(r => cur = UserStats(cur.n + 1, math.max(cur.lastUs, r._2)))
+      st.update(cur)
+      Iterator.single((key, cur.n, cur.lastUs))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // The Spark-4 stateful API: transformWithState with a named
+    // RocksDB-backed ValueState (mapGroupsWithState's successor —
+    // typed state cells, TTL support, timers). Update-mode drain +
+    // final max per key = the end state; batch SQL is the oracle.
+    "stream_transform_with_state" -> ((s, d) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val ds = eventsStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val counted = ds.groupByKey(_._1)
+          .transformWithState(new UserStatsProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n", "last_us")
+        drain(counted, "update")
+          .filter(col("user_id") % 10 === 0)
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n"), max(col("last_us")).as("last_us"))
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }),
+
     // Tumbling 1-hour windows × event_type (epoch-aligned — equivalent
     // to date_trunc('hour') batch grouping).
     "stream_tumbling_window" -> ((s, d) =>
@@ -254,6 +307,11 @@ object Streaming {
     "stream_stateful_counter" ->
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 10 = 0 GROUP BY user_id ORDER BY user_id""",
+    "stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+         FROM events WHERE user_id % 10 = 0
+         GROUP BY user_id ORDER BY user_id""",
     "stream_static_join" ->
       """WITH stat AS (SELECT DISTINCT user_id, user_id % 10 AS bucket
                        FROM events)
