@@ -154,6 +154,22 @@ object Functions {
           sha2(col("p_brand"), 256).as("s256"))
         .orderBy("p_partkey")),
 
+    // Formatting family (§2.8 tenth): printf-style templating plus
+    // pad/repeat/reverse. Patterns stay in the Java↔C printf shared
+    // subset (%d, %0Nd, %s) — float patterns like %.2f are EXCLUDED
+    // because Java rounds HALF_UP where C rounds half-even, which
+    // would diverge on .xx5 inputs.
+    "fn_formatting" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          format_string("%05d:%s", col("n_nationkey"), col("n_name")).as("tag"),
+          lpad(col("n_name"), 12, ".").as("lp"),
+          rpad(col("n_name"), 12, "_").as("rp"),
+          repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+          reverse(col("n_name")).as("rev"))
+        .orderBy("n_nationkey")),
+
     // Struct family: named_struct construction, field access, struct
     // round-trip through an array element.
     "fn_struct" -> ((s, d) =>
@@ -269,6 +285,14 @@ object Functions {
                 md5(p_name) AS m5,
                 sha256(p_brand) AS s256
          FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    "fn_formatting" ->
+      """SELECT n_nationkey,
+                printf('%05d:%s', n_nationkey, n_name) AS tag,
+                lpad(n_name, 12, '.') AS lp,
+                rpad(n_name, 12, '_') AS rp,
+                repeat(substring(n_name, 1, 2), 3) AS rep,
+                reverse(n_name) AS rev
+         FROM nation ORDER BY n_nationkey""",
     "fn_struct" ->
       """SELECT o_orderkey,
                 struct_pack(st := o_orderstatus, pr := o_orderpriority).st AS st2,
