@@ -109,17 +109,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineSimBuilder: Seq[Expression] => Expression =
     exprs => CosineSimilarity(exprs(0), exprs(1))
+  val hammingBitsBuilder: Seq[Expression] => Expression =
+    exprs => StringHamming(exprs(0), exprs(1))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("hamming_bits", hammingBitsBuilder, "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_bits"),
+      new ExpressionInfo(classOf[StringHamming].getName, "hamming_bits"),
+      GraftFunctions.hammingBitsBuilder))
+  }
 }

@@ -162,17 +162,19 @@ object DedupAdvanced {
     }),
 
     // 64-bit SimHash (xxhash64 token hashes, per-bit majority vote) +
-    // pairwise Hamming distance. xxhash64 has no DuckDB twin →
+    // pairwise Hamming distance via the native codegen hamming_bits
+    // kernel (one fused byte loop vs the HOF split/zip_with chain's
+    // three array allocations per pair). xxhash64 has no DuckDB twin →
     // no-oracle; properties tested in DedupAdvancedSpec.
     "dedup_simhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val sims = simhash(
         Tables.documents(s, d)
           .filter(col("doc_id") % 25 === 0)
           .select(col("doc_id"), col("text")))
       sims.toDF("a", "ha").join(sims.toDF("b", "hb"), col("a") < col("b"))
         .select(col("a"), col("b"),
-          expr("size(filter(zip_with(split(ha, ''), split(hb, ''), (x, y) -> x = y), v -> NOT v))")
-            .as("hamming"))
+          expr("hamming_bits(ha, hb)").as("hamming"))
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(10)
     }),

@@ -67,4 +67,26 @@ class CosineSimilaritySpec extends GraftSuite {
           org.apache.spark.sql.types.FloatType))))
     assert(built.eval(null).asInstanceOf[Double] == 1.0)
   }
+
+  test("native hamming_bits equals the HOF formulation and handles edge cases") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val sims = graft.operators.DedupAdvanced.simhash(
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")))
+    val pairs = sims.toDF("a", "ha").join(sims.toDF("b", "hb"), col("a") < col("b"))
+      .withColumn("native", expr("hamming_bits(ha, hb)"))
+      .withColumn("hof", expr(
+        "size(filter(zip_with(split(ha, ''), split(hb, ''), (x, y) -> x = y), v -> NOT v))"))
+    val diff = pairs.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff pairs disagree between native and HOF hamming")
+    // edge cases: identity, length mismatch → null, null propagation
+    val edge = Seq(("0101", "0101"), ("0101", "1010"), ("0101", "01"))
+      .toDF("x", "y")
+      .select(expr("hamming_bits(x, y)").as("h")).collect()
+    assert(edge(0).getInt(0) == 0)
+    assert(edge(1).getInt(0) == 4)
+    assert(edge(2).isNullAt(0), "length mismatch must be null, not a prefix distance")
+  }
 }
