@@ -122,6 +122,31 @@ object Analytics2 {
         .orderBy("dist", "a", "b")
         .limit(15)
     }),
+
+    // Blocked edit-distance dedup — the scale pattern the pairwise
+    // dedup_levenshtein key only samples: candidates form ONLY inside
+    // a (lang, length-bucket) block, turning the O(n²) comparison
+    // into an equi-join keyed by block (length blocking is sound for
+    // edit distance: |len(a)-len(b)| > k rules out distance ≤ k). At
+    // 100 TB the block id is the shuffle key and per-block fan-out is
+    // bounded by block size, never corpus size.
+    "dedup_blocked_levenshtein" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 50").as("blk"),
+          substring(col("text"), 1, 30).as("prefix"))
+      p.toDF("a", "la", "ka", "pa")
+        .join(p.toDF("b", "lb", "kb", "pb"),
+          col("la") === col("lb") && col("ka") === col("kb") &&
+            col("a") < col("b"))
+        .select(col("la").as("lang"), col("ka").as("blk"),
+          levenshtein(col("pa"), col("pb")).as("dist"))
+        .groupBy("lang", "blk")
+        .agg(count(lit(1)).as("n_cand"),
+          min(col("dist")).as("min_dist"))
+        .orderBy("lang", "blk")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +198,15 @@ object Analytics2 {
                 CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          ORDER BY dist, a, b LIMIT 15""",
+    "dedup_blocked_levenshtein" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars // 50 AS blk,
+                           substring(text, 1, 30) AS prefix
+                    FROM documents WHERE doc_id % 10 = 0)
+         SELECT a.lang, a.blk, count(*) AS n_cand,
+                CAST(min(levenshtein(a.prefix, b.prefix)) AS INTEGER)
+                  AS min_dist
+         FROM s a JOIN s b
+           ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+         GROUP BY a.lang, a.blk ORDER BY a.lang, a.blk""",
   )
 }
