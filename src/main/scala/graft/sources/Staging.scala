@@ -92,6 +92,31 @@ object Staging {
         .orderBy("yr")
     }),
 
+    // Schema evolution across staged batches: an early batch written
+    // with the v1 column set and a later batch with an added column
+    // read back through mergeSchema — the unified schema surfaces the
+    // new column with nulls for pre-evolution rows. Every long-lived
+    // staging table hits this; the footer-merge is metadata-only (no
+    // data rewrite), which is exactly why parquet + schema-on-read
+    // wins at 100 TB over rewrite-on-evolve formats.
+    "scan_schema_evolution" -> ((s, d) => {
+      val out = tmpDir("graft_evo_")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/b1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Partition-pruned read-back: filter on the partition column of a
     // staged table — the scan must touch ONLY the matching partition
     // directories (PartitionFilters in the plan, asserted in
@@ -229,6 +254,13 @@ object Staging {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
+    "scan_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                count(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END)
+                  AS n_with_priority,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "scan_partition_pruned" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
