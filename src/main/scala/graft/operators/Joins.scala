@@ -143,6 +143,27 @@ object Joins {
         .orderBy("a_type")
     }),
 
+    // As-of checked against DuckDB's NATIVE ASOF JOIN (the companion
+    // to join_asof_last_event, whose oracle mirrors the window
+    // formulation): per purchase, the latest prior click; aggregate
+    // fingerprint (match count + exact µs-gap sum) is
+    // tie-insensitive, so the groupBy-max rewrite here must equal the
+    // engine-native asof semantics exactly — cross-formulation
+    // evidence that the Spark rewrite IS an asof join.
+    "join_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"))
+        .groupBy("p_id", "p_us")
+        .agg(max(col("c_us")).as("m_us"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("p_us") - col("m_us")).as("sum_gap_us"))
+    }),
+
     // As-of: each purchase matched to the user's latest PRIOR click
     // (join + groupBy-max formulation — identical semantics declared
     // in the oracle so both engines agree; see SURVEY §2.3).
@@ -229,6 +250,15 @@ object Joins {
            ON a.user_id = b.user_id
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
          GROUP BY a.event_type ORDER BY a_type""",
+    "join_asof_native" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+              p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, us FROM e WHERE event_type = 'click')
+         SELECT count(*) AS n_matched,
+                CAST(sum(p.us - c.us) AS BIGINT) AS sum_gap_us
+         FROM p ASOF JOIN c
+           ON p.user_id = c.user_id AND c.us <= p.us""",
     "join_asof_last_event" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
                     FROM events WHERE event_type = 'purchase'),

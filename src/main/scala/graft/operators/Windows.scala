@@ -65,6 +65,25 @@ object Windows {
 
     // Running total (rows frame) + 7-day moving average (range frame)
     // over the per-(status, day) daily revenue series.
+    // Exact interpolated percentile as a WINDOW analytic (whole
+    // partition frame): every row carries its group's median/p90 —
+    // the per-row enrichment shape (no join back after a groupBy
+    // percentile). Parity: Spark `percentile` ≡ DuckDB `quantile_cont`
+    // windowed, both linear-interpolated (established by
+    // agg_percentile).
+    "window_percentile_frame" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          round(expr("percentile(o_totalprice, 0.5) OVER " +
+            "(PARTITION BY o_orderstatus)"), 4).as("grp_median"),
+          round(expr("percentile(o_totalprice, 0.9) OVER " +
+            "(PARTITION BY o_orderstatus)"), 4).as("grp_p90"))
+        .filter(col("o_orderkey") % 571 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("price"),
+          col("grp_median"), col("grp_p90"))
+        .orderBy("o_orderkey")),
+
     "window_running_frame" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderstatus").as("st"),
@@ -124,6 +143,16 @@ object Windows {
       .orderBy("user_id", "event_id")
 
   val oracles: Map[String, String] = Map(
+    "window_percentile_frame" ->
+      """WITH w AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           round(quantile_cont(o_totalprice, 0.5)
+                             OVER (PARTITION BY o_orderstatus), 4) AS grp_median,
+                           round(quantile_cont(o_totalprice, 0.9)
+                             OVER (PARTITION BY o_orderstatus), 4) AS grp_p90
+                    FROM orders)
+         SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice, 4) AS price, grp_median, grp_p90
+         FROM w WHERE o_orderkey % 571 = 0 ORDER BY o_orderkey""",
     "window_range_interval" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
                     FROM events WHERE user_id % 25 = 0)
