@@ -63,6 +63,48 @@ object Analytics2 {
         .orderBy("event_type", "h")
     }),
 
+    // Ordered funnel analysis: per user, the first time each stage
+    // (view → click → purchase) occurred; a user converts a stage only
+    // if its first occurrence is strictly after the previous stage's.
+    // One conditional-aggregation pass (no per-stage self-joins) —
+    // the single-shuffle funnel shape that scales to any corpus.
+    "analytics_funnel" -> ((s, d) => {
+      val firsts = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("us"))).as("v"),
+          min(when(col("event_type") === "click", col("us"))).as("c"),
+          min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      firsts.agg(
+        count(col("v")).as("n_view"),
+        count(when(col("c") > col("v"), 1)).as("n_view_click"),
+        count(when(col("p") > col("c") && col("c") > col("v"), 1))
+          .as("n_full_funnel"),
+        count(lit(1)).as("n_users"))
+    }),
+
+    // Cohort retention: users grouped by their first-activity day;
+    // retention at +1/+7 days = distinct users from that cohort active
+    // on the offset day. Two aggregations over (user, day) pairs —
+    // never a per-offset self-join of raw events.
+    "analytics_retention" -> ((s, d) => {
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohorts = userDays.groupBy("user_id")
+        .agg(min(col("day")).as("cohort"))
+      userDays.join(cohorts, "user_id")
+        .groupBy("cohort")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(datediff(col("day"), col("cohort")) === 1,
+            col("user_id"))).as("d1"),
+          countDistinct(when(datediff(col("day"), col("cohort")) === 7,
+            col("user_id"))).as("d7"))
+        .orderBy("cohort")
+    }),
+
     // Mergeable heavy-hitters sketch (ApproxTopK, Spark 4): per-shard
     // approx_top_k_accumulate partials combine into one sketch — the
     // 100 TB frequent-items path (the shuffle carries sketch state,
@@ -150,6 +192,34 @@ object Analytics2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "analytics_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END) AS v,
+                  min(CASE WHEN event_type = 'click'
+                           THEN epoch_us(ts) END) AS c,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS p
+           FROM events GROUP BY user_id)
+         SELECT count(v) AS n_view,
+                count(CASE WHEN c > v THEN 1 END) AS n_view_click,
+                count(CASE WHEN p > c AND c > v THEN 1 END) AS n_full_funnel,
+                count(*) AS n_users
+         FROM f""",
+    "analytics_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              co AS (SELECT user_id, min(day) AS cohort
+                     FROM ud GROUP BY user_id)
+         SELECT cohort,
+                count(DISTINCT ud.user_id) AS n_users,
+                count(DISTINCT CASE WHEN day - cohort = 1
+                               THEN ud.user_id END) AS d1,
+                count(DISTINCT CASE WHEN day - cohort = 7
+                               THEN ud.user_id END) AS d7
+         FROM ud JOIN co ON ud.user_id = co.user_id
+         GROUP BY cohort ORDER BY cohort""",
     "timeseries_gap_fill" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
