@@ -30,6 +30,7 @@ object SparkEntry {
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (operators.Analytics2.queries, operators.Analytics2.oracles),
     (operators.Clustering.queries, operators.Clustering.oracles),
+    (operators.Lifecycle.queries, operators.Lifecycle.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Staged-table lifecycle operators (SURVEY.md §2.11 round-4 block):
+  * the mutations and maintenance jobs every staging engine needs once
+  * tables live longer than one batch — upsert (MERGE), SCD-2
+  * versioning, small-file compaction, z-order clustering — plus the
+  * reshaping (unpivot) and data-quality profiling ops that sit beside
+  * them in a curation pipeline.
+  *
+  * Scale notes (100 TB):
+  * - MERGE is anti-join + union: one shuffle on the merge key; with a
+  *   bucketed base table the anti-join is co-located, and a small
+  *   update batch broadcasts (AQE picks this up from size stats).
+  * - SCD-2 closes/opens versions with one semi- and one anti-join
+  *   against the update batch's keys — never a full-history rewrite;
+  *   on a partitioned base only partitions containing updated keys
+  *   need rewriting.
+  * - Compaction reads N small files and writes ceil(bytes/128 MiB)
+  *   files via coalesce — no shuffle, no sort; the classic repair for
+  *   streaming-ingest small-file buildup.
+  * - Z-order interleaves the bits of two key columns so ONE sort key
+  *   clusters BOTH dimensions: range-partition + sort by the morton
+  *   key gives row-group min/max pruning on either predicate column.
+  *   The bit-spread is 6 codegen'd integer ops per row — no UDF.
+  * - Profiling is a single aggregation pass computing every column's
+  *   stats at once (never one scan per column).
+  */
+object Lifecycle {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Spread the low 8 bits of `c` to even bit positions (morton
+    * encode step): 3 shift-or-mask rounds, all codegen'd. */
+  private def spread8(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 2)).bitwiseAND(lit(0x3333L))
+    s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** 16-bit morton (z-order) key of two 8-bit values. */
+  private[graft] def morton8(x: Column, y: Column): Column =
+    spread8(x).bitwiseOR(shiftleft(spread8(y), 1))
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO (upsert) semantics without a table format: the
+    // update batch wins on matched keys (anti-join keeps only
+    // unmatched base rows), unmatched update rows are inserts. The
+    // batch is derived deterministically from the fixture (%10==0 →
+    // update, %10==3 re-keyed → insert) so DuckDB can rebuild it.
+    "stage_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val upd = base.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(base.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_nationkey"), lit(7.77).as("c_acctbal")))
+      val merged = upd.unionByName(
+        base.join(upd.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+      merged.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("c_nationkey")
+    }),
+
+    // SCD type-2 versioning: an update batch (keys %7==0, new
+    // acctbal) closes the matched base versions (valid_to = batch 1,
+    // no longer current) and opens new ones; unmatched base rows stay
+    // open. Output is the full versioned dimension.
+    "stage_scd2" -> ((s, d) => {
+      val base = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
+      val upd = base.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 50)
+      val updKeys = upd.select("s_suppkey")
+      val closed = base.join(updKeys, Seq("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          lit(0).as("valid_from"), lit(1).as("valid_to"),
+          lit(false).as("is_current"))
+      val open = base.join(updKeys, Seq("s_suppkey"), "left_anti")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          lit(0).as("valid_from"), lit(null).cast("int").as("valid_to"),
+          lit(true).as("is_current"))
+      val opened = upd
+        .select(col("s_suppkey"), col("s_acctbal"),
+          lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"),
+          lit(true).as("is_current"))
+      closed.unionByName(open).unionByName(opened)
+        .orderBy("s_suppkey", "valid_from")
+    }),
+
+    // Wide→long reshaping (melt): the inverse of pivot_wide. Values
+    // unified to double before unpivot (mixed-type melt is a schema
+    // error, not a cast). Per-row generator — no shuffle at all.
+    "unpivot_long" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          col("p_retailprice").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "var", "val")
+        .orderBy("p_partkey", "var")
+    }),
+
+    // Column profiling (completeness + cardinality per column) in ONE
+    // aggregation pass over the table, stacked to one row per column —
+    // the data-quality primitive; never a scan per column.
+    "profile_columns" -> ((s, d) => {
+      Tables.customer(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("c_name")).as("nn_name"),
+          countDistinct(col("c_name")).as("nd_name"),
+          count(col("c_acctbal")).as("nn_bal"),
+          countDistinct(col("c_acctbal")).as("nd_bal"),
+          count(col("c_mktsegment")).as("nn_seg"),
+          countDistinct(col("c_mktsegment")).as("nd_seg"))
+        .selectExpr(
+          """stack(3,
+               'c_acctbal',    n_rows - nn_bal,  nd_bal,
+               'c_mktsegment', n_rows - nn_seg,  nd_seg,
+               'c_name',       n_rows - nn_name, nd_name)
+             AS (col_name, n_nulls, n_distinct)""")
+        .orderBy("col_name")
+    }),
+
+    // Small-file compaction: stage the fixture as 32 shards, then
+    // compact to ceil(bytes / 128 MiB) files (floor 1) with coalesce —
+    // content fingerprint proves the rewrite is lossless;
+    // LifecycleSpec asserts the file count actually dropped.
+    "sink_compaction" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("compact_src")
+      val out = graft.sources.Staging.tmpDir("compact_out")
+      Tables.events(s, d).repartition(32)
+        .write.mode("overwrite").parquet(src)
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.listStatus(new Path(src))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      s.read.parquet(src).coalesce(target)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
+    // Z-order clustered sink: morton-interleave (p_size, p_partkey%256)
+    // into one sort key, range-partition + sort the write by it, and
+    // fingerprint the read-back per z-bucket. Predicates on EITHER
+    // source column prune row groups after this layout.
+    "sink_zorder_curve" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("zorder")
+      Tables.part(s, d)
+        .withColumn("zkey", morton8(
+          col("p_size").cast("long"), col("p_partkey") % 256))
+        .repartitionByRange(4, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+        .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("sum_pk"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy("zbucket")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stage_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer),
+              upd AS (
+                SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+                FROM base WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey + 10000000, c_nationkey, 7.77
+                FROM base WHERE c_custkey % 10 = 3),
+              merged AS (
+                SELECT * FROM upd
+                UNION ALL
+                SELECT * FROM base
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM upd))
+         SELECT c_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "stage_scd2" ->
+      """SELECT s_suppkey, s_acctbal, 0 AS valid_from,
+                CASE WHEN s_suppkey % 7 = 0 THEN 1 END AS valid_to,
+                s_suppkey % 7 <> 0 AS is_current
+         FROM supplier
+         UNION ALL
+         SELECT s_suppkey, s_acctbal + 50, 1, NULL, true
+         FROM supplier WHERE s_suppkey % 7 = 0
+         ORDER BY s_suppkey, valid_from""",
+    "unpivot_long" ->
+      """WITH f AS (SELECT * FROM part WHERE p_partkey % 10 = 0)
+         SELECT p_partkey, 'retailprice' AS var, p_retailprice AS val FROM f
+         UNION ALL
+         SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM f
+         ORDER BY p_partkey, var""",
+    "profile_columns" ->
+      """SELECT 'c_acctbal' AS col_name,
+                count(*) - count(c_acctbal) AS n_nulls,
+                count(DISTINCT c_acctbal) AS n_distinct FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+                count(DISTINCT c_mktsegment) FROM customer
+         UNION ALL
+         SELECT 'c_name', count(*) - count(c_name),
+                count(DISTINCT c_name) FROM customer
+         ORDER BY col_name""",
+    "sink_compaction" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_zorder_curve" ->
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+                           CAST(p_partkey % 256 AS BIGINT) AS y
+                    FROM part),
+              s1 AS (SELECT p_partkey,
+                            ((x | (x << 4)) & 3855) AS a,
+                            ((y | (y << 4)) & 3855) AS b FROM b),
+              s2 AS (SELECT p_partkey,
+                            ((a | (a << 2)) & 13107) AS a,
+                            ((b | (b << 2)) & 13107) AS b FROM s1),
+              z AS (SELECT p_partkey,
+                           (((a | (a << 1)) & 21845)
+                            | (((b | (b << 1)) & 21845) << 1)) AS zkey
+                    FROM s2)
+         SELECT (zkey >> 10) AS zbucket, count(*) AS n,
+                CAST(sum(p_partkey) AS BIGINT) AS sum_pk,
+                min(zkey) AS min_z, max(zkey) AS max_z
+         FROM z GROUP BY zbucket ORDER BY zbucket""",
+  )
+}

@@ -207,6 +207,33 @@ object Streaming {
         .orderBy("bucket")
     }),
 
+    // Stream-stream inner join: purchases matched to the views that
+    // preceded them by ≤1 h for the same user, both sides watermarked
+    // (the watermark bounds join STATE — each side buffers only 1 h of
+    // events; matches emit as they arrive). The attribution-join shape
+    // of the reference's event pipeline; state is per-user and
+    // time-bounded, so it holds at any corpus size.
+    "stream_stream_join" -> ((s, d) => {
+      val views = eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      drain(joined, "append")
+        .groupBy((col("p_user") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            .as("gap_us_total"))
+        .orderBy("bucket")
+    }),
+
     // TRUE incremental processing: the source is split into multiple
     // files and maxFilesPerTrigger=1 forces AvailableNow to run one
     // micro-batch PER FILE — each batch independently deduped and
@@ -317,6 +344,14 @@ object Streaming {
                        FROM events)
          SELECT bucket, count(*) AS n
          FROM events e JOIN stat ON e.user_id = stat.user_id
+         GROUP BY bucket ORDER BY bucket""",
+    "stream_stream_join" ->
+      """SELECT p.user_id % 8 AS bucket, count(*) AS n_pairs,
+                CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)
+                  AS gap_us_total
+         FROM events p JOIN events v ON p.user_id = v.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
          GROUP BY bucket ORDER BY bucket""",
     "stream_multi_microbatch_stage" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lifecycle
+
+/** Semantics + side-effect tests for the staged-table lifecycle ops. */
+class LifecycleSpec extends GraftSuite {
+
+  test("morton8 interleaves bits (corners + locality)") {
+    val df = spark.range(1).select(
+      Lifecycle.morton8(lit(0L), lit(0L)).as("z00"),
+      Lifecycle.morton8(lit(255L), lit(255L)).as("zff"),
+      Lifecycle.morton8(lit(255L), lit(0L)).as("zx"),
+      Lifecycle.morton8(lit(0L), lit(255L)).as("zy"),
+      Lifecycle.morton8(lit(3L), lit(5L)).as("z35"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 65535L)
+    assert(r.getLong(2) == 0x5555L) // x occupies even bits
+    assert(r.getLong(3) == 0xAAAAL) // y occupies odd bits
+    // 3=0b011, 5=0b101 → interleave(y2x2 y1x1 y0x0) = 0b100111 = 39
+    assert(r.getLong(4) == 39L)
+  }
+
+  test("sink_compaction reduces the staged file count to the size target") {
+    Lifecycle.queries("sink_compaction")(spark, sf).collect()
+    def parquetFiles(p: String): Int =
+      Files.list(Paths.get(p)).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    val nSrc = parquetFiles("/tmp/graft_scratch/compact_src")
+    val nOut = parquetFiles("/tmp/graft_scratch/compact_out")
+    assert(nSrc == 32, s"staged $nSrc shards")
+    assert(nOut == 1, s"compacted to $nOut files (fixture << 128 MiB)")
+  }
+
+  test("stage_scd2 closes exactly the updated keys and keeps history") {
+    val out = Lifecycle.queries("stage_scd2")(spark, sf).cache()
+    try {
+      val nBase = Tables.supplier(spark, sf).count()
+      val nUpd = Tables.supplier(spark, sf)
+        .filter(col("s_suppkey") % 7 === 0).count()
+      // every base row survives; updated keys gain one version
+      assert(out.count() == nBase + nUpd)
+      assert(out.filter(col("is_current")).count() == nBase)
+      // closed versions are exactly the updated keys, with valid_to=1
+      val closed = out.filter(!col("is_current"))
+      assert(closed.count() == nUpd)
+      assert(closed.filter(col("valid_to") =!= 1).count() == 0)
+      // a current version never has a valid_to
+      assert(out.filter(col("is_current") && col("valid_to").isNotNull)
+        .count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("stage_merge_upsert preserves row count: base + inserts") {
+    val merged = Lifecycle.queries("stage_merge_upsert")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val base = Tables.customer(spark, sf).count()
+    val inserts = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 10 === 3).count()
+    assert(merged == base + inserts)
+  }
+
+  test("unpivot_long emits one row per (id, measure) pair") {
+    val n = Lifecycle.queries("unpivot_long")(spark, sf).count()
+    val ids = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 10 === 0).count()
+    assert(n == 2 * ids)
+  }
+}
