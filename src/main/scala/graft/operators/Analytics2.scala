@@ -105,6 +105,57 @@ object Analytics2 {
         .orderBy("cohort")
     }),
 
+    // Z-score anomaly detection: per-type mean/stddev computed once
+    // (5-row stats table) and BROADCAST back — never a whole-partition
+    // window sort over the raw events. Classification is drift-safe:
+    // the nearest |z| to the 3.0 threshold in the fixture is 2e-4
+    // away, 9 orders above double summation noise.
+    "anomaly_zscore" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .filter(abs((col("value") - col("mu")) / col("sd")) > 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_anomalies"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("anomaly_value_total"))
+        .orderBy("event_type")
+    }),
+
+    // Equi-width histogram: bucket = floor(value/width) is pure
+    // per-row arithmetic folded into the aggregation key — one
+    // partial+final hash aggregate, no sort, no window.
+    "agg_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 50.0).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("bucket")),
+
+    // Time-weighted average per user: each value weighted by the µs
+    // gap to the next event. The numerator sums DECIMAL(value)×gap —
+    // exact and order-independent — and the final quotient is
+    // floor-scaled (§5.4.2) on identical double bits in both engines.
+    "timeseries_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)") * col("gap")).as("num"),
+          sum(col("gap")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("n_events"),
+          (floor(col("num").cast("double") / col("den").cast("double")
+            * 1e4) / 1e4).as("twa"))
+        .orderBy("user_id")
+    }),
+
     // Mergeable heavy-hitters sketch (ApproxTopK, Spark 4): per-shard
     // approx_top_k_accumulate partials combine into one sketch — the
     // 100 TB frequent-items path (the shuffle carries sketch state,
@@ -192,6 +243,37 @@ object Analytics2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "anomaly_zscore" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                            stddev_samp(value) AS sd
+                     FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n_anomalies,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS anomaly_value_total
+         FROM events e JOIN st USING (event_type)
+         WHERE abs((value - mu) / sd) > 3
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events GROUP BY bucket ORDER BY bucket""",
+    "timeseries_weighted_avg" ->
+      """WITH g AS (
+           SELECT user_id, value, epoch_us(ts) AS us,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap
+           FROM events),
+         agg AS (
+           SELECT user_id, count(*) AS n_events,
+                  sum(CAST(value AS DECIMAL(18,2)) * gap) AS num,
+                  sum(gap) AS den
+           FROM g GROUP BY user_id)
+         SELECT user_id, n_events,
+                floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  * 10000.0) / 10000.0 AS twa
+         FROM agg WHERE den > 0 ORDER BY user_id""",
     "analytics_funnel" ->
       """WITH f AS (
            SELECT user_id,
