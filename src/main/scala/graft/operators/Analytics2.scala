@@ -86,15 +86,16 @@ object Analytics2 {
 
     // Cohort retention: users grouped by their first-activity day;
     // retention at +1/+7 days = distinct users from that cohort active
-    // on the offset day. Two aggregations over (user, day) pairs —
-    // never a per-offset self-join of raw events.
+    // on the offset day. The cohort is a whole-partition window min
+    // over the distinct (user, day) pairs — ONE scan, no join-back
+    // (a groupBy+join formulation scans the pairs twice).
     "analytics_retention" -> ((s, d) => {
       val userDays = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-      val cohorts = userDays.groupBy("user_id")
-        .agg(min(col("day")).as("cohort"))
-      userDays.join(cohorts, "user_id")
+      userDays
+        .withColumn("cohort",
+          min(col("day")).over(Window.partitionBy("user_id")))
         .groupBy("cohort")
         .agg(
           countDistinct(col("user_id")).as("n_users"),
