@@ -84,4 +84,29 @@ class PlanShapeSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final sketch aggregation:\n$plan")
   }
+
+  test("stage_merge_upsert: MERGE anti-join broadcasts the update keys") {
+    val plan = executedPlan("stage_merge_upsert")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join for the merge:\n$plan")
+  }
+
+  test("anomaly_zscore broadcasts the stats, never windows the raw scan") {
+    val plan = executedPlan("anomaly_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group stats not broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"whole-partition window over raw events is the wrong plan:\n$plan")
+  }
+
+  test("timeseries_weighted_avg reuses the window's partitioning for the agg") {
+    // toString includes AQE's "== Initial Plan ==" echo — count
+    // exchanges only in the final executed section
+    val plan = executedPlan("timeseries_weighted_avg")
+      .split("== Initial Plan ==")(0)
+    // exactly one hash exchange (the user_id window sort); the
+    // groupBy(user_id) aggregation must NOT add a second one
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"aggregation re-shuffled what the window already partitioned:\n$plan")
+  }
 }
