@@ -64,6 +64,19 @@ object ScaleSmoke {
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
           .limit(10).count()
       },
+      // MERGE upsert shape (stage_merge_upsert): update batch = 1% of
+      // rows → anti-join + union + fingerprint agg; the anti-join side
+      // must stay broadcast (batch ≪ base) so cost tracks the base scan
+      time(s"$tag/merge_upsert") {
+        val base = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        val upd = base.filter(col("l_orderkey") % 100 === 0)
+          .withColumn("l_extendedprice", col("l_extendedprice") + 1)
+        upd.unionByName(
+            base.join(upd.select("l_orderkey", "l_linenumber"),
+              Seq("l_orderkey", "l_linenumber"), "left_anti"))
+          .groupBy(col("l_orderkey") % 7).count().count()
+      },
       // interval join via the (key, time-cell) equi rewrite — the
       // join_interval_bucketed shape with lineitem's orderkey as the
       // entity and linenumber-scaled synthetic micro-times; candidate
