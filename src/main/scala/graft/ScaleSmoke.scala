@@ -97,6 +97,24 @@ object ScaleSmoke {
 
     val r1 = shapes("x1", li1)
     val rk = shapes(s"x$k", liK)
+
+    // TopOneToMinStruct rule: identical top-1-per-key query, with and
+    // without the rewrite (rule session shares the context but owns
+    // its optimizer extras)
+    val opt = spark.newSession()
+    opt.experimental.extraOptimizations = Seq(graft.plans.TopOneToMinStruct)
+    def top1(s: SparkSession): Long = {
+      val li = (1 to k).map(i =>
+        Tables.lineitem(s, sfDir).withColumn("rep", lit(i)))
+        .reduce(_ unionByName _)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("l_returnflag").count().count()
+    }
+    val rules = Seq(time(s"x$k/top1_window")(top1(spark)),
+      time(s"x$k/top1_rule_minstruct")(top1(opt)))
+    rules.foreach { case (l, s, n) => println(f"$l%-22s $s%7.2f s  ($n rows)") }
     (r1 ++ rk).foreach { case (l, s, n) => println(f"$l%-18s $s%7.2f s  ($n rows)") }
     println("-- ratio (xK / x1), linear target ≈ K on equal parallelism --")
     r1.zip(rk).foreach { case ((l1, s1, _), (_, sk, _)) =>

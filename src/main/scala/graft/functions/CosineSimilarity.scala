@@ -131,5 +131,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_bits"),
       new ExpressionInfo(classOf[StringHamming].getName, "hamming_bits"),
       GraftFunctions.hammingBitsBuilder))
+    // top-1-per-key windows → min(struct) aggregation (see
+    // graft.plans.TopOneToMinStruct for the safety gates)
+    ext.injectOptimizerRule(_ => graft.plans.TopOneToMinStruct)
   }
 }
