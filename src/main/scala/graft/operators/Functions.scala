@@ -58,6 +58,23 @@ object Functions {
           trim(col("p_name")).as("tm"))
         .orderBy("p_partkey")),
 
+    // Regex family (beyond fn_string's single extract/replace):
+    // extract-all to array, non-overlapping match count, boolean
+    // match. Patterns stay in the Java↔RE2 shared subset (character
+    // classes + quantifiers, no lookaround/backrefs).
+    "fn_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 37 === 0)
+        .select(
+          col("p_partkey"),
+          concat_ws(",",
+            regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .as("vruns"),
+          regexp_count(col("p_name"), lit("[aeiou]+")).as("nvruns"),
+          regexp_count(col("p_name"), lit(" ")).as("nsp"),
+          col("p_name").rlike("^[a-z]").as("starts_lower"))
+        .orderBy("p_partkey")),
+
     // Date/time family over orders: parts, trunc, diff, add_months,
     // last_day, epoch seconds. All date-valued outputs cast to
     // timestamp for cross-engine dtype stability.
@@ -209,6 +226,15 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+                array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',')
+                  AS vruns,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT)
+                  AS nvruns,
+                CAST(len(regexp_extract_all(p_name, ' ')) AS INT) AS nsp,
+                regexp_matches(p_name, '^[a-z]') AS starts_lower
+         FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
     "fn_string" ->
       """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up,
                 CAST(length(p_name) AS INTEGER) AS len,

@@ -108,6 +108,23 @@ object Joins {
         .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
         .orderBy("r_name", "o_orderstatus")),
 
+    // Null-safe equality join (<=>): null keys MATCH each other
+    // instead of vanishing — the semantics MERGE/dedup pipelines need
+    // when the business key is nullable. Nulls are derived
+    // deterministically (nationkey 13 → null on both sides). Catalyst
+    // plans <=> as a hash join (null-safe keys hash like values), so
+    // the shape is identical to a plain equi-join.
+    "join_null_safe" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(nullif(col("c_nationkey"), lit(13)).as("ck"))
+      val supp = Tables.supplier(s, d)
+        .select(nullif(col("s_nationkey"), lit(13)).as("sk"))
+      cust.join(supp, col("ck") <=> col("sk"))
+        .groupBy("ck")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("ck").asc_nulls_first)
+    }),
+
     // Pure non-equi (theta) join: parts against overlapping price
     // bands derived from region keys → BroadcastNestedLoopJoin with
     // the 5-row band table broadcast.
@@ -235,6 +252,12 @@ object Joins {
       """SELECT r_name, o_orderstatus
          FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
          ORDER BY r_name, o_orderstatus""",
+    "join_null_safe" ->
+      """WITH c AS (SELECT nullif(c_nationkey, 13) AS ck FROM customer),
+              s AS (SELECT nullif(s_nationkey, 13) AS sk FROM supplier)
+         SELECT ck, count(*) AS n_pairs
+         FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
+         GROUP BY ck ORDER BY ck NULLS FIRST""",
     "join_theta_range" ->
       """WITH bands AS (SELECT r_regionkey AS band_id,
                                r_regionkey * 20.0 + 900.0 AS lo,

@@ -127,6 +127,27 @@ object Lifecycle {
         .orderBy("col_name")
     }),
 
+    // Exact stratified sample: ceil(10%) of every o_orderstatus
+    // stratum, rows chosen deterministically (lowest keys first).
+    // One window pass per stratum — the count comes from a frame agg
+    // in the SAME window pass, not a join-back; sampling never
+    // changes stratum proportions no matter how skewed the strata.
+    "sample_stratified_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val wAll = Window.partitionBy("o_orderstatus")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_stratum", count(lit(1)).over(wAll))
+        .filter(col("rn") <= ceil(col("n_stratum") * 0.1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("n_stratum")).as("n_stratum"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("sampled_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Small-file compaction: stage the fixture as 32 shards, then
     // compact to ceil(bytes / 128 MiB) files (floor 1) with coalesce —
     // content fingerprint proves the rewrite is lossless;
@@ -214,6 +235,19 @@ object Lifecycle {
          SELECT 'c_name', count(*) - count(c_name),
                 count(DISTINCT c_name) FROM customer
          ORDER BY col_name""",
+    "sample_stratified_exact" ->
+      """WITH r AS (
+           SELECT o_orderstatus, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderstatus) AS n_stratum
+           FROM orders)
+         SELECT o_orderstatus, count(*) AS n_sampled,
+                max(n_stratum) AS n_stratum,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS sampled_total
+         FROM r WHERE rn <= ceil(n_stratum * 0.1)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_compaction" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -169,6 +169,20 @@ object Streaming {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // dropDuplicatesWithinWatermark (Spark 3.5+ API): dedup state is
+    // EVICTED once an id's first-seen timestamp ages past the
+    // watermark — bounded state even over unbounded id spaces, the
+    // practical contract for at-least-once sources whose retries
+    // cluster in time. (dropDuplicates keeps ids forever unless the
+    // event-time column is part of the key.)
+    "stream_dedup_within_watermark" -> ((s, d) =>
+      drain(eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id"), "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // Explicit per-key state: running per-user event counter via
     // mapGroupsWithState; final counter per sampled user.
     "stream_stateful_counter" -> ((s, d) => {
@@ -329,6 +343,12 @@ object Streaming {
          SELECT sess_len, count(*) AS n_sessions
          FROM sizes GROUP BY sess_len ORDER BY sess_len""",
     "stream_watermark_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // single AvailableNow batch → watermark still 0 during the batch,
+    // no state eviction → exact distinct (the API difference is the
+    // eviction contract, which only shows across micro-batches)
+    "stream_dedup_within_watermark" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_stateful_counter" ->
