@@ -34,8 +34,11 @@ object Lifecycle {
   type Q = (SparkSession, String) => DataFrame
 
   /** Spread the low 8 bits of `c` to even bit positions (morton
-    * encode step): 3 shift-or-mask rounds, all codegen'd. */
-  private def spread8(c: Column): Column = {
+    * encode step): 3 shift-or-mask rounds, all codegen'd. Input is
+    * masked to 8 bits first — wider values would otherwise leak high
+    * bits through the spread masks and collide silently. */
+  private def spread8(in: Column): Column = {
+    val c = in.bitwiseAND(lit(0xFFL))
     val s1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
     val s2 = s1.bitwiseOR(shiftleft(s1, 2)).bitwiseAND(lit(0x3333L))
     s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x5555L))
@@ -50,14 +53,16 @@ object Lifecycle {
     // update batch wins on matched keys (anti-join keeps only
     // unmatched base rows), unmatched update rows are inserts. The
     // batch is derived deterministically from the fixture (%10==0 →
-    // update, %10==3 re-keyed → insert) so DuckDB can rebuild it.
+    // update, %10==3 negated → insert: base keys are positive at
+    // every scale, so negative keys can never collide) so DuckDB can
+    // rebuild it.
     "stage_merge_upsert" -> ((s, d) => {
       val base = Tables.customer(s, d)
         .select("c_custkey", "c_nationkey", "c_acctbal")
       val upd = base.filter(col("c_custkey") % 10 === 0)
           .withColumn("c_acctbal", col("c_acctbal") + 100)
         .unionByName(base.filter(col("c_custkey") % 10 === 3)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          .select((-col("c_custkey")).as("c_custkey"),
             col("c_nationkey"), lit(7.77).as("c_acctbal")))
       val merged = upd.unionByName(
         base.join(upd.select("c_custkey"), Seq("c_custkey"), "left_anti"))
@@ -129,16 +134,18 @@ object Lifecycle {
 
     // Exact stratified sample: ceil(10%) of every o_orderstatus
     // stratum, rows chosen deterministically (lowest keys first).
-    // One window pass per stratum — the count comes from a frame agg
-    // in the SAME window pass, not a join-back; sampling never
-    // changes stratum proportions no matter how skewed the strata.
+    // Both window expressions share ONE spec (the count uses an
+    // unbounded frame over the same ordered spec), so they plan as a
+    // single Window operator — one shuffle, one sort, no join-back;
+    // sampling never changes stratum proportions however skewed the
+    // strata.
     "sample_stratified_exact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
-      val wAll = Window.partitionBy("o_orderstatus")
       Tables.orders(s, d)
         .withColumn("rn", row_number().over(w))
-        .withColumn("n_stratum", count(lit(1)).over(wAll))
+        .withColumn("n_stratum", count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .filter(col("rn") <= ceil(col("n_stratum") * 0.1))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_sampled"),
@@ -198,7 +205,7 @@ object Lifecycle {
                 SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
                 FROM base WHERE c_custkey % 10 = 0
                 UNION ALL
-                SELECT c_custkey + 10000000, c_nationkey, 7.77
+                SELECT -c_custkey, c_nationkey, 7.77
                 FROM base WHERE c_custkey % 10 = 3),
               merged AS (
                 SELECT * FROM upd
@@ -254,8 +261,9 @@ object Lifecycle {
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_zorder_curve" ->
-      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
-                           CAST(p_partkey % 256 AS BIGINT) AS y
+      """WITH b AS (SELECT p_partkey,
+                           CAST(p_size AS BIGINT) & 255 AS x,
+                           CAST(p_partkey % 256 AS BIGINT) & 255 AS y
                     FROM part),
               s1 AS (SELECT p_partkey,
                             ((x | (x << 4)) & 3855) AS a,

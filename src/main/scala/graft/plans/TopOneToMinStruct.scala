@@ -46,7 +46,16 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopOneToMinStruct extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Kill switch: set to "false" to disable the rewrite without
+    * uninstalling the extensions (and their scalar functions). */
+  val EnabledKey = "spark.graft.topOneToMinStruct.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    applyEnabled(plan)
+  }
+
+  private def applyEnabled(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
       rewrite(cond, w, identity).getOrElse(f)
     case f @ Filter(cond, Project(projList, w: Window))

@@ -31,11 +31,17 @@ import graft.Tables
 object Staging {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Resolved scratch path for a purpose — the single source of the
+    * layout (tests read it instead of re-spelling paths); does NOT
+    * create or clean anything. */
+  private[graft] def scratchPath(prefix: String): String =
+    java.nio.file.Paths.get("/tmp/graft_scratch", prefix).toString
+
   /** Fixed scratch path per purpose, pre-cleaned on reuse: repeated
     * Bench/Verify runs overwrite the same directories instead of
     * accumulating orphaned /tmp copies of the fixtures. */
   private[graft] def tmpDir(prefix: String): String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_scratch", prefix)
+    val p = java.nio.file.Paths.get(scratchPath(prefix))
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -29,8 +29,8 @@ class LifecycleSpec extends GraftSuite {
     def parquetFiles(p: String): Int =
       Files.list(Paths.get(p)).filter(_.toString.endsWith(".parquet"))
         .count().toInt
-    val nSrc = parquetFiles("/tmp/graft_scratch/compact_src")
-    val nOut = parquetFiles("/tmp/graft_scratch/compact_out")
+    val nSrc = parquetFiles(sources.Staging.scratchPath("compact_src"))
+    val nOut = parquetFiles(sources.Staging.scratchPath("compact_out"))
     assert(nSrc == 32, s"staged $nSrc shards")
     assert(nOut == 1, s"compacted to $nOut files (fixture << 128 MiB)")
   }

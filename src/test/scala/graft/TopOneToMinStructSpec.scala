@@ -68,6 +68,13 @@ class TopOneToMinStructSpec extends GraftSuite {
     assert(hasWindow(df), "empty partition spec must not be rewritten")
   }
 
+  test("kill switch disables the rewrite without uninstalling") {
+    opt.conf.set(TopOneToMinStruct.EnabledKey, "false")
+    try assert(hasWindow(top1(opt)), "disabled rule must leave the window")
+    finally opt.conf.unset(TopOneToMinStruct.EnabledKey)
+    assert(!hasWindow(top1(opt)), "re-enabled after unset")
+  }
+
   test("extra filter conjuncts survive the rewrite") {
     val w = Window.partitionBy("l_orderkey")
       .orderBy(col("l_extendedprice"), col("l_linenumber"))
