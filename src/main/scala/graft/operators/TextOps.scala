@@ -84,6 +84,29 @@ object TextOps {
         .limit(20)
     }),
 
+    // PII scrubbing — the compliance filter of a training-data
+    // pipeline: emails/phones regex-redacted in one codegen'd per-row
+    // pass (no shuffle). The fixture has no PII, so deterministic
+    // synthetic contact strings are appended first and the md5 of the
+    // scrubbed text proves exact byte equality of the redaction.
+    // Patterns stay in the Java↔RE2 shared subset.
+    "text_pii_scrub" -> ((s, d) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +001-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          md5(regexp_replace(
+            regexp_replace(col("dirty"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("scrubbed_md5"),
+          regexp_count(col("dirty"), lit(email)).as("n_emails"),
+          regexp_count(col("dirty"), lit(phone)).as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // Table-generating function: one row per token with its position
     // (posexplode); the oracle zips parallel unnests (DuckDB 1.0 has
     // no WITH ORDINALITY — SURVEY §5.4.5).
@@ -96,6 +119,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com or +001-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+              FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(regexp_replace(dirty,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'))
+                  AS scrubbed_md5,
+                CAST(len(regexp_extract_all(dirty,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(dirty,
+                  '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones
+         FROM d ORDER BY doc_id""",
     "text_tokenize_wordcount" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
                       FROM documents),

@@ -23,6 +23,26 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Value window functions with IGNORE NULLS over a whole-partition
+    // frame: first/last/second non-null value per user's event
+    // sequence (nulls derived deterministically: value < 50 → null).
+    // All three share one window spec → a single Window operator; the
+    // per-partition constants collapse via distinct. Raw values pass
+    // through untouched — bit-exact parity, no rounding needed.
+    "window_value_functions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("value") < 50, lit(null)).otherwise(col("value")).as("v"))
+        .select(col("user_id"),
+          first(col("v"), ignoreNulls = true).over(w).as("first_v"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_v"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(w).as("second_v"))
+        .distinct()
+        .orderBy("user_id")
+    }),
     // Top-3 orders per customer by price (row_number/rank/dense_rank),
     // fingerprinted by rank position so the output is 3 rows at any SF.
     "window_rank_topk_per_group" -> ((s, d) => {
@@ -143,6 +163,19 @@ object Windows {
       .orderBy("user_id", "event_id")
 
   val oracles: Map[String, String] = Map(
+    "window_value_functions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           CASE WHEN value < 50 THEN NULL ELSE value END AS v
+                    FROM events)
+         SELECT DISTINCT user_id,
+                first_value(v IGNORE NULLS) OVER w AS first_v,
+                last_value(v IGNORE NULLS) OVER w AS last_v,
+                nth_value(v, 2 IGNORE NULLS) OVER w AS second_v
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id""",
     "window_percentile_frame" ->
       """WITH w AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
                            round(quantile_cont(o_totalprice, 0.5)
