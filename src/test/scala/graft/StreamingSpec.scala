@@ -72,4 +72,39 @@ class StreamingSpec extends GraftSuite {
           .as("total"))
     assert(staged.except(batch).isEmpty && batch.except(staged).isEmpty)
   }
+
+  test("dropDuplicatesWithinWatermark evicts state past the horizon; " +
+      "dropDuplicates never does") {
+    // batch 1: id=1 @ t0 and id=2 @ t0+3h → watermark after the batch
+    // is t0+2h, past id=1's 1h retention → its dedup state is evicted.
+    // batch 2: id=1 again @ t0+2.5h (on-time). WithinWatermark lets
+    // the reappearance THROUGH (state gone); plain dropDuplicates
+    // still remembers id=1 forever and drops it.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(minutes: Long) =
+      new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 UTC
+    def run(within: Boolean): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[(Long, Timestamp)]
+      val base = in.toDF.toDF("event_id", "ts").withWatermark("ts", "1 hour")
+      val deduped = if (within) base.dropDuplicatesWithinWatermark("event_id")
+        else base.dropDuplicates("event_id")
+      val name = s"wm_evict_$within"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData((1L, ts(0)), (2L, ts(180)))
+        q.processAllAvailable()
+        in.addData((1L, ts(150)))
+        q.processAllAvailable()
+        spark.table(name).count()
+      } finally q.stop()
+    }
+    assert(run(within = true) == 3L,
+      "evicted id must be re-emitted by dropDuplicatesWithinWatermark")
+    assert(run(within = false) == 2L,
+      "dropDuplicates keeps id state forever")
+  }
 }
