@@ -82,6 +82,22 @@ object Staging {
       s.read.schema(schema).json(out).orderBy("c_custkey")
     }),
 
+    // Raw text-lines ingest (spark.read.text — the log/corpus path):
+    // one column per line, schema-free by construction. Round-trips
+    // the documents corpus through the engine's own text sink and
+    // fingerprints per line-length bucket. At 100 TB text splits by
+    // line boundaries exactly like CSV — fully parallel scan.
+    "scan_text_lines" -> ((s, d) => {
+      val out = tmpDir("graft_text_")
+      Tables.documents(s, d).select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .groupBy((length(col("value")) % 10).as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("total_chars"))
+        .orderBy("len_bucket")
+    }),
+
     // The staging write: partition by a date-derived column, write
     // parquet, read back through partition discovery.
     "sink_parquet_partitioned" -> ((s, d) => {
@@ -250,6 +266,10 @@ object Staging {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_text_lines" ->
+      """SELECT length(text) % 10 AS len_bucket, count(*) AS n,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY len_bucket ORDER BY len_bucket""",
     "scan_csv_schema" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_schema" ->
