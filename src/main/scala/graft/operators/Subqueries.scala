@@ -47,6 +47,38 @@ object Subqueries {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // Correlated LATERAL join (SQL-surface lateral subquery): a
+    // per-order aggregate computed in the FROM clause. Catalyst
+    // decorrelates it to an outer join against a grouped aggregate —
+    // never a per-row re-execution, so it scales like a join.
+    "subquery_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_orderstatus, l.max_price, l.n_lines
+          |FROM graft_orders_v o,
+          |LATERAL (SELECT max(l_extendedprice) AS max_price,
+          |                count(*) AS n_lines
+          |         FROM graft_lineitem_v
+          |         WHERE l_orderkey = o.o_orderkey) l
+          |WHERE o.o_orderkey % 500 = 0
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // Error-safe (TRY) arithmetic: division by a zero-able divisor,
+    // integer div, and try_cast of non-numeric strings all yield NULL
+    // instead of failing the job — the semantics a staging pipeline
+    // needs for dirty numeric columns.
+    "fn_try_arith" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - 17)").as("td"),
+          expr("try_divide(CAST(l_quantity AS BIGINT), l_linenumber - 1)")
+            .as("idiv"),
+          expr("try_cast(l_returnflag AS INT)").as("tc"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Wide reshape: order counts by status × a fixed priority list.
     "pivot_wide" -> ((s, d) =>
       Tables.orders(s, d)
@@ -62,6 +94,22 @@ object Subqueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "subquery_lateral" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.max_price, l.n_lines
+         FROM orders o,
+         LATERAL (SELECT max(l_extendedprice) AS max_price,
+                         count(*) AS n_lines
+                  FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey) l
+         WHERE o.o_orderkey % 500 = 0
+         ORDER BY o.o_orderkey""",
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice / (l_quantity - 17) AS td,
+                CAST(l_quantity AS BIGINT) / (l_linenumber - 1) AS idiv,
+                try_cast(l_returnflag AS INT) AS tc
+         FROM lineitem WHERE l_orderkey % 997 = 0
+         ORDER BY l_orderkey, l_linenumber""",
     "subquery_scalar_agg" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
