@@ -108,6 +108,19 @@ object Aggregates {
         .orderBy("o_orderstatus")),
 
     // Sample stddev/variance, correlation, covariance.
+    // Boolean aggregates: conditional count + universal/existential
+    // quantifiers per group — one partial+final hash-aggregate pass
+    // (each branch is a tiny codegen'd predicate, never a self-join).
+    "agg_boolean" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 100000)").as("n_big"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_huge"),
+          expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
+        .orderBy("o_orderstatus")),
+
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -212,6 +225,13 @@ object Aggregates {
                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                 round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                 count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_boolean" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (o_totalprice > 100000) AS n_big,
+                bool_and(o_totalprice > 1000) AS all_over_1k,
+                bool_or(o_totalprice > 400000) AS any_huge,
+                count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_stats" ->
       """SELECT l_returnflag,
