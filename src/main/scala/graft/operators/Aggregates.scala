@@ -108,6 +108,21 @@ object Aggregates {
         .orderBy("o_orderstatus")),
 
     // Sample stddev/variance, correlation, covariance.
+    // Linear-regression aggregates (slope/intercept/R²): the
+    // one-pass moment-based fit — never a per-group model loop. Same
+    // rounding discipline as corr/covar (agg_stats).
+    "agg_regression" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+            .as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+            .as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")),
+
     // Boolean aggregates: conditional count + universal/existential
     // quantifiers per group — one partial+final hash-aggregate pass
     // (each branch is a tiny codegen'd predicate, never a self-join).
@@ -226,6 +241,14 @@ object Aggregates {
                 round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_regression" ->
+      """SELECT l_returnflag,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4)
+                  AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+                regr_count(l_extendedprice, l_quantity) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_boolean" ->
       """SELECT o_orderstatus,
                 count(*) FILTER (o_totalprice > 100000) AS n_big,

@@ -106,6 +106,26 @@ object Analytics2 {
         .orderBy("cohort")
     }),
 
+    // Gaps-and-islands: runs of CONSECUTIVE active days per user via
+    // the classic day − row_number() group key — consecutive days
+    // share a constant anchor date, so islands fall out of one
+    // groupBy. One window sort on (user, day), then hash aggregates;
+    // output is the island-length histogram.
+    "window_gaps_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("len")
+        .agg(count(lit(1)).as("n_islands"))
+        .orderBy("len")
+    }),
+
     // Z-score anomaly detection: per-type mean/stddev computed once
     // (5-row stats table) and BROADCAST back — never a whole-partition
     // window sort over the raw events. Classification is drift-safe:
@@ -244,6 +264,18 @@ object Analytics2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_gaps_islands" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              r AS (SELECT user_id, day,
+                           day - CAST(row_number() OVER (
+                             PARTITION BY user_id ORDER BY day) AS INT)
+                             AS grp
+                    FROM ud),
+              isl AS (SELECT user_id, grp, count(*) AS len
+                      FROM r GROUP BY user_id, grp)
+         SELECT len, count(*) AS n_islands
+         FROM isl GROUP BY len ORDER BY len""",
     "anomaly_zscore" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
                             stddev_samp(value) AS sd
