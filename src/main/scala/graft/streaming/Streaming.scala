@@ -248,6 +248,39 @@ object Streaming {
         .orderBy("bucket")
     }),
 
+    // Stream-stream LEFT OUTER join: unmatched purchases emit with a
+    // null view once the watermark closes their join window. Outer
+    // emission timing is watermark-dependent, so the declared result
+    // keeps only provably-closed unmatched rows (p_ts ≤ max − 2 h − 1 s:
+    // final watermark is max − 1 h, and a purchase's window closes one
+    // more hour later) — deterministic on both engines; matched rows
+    // emit immediately and are all kept.
+    "stream_stream_left_outer" -> ((s, d) => {
+      val cutoff = graft.Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+        (2L * 3600 + 1) * 1000000L
+      val views = eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      drain(joined, "append")
+        .filter(col("v_ts").isNotNull ||
+          unix_micros(col("p_ts")) <= cutoff)
+        .groupBy((col("p_user") % 8).as("bucket"))
+        .agg(count(col("v_ts")).as("n_matched"),
+          count(when(col("v_ts").isNull, 1)).as("n_unmatched"))
+        .orderBy("bucket")
+    }),
+
     // TRUE incremental processing: the source is split into multiple
     // files and maxFilesPerTrigger=1 forces AvailableNow to run one
     // micro-batch PER FILE — each batch independently deduped and
@@ -373,6 +406,23 @@ object Streaming {
           AND p.event_type = 'purchase' AND v.event_type = 'view'
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
          GROUP BY bucket ORDER BY bucket""",
+    "stream_stream_left_outer" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+              p AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view'),
+              j AS (SELECT p.user_id AS pu, p.ts AS pts, v.ts AS vts
+                    FROM p LEFT JOIN v ON p.user_id = v.user_id
+                     AND v.ts <= p.ts
+                     AND v.ts >= p.ts - INTERVAL 1 HOUR)
+         SELECT pu % 8 AS bucket,
+                count(vts) AS n_matched,
+                count(*) FILTER (vts IS NULL) AS n_unmatched
+         FROM j, m
+         WHERE vts IS NOT NULL
+            OR pts <= mx - INTERVAL 2 HOUR - INTERVAL 1 SECOND
+         GROUP BY pu % 8 ORDER BY bucket""",
     "stream_multi_microbatch_stage" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
