@@ -99,6 +99,33 @@ object DedupAdvanced {
   }
 
   val queries: Map[String, Q] = Map(
+    // URL canonicalization dedup — the web-corpus curation step:
+    // lowercase scheme+host (path case preserved), strip tracking
+    // params (utm_*/ref), drop trailing "/?" — then dedup on the
+    // canonical form. URLs are synthesized deterministically from
+    // doc_id (host %7 × path %50 → real collisions); the whole
+    // canonicalizer is codegen'd string ops, no UDF, no shuffle
+    // before the final dedup aggregate.
+    "dedup_url_canonical" -> ((s, d) => {
+      val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
+        lit(".COM/Path"), col("doc_id") % 50,
+        lit("/?utm_source=feed&ref="), col("doc_id"))
+      val p1 = expr("split_part(url, '/', 1)")
+      val p3 = expr("split_part(url, '/', 3)")
+      Tables.documents(s, d)
+        .withColumn("url", url)
+        .withColumn("canon",
+          regexp_replace(regexp_replace(
+            concat(lower(p1), lit("//"), lower(p3),
+              substring(col("url"),
+                (length(p1) + length(p3) + lit(3)).cast("int"),
+                lit(100000))),
+            lit("[?&](utm_[a-z]+|ref)=[^&]*"), lit("")),
+            lit("[/?]+$"), lit("")))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+        .orderBy("canon")
+    }),
     // shingle → 8-seed MinHash → 8 single-hash bands → bucket join →
     // Jaccard verify on candidates only.
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -181,6 +208,23 @@ object DedupAdvanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+                'https://WWW.Example' || (doc_id % 7) || '.COM/Path'
+                  || (doc_id % 50) || '/?utm_source=feed&ref=' || doc_id
+                  AS url
+              FROM documents),
+              c AS (SELECT doc_id,
+                regexp_replace(regexp_replace(
+                  lower(split_part(url, '/', 1)) || '//'
+                    || lower(split_part(url, '/', 3))
+                    || substr(url, length(split_part(url, '/', 1))
+                              + length(split_part(url, '/', 3)) + 3),
+                  '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+                  '[/?]+$', '') AS canon
+              FROM u)
+         SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_doc
+         FROM c GROUP BY canon ORDER BY canon""",
     "dedup_minhash_lsh" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 5 = 0),
