@@ -82,6 +82,21 @@ object Staging {
       s.read.schema(schema).json(out).orderBy("c_custkey")
     }),
 
+    // ORC round-trip — the other columnar lake format (predicate
+    // pushdown + column pruning work the same as parquet): stage the
+    // supplier dim as ORC through the engine's own sink, read back,
+    // fingerprint. Types survive exactly (no text re-parse).
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_orc_")
+      Tables.supplier(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("s_nationkey")
+    }),
+
     // Raw text-lines ingest (spark.read.text — the log/corpus path):
     // one column per line, schema-free by construction. Round-trips
     // the documents corpus through the engine's own text sink and
@@ -266,6 +281,11 @@ object Staging {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "scan_text_lines" ->
       """SELECT length(text) % 10 AS len_bucket, count(*) AS n,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
