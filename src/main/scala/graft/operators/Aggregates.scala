@@ -108,6 +108,18 @@ object Aggregates {
         .orderBy("o_orderstatus")),
 
     // Sample stddev/variance, correlation, covariance.
+    // Ordered string aggregation (listagg/string_agg): the WITHIN
+    // GROUP ordering makes the concatenation deterministic — without
+    // it, listagg output depends on partition arrival order.
+    "agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")),
+
     // Linear-regression aggregates (slope/intercept/R²): the
     // one-pass moment-based fit — never a per-group model loop. Same
     // rounding discipline as corr/covar (agg_stats).
@@ -241,6 +253,11 @@ object Aggregates {
                 round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS names,
+                count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "agg_regression" ->
       """SELECT l_returnflag,
                 round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

@@ -107,6 +107,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Null-preserving generator (explode_outer): rows whose array is
+    // EMPTY survive with a null element — the semantics a curation
+    // pipeline needs when "no tokens extracted" must not silently
+    // drop the document. The oracle emulates it by substituting
+    // [NULL] for empty lists before unnest.
+    "udtf_explode_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 199 === 0)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) > 9)").as("longw"))
+        .select(col("doc_id"), explode_outer(col("longw")).as("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("word")).as("n_words"))
+        .orderBy("doc_id")),
+
     // Table-generating function: one row per token with its position
     // (posexplode); the oracle zips parallel unnests (DuckDB 1.0 has
     // no WITH ORDINALITY — SURVEY §5.4.5).
@@ -119,6 +135,17 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "udtf_explode_outer" ->
+      """WITH a AS (SELECT doc_id,
+                list_filter(string_split(text, ' '),
+                            w -> length(w) > 9) AS longw
+              FROM documents WHERE doc_id % 199 = 0),
+              x AS (SELECT doc_id,
+                unnest(CASE WHEN len(longw) = 0 THEN [NULL]
+                            ELSE longw END) AS word
+              FROM a)
+         SELECT doc_id, count(*) AS n_rows, count(word) AS n_words
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
     "text_pii_scrub" ->
       """WITH d AS (SELECT doc_id,
                 text || ' contact user' || doc_id || '@example.com or +001-555-'
