@@ -107,7 +107,6 @@ object Aggregates {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
-    // Sample stddev/variance, correlation, covariance.
     // Ordered string aggregation (listagg/string_agg): the WITHIN
     // GROUP ordering makes the concatenation deterministic — without
     // it, listagg output depends on partition arrival order.
@@ -148,6 +147,7 @@ object Aggregates {
           expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
         .orderBy("o_orderstatus")),
 
+    // Sample stddev/variance, correlation, covariance.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")

@@ -116,7 +116,7 @@ object TextOps {
       Tables.documents(s, d)
         .filter(col("doc_id") % 199 === 0)
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), w -> length(w) > 9)").as("longw"))
+          expr("filter(split(text, ' '), w -> length(w) > 6)").as("longw"))
         .select(col("doc_id"), explode_outer(col("longw")).as("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_rows"),
@@ -138,7 +138,7 @@ object TextOps {
     "udtf_explode_outer" ->
       """WITH a AS (SELECT doc_id,
                 list_filter(string_split(text, ' '),
-                            w -> length(w) > 9) AS longw
+                            w -> length(w) > 6) AS longw
               FROM documents WHERE doc_id % 199 = 0),
               x AS (SELECT doc_id,
                 unnest(CASE WHEN len(longw) = 0 THEN [NULL]

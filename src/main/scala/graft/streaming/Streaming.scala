@@ -74,6 +74,25 @@ object Streaming {
       sdf.sparkSession.table(name)
     }
 
+  /** Watermarked (views, purchases) stream pair + the shared 1-hour
+    * attribution-join condition — single source for both stream-stream
+    * join keys so the window/watermark can never silently diverge. */
+  private def attributionStreams(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val cond = col("p_user") === col("v_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+    (views, purchases, cond)
+  }
+
   /** Per-user state carried by the transformWithState processor. */
   case class UserStats(n: Long, lastUs: Long)
 
@@ -228,19 +247,8 @@ object Streaming {
     // of the reference's event pipeline; state is per-user and
     // time-bounded, so it holds at any corpus size.
     "stream_stream_join" -> ((s, d) => {
-      val views = eventsStream(s, d)
-        .filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "1 hour")
-      val purchases = eventsStream(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = purchases.join(views,
-        col("p_user") === col("v_user") &&
-        col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      drain(joined, "append")
+      val (views, purchases, cond) = attributionStreams(s, d)
+      drain(purchases.join(views, cond), "append")
         .groupBy((col("p_user") % 8).as("bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
@@ -259,20 +267,8 @@ object Streaming {
       val cutoff = graft.Tables.events(s, d)
         .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
         (2L * 3600 + 1) * 1000000L
-      val views = eventsStream(s, d)
-        .filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "1 hour")
-      val purchases = eventsStream(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = purchases.join(views,
-        col("p_user") === col("v_user") &&
-        col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      drain(joined, "append")
+      val (views, purchases, cond) = attributionStreams(s, d)
+      drain(purchases.join(views, cond, "left_outer"), "append")
         .filter(col("v_ts").isNotNull ||
           unix_micros(col("p_ts")) <= cutoff)
         .groupBy((col("p_user") % 8).as("bucket"))
