@@ -147,6 +147,26 @@ object Aggregates {
           expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
         .orderBy("o_orderstatus")),
 
+    // Higher-moment statistics. Spark's skewness/kurtosis are the
+    // BIASED population estimators (g1, g2); DuckDB's are the
+    // sample-corrected ones (G1, G2). The closed-form corrections
+    //   G1 = g1·√(n(n−1))/(n−2)
+    //   G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6)
+    // bridge them exactly, so the oracle can use DuckDB's natives.
+    "agg_skew_kurtosis" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(skewness(col("l_quantity")).as("g1"),
+          kurtosis(col("l_quantity")).as("g2"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("g1") * sqrt(col("n") * (col("n") - 1)) / (col("n") - 2), 4)
+            .as("skew"),
+          round((col("n") - 1) / ((col("n") - 2) * (col("n") - 3)) *
+            ((col("n") + 1) * col("g2") + 6), 4).as("kurt"),
+          col("n"))
+        .orderBy("l_returnflag")),
+
     // Sample stddev/variance, correlation, covariance.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -253,6 +273,12 @@ object Aggregates {
                 round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_skew_kurtosis" ->
+      """SELECT l_returnflag,
+                round(skewness(l_quantity), 4) AS skew,
+                round(kurtosis(l_quantity), 4) AS kurt,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_listagg" ->
       """SELECT n_regionkey,
                 string_agg(n_name, ',' ORDER BY n_name) AS names,
