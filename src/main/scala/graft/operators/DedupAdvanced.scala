@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -98,30 +98,41 @@ object DedupAdvanced {
           (col("xn") + col("yn") - coalesce(col("ni"), lit(0)))).as("jac"))
   }
 
+  /** URL canonicalizer, all codegen'd string ops: lowercase
+    * scheme+host (path case preserved), strip tracking params
+    * (utm_ prefixes and ref) — repairing a "?&" left when a tracking
+    * param preceded a kept one — and trim trailing "/" / "?". The
+    * column must be named `url` (split_part refs). Unit cases incl.
+    * the mixed-params repair live in DedupAdvancedSpec. */
+  private[graft] def canonicalizeUrl(url: Column): Column = {
+    val p1 = expr("split_part(url, '/', 1)")
+    val p3 = expr("split_part(url, '/', 3)")
+    val lowered = concat(lower(p1), lit("//"), lower(p3),
+      substring(url,
+        (length(p1) + length(p3) + lit(3)).cast("int"), lit(100000)))
+    // order matters: (1) drop '&'-prefixed tracking params, (2) a
+    // leading tracking param followed by a kept one collapses to '?',
+    // (3) a lone leading tracking param disappears, (4) trim tail
+    val s1 = regexp_replace(lowered, lit("&(utm_[a-z]+|ref)=[^&]*"), lit(""))
+    val s2 = regexp_replace(s1,
+      lit("\\?(utm_[a-z]+|ref)=[^&]*&"), lit("?"))
+    val s3 = regexp_replace(s2,
+      lit("\\?(utm_[a-z]+|ref)=[^&]*$"), lit(""))
+    regexp_replace(s3, lit("[/?]+$"), lit(""))
+  }
+
   val queries: Map[String, Q] = Map(
-    // URL canonicalization dedup — the web-corpus curation step:
-    // lowercase scheme+host (path case preserved), strip tracking
-    // params (utm_*/ref), drop trailing "/?" — then dedup on the
-    // canonical form. URLs are synthesized deterministically from
-    // doc_id (host %7 × path %50 → real collisions); the whole
-    // canonicalizer is codegen'd string ops, no UDF, no shuffle
-    // before the final dedup aggregate.
+    // URL canonicalization dedup — the web-corpus curation step;
+    // canonicalizer above, then dedup on the canonical form. URLs are
+    // synthesized deterministically from doc_id (host %7 × path %50 →
+    // real collisions); no UDF, no shuffle before the dedup aggregate.
     "dedup_url_canonical" -> ((s, d) => {
       val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
         lit(".COM/Path"), col("doc_id") % 50,
         lit("/?utm_source=feed&ref="), col("doc_id"))
-      val p1 = expr("split_part(url, '/', 1)")
-      val p3 = expr("split_part(url, '/', 3)")
       Tables.documents(s, d)
         .withColumn("url", url)
-        .withColumn("canon",
-          regexp_replace(regexp_replace(
-            concat(lower(p1), lit("//"), lower(p3),
-              substring(col("url"),
-                (length(p1) + length(p3) + lit(3)).cast("int"),
-                lit(100000))),
-            lit("[?&](utm_[a-z]+|ref)=[^&]*"), lit("")),
-            lit("[/?]+$"), lit("")))
+        .withColumn("canon", canonicalizeUrl(col("url")))
         .groupBy("canon")
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
         .orderBy("canon")
@@ -215,12 +226,14 @@ object DedupAdvanced {
                   AS url
               FROM documents),
               c AS (SELECT doc_id,
-                regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                   lower(split_part(url, '/', 1)) || '//'
                     || lower(split_part(url, '/', 3))
                     || substr(url, length(split_part(url, '/', 1))
                               + length(split_part(url, '/', 3)) + 3),
-                  '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+                  '&(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+                  '\?(utm_[a-z]+|ref)=[^&]*&', '?'),
+                  '\?(utm_[a-z]+|ref)=[^&]*$', ''),
                   '[/?]+$', '') AS canon
               FROM u)
          SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_doc

@@ -36,4 +36,26 @@ class DedupAdvancedSpec extends GraftSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("canonicalizeUrl: host case, tracking params, mixed-param repair, trailing junk") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // host lowered, path case kept, trailing slash trimmed
+      ("https://WWW.Ex.COM/KeepCase/", "https://www.ex.com/KeepCase"),
+      // tracking-only query stripped entirely
+      ("https://a.com/p?utm_source=x&ref=1", "https://a.com/p"),
+      // tracking param FIRST, kept param after → '?&' repaired to '?'
+      ("https://a.com/p?utm_c=x&id=2", "https://a.com/p?id=2"),
+      // kept param first, tracking after → clean strip
+      ("https://A.com/p?id=2&utm_c=x", "https://a.com/p?id=2"),
+      // nothing to do
+      ("https://a.com/p?id=3", "https://a.com/p?id=3"))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("url")
+      .withColumn("canon", DedupAdvanced.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(1))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
 }
