@@ -82,6 +82,31 @@ object Staging {
       s.read.schema(schema).json(out).orderBy("c_custkey")
     }),
 
+    // Idempotent partition re-staging (dynamic partition overwrite):
+    // an at-least-once source re-delivers one day's batch; in dynamic
+    // mode the rewrite replaces ONLY that day's partition, so the
+    // fingerprint equals a single clean run. (Static mode would drop
+    // every other partition — the oracle would catch it.) This is the
+    // reference's S3-event redelivery semantic.
+    "stage_idempotent_rewrite" -> ((s, d) => {
+      val out = tmpDir("idempotent_stage")
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key, "STATIC")
+      s.conf.set(key, "dynamic")
+      try {
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        val day0 = ev.select(min(col("day"))).collect()(0).getDate(0)
+        ev.filter(col("day") === lit(day0)) // the re-delivered batch
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      } finally s.conf.set(key, prev)
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     // ORC round-trip — the other columnar lake format (predicate
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
@@ -281,6 +306,11 @@ object Staging {
   )
 
   val oracles: Map[String, String] = Map(
+    "stage_idempotent_rewrite" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "scan_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
                 round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
