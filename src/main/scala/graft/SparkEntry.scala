@@ -31,6 +31,7 @@ object SparkEntry {
     (operators.Analytics2.queries, operators.Analytics2.oracles),
     (operators.Clustering.queries, operators.Clustering.oracles),
     (operators.Lifecycle.queries, operators.Lifecycle.oracles),
+    (operators.CurationOps.queries, operators.CurationOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

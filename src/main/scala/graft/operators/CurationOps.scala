@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a production LLM-training-data pipeline
+  * runs between raw ingest and tokenization: benchmark-contamination
+  * detection, repetition-based quality filtering (the Gopher-rules
+  * shape), chunk-level duplicate analysis, and hard-negative mining
+  * over the embedding table. All four are deterministic and
+  * DuckDB-oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *   - `text_contamination_ngram`: the eval-set shingle table is
+  *     benchmark-sized (thousands of docs, not corpus-sized) → it is
+  *     the broadcast side; the corpus streams through one scan, and
+  *     the semi-join-shaped match never shuffles the corpus shingles.
+  *   - `text_repetition_filter`: two single-pass per-doc aggregations
+  *     (token counts, bigram counts) shuffled on doc_id only — no
+  *     cross-doc state, embarrassingly partition-parallel.
+  *   - `text_dedup_paragraph`: chunk hashes are the shuffle key; a
+  *     shared chunk is found wherever its two copies live, regardless
+  *     of partitioning (content-addressed, like dedup_content_hash but
+  *     at sub-document granularity — the C4/RefinedWeb paragraph-dedup
+  *     step).
+  *   - `sim_hard_negatives`: query side is a small broadcast (a
+  *     training batch), corpus side streams; per-query top-k is a
+  *     bounded window — linear in corpus size, never all-pairs.
+  */
+object CurationOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** floor-scale to 4 decimals (§5.4.2: round() diverges cross-engine
+    * on .xxxx5 shortest-repr boundaries; floor on identical bits
+    * cannot). */
+  private def trunc4(c: Column): Column =
+    floor(c * 10000).cast("double") / 10000.0
+
+  /** 5-token shingles of a pre-split token array column `t` (requires
+    * size >= 5 — callers filter; sequence() would run DESCENDING on a
+    * negative span). */
+  private val shingle5 =
+    """transform(sequence(1, size(t) - 4), k -> concat_ws(' ',
+         element_at(t, k), element_at(t, k+1), element_at(t, k+2),
+         element_at(t, k+3), element_at(t, k+4)))"""
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark-contamination check: which training docs share a
+    // 5-gram with the held-out eval slice (doc_id % 97 = 0 stands in
+    // for the benchmark)? 5-grams make membership near-exact on this
+    // fixture (3-grams flag 94% of the corpus — vocabulary collisions,
+    // not contamination). Output: per-lang train size + contaminated
+    // count, zero-filled so every lang is visible.
+    "text_contamination_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      val sh = docs.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), col("lang"), explode(expr(shingle5)).as("g"))
+      val evalSet = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      val contam = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "g")
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("nc"))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_train"))
+        .join(contam, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("nc"), lit(0L)).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
+    // Repetition-based quality filter (the Gopher-rules shape): a doc
+    // is dropped when its duplicate-bigram fraction exceeds 0.05 OR
+    // its most-frequent token exceeds 12% of all tokens. Both
+    // fractions are ratios of exact integer counts — bit-identical
+    // doubles in both engines, so the threshold comparison is
+    // deterministic. Output: per-lang doc/kept counts + fraction
+    // extremes (floor-scaled).
+    "text_repetition_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      val topTok = docs.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("topf"))
+      val bigrams = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1), k -> concat_ws(' ', element_at(t, k), element_at(t, k+1)))"
+        )).as("b"))
+      val dupf = bigrams.groupBy("doc_id", "lang")
+        .agg((lit(1.0) - countDistinct(col("b")).cast("double") / count(lit(1)))
+          .as("dupf"))
+      dupf.join(topTok, "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("dupf") <= 0.05 && col("topf") <= 0.12, 1)).as("n_kept"),
+          trunc4(avg(col("dupf"))).as("avg_dupfrac"),
+          trunc4(max(col("topf"))).as("max_topfrac"))
+        .orderBy("lang")
+    }),
+
+    // Sub-document (paragraph-level) duplicate analysis: docs are cut
+    // into consecutive 20-token chunks, chunks are content-hashed, and
+    // a chunk seen in >1 distinct doc is "shared" — the C4-style
+    // paragraph-dedup primitive (the fixture's near-dup docs produce
+    // real shared chunks: 47 at sf0.01, 495 at sf0.1). Output: per
+    // lang, chunk totals + docs carrying at least one shared chunk.
+    "text_dedup_paragraph" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 20)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(0, size(t) div 20 - 1),
+               k -> md5(concat_ws(' ', slice(t, k * 20 + 1, 20))))"""
+        )).as("h"))
+      val shared = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .select("h")
+      chunks.join(shared, Seq("h"), "left_semi")
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs_shared"),
+          count(lit(1)).as("n_shared_occurrences"))
+        .join(chunks.groupBy("lang").agg(count(lit(1)).as("n_chunks")), Seq("lang"), "right")
+        .select(col("lang"), col("n_chunks"),
+          coalesce(col("n_docs_shared"), lit(0L)).as("n_docs_shared"),
+          coalesce(col("n_shared_occurrences"), lit(0L)).as("n_shared_occurrences"))
+        .orderBy("lang")
+    }),
+
+    // Hard-negative mining: for each query vector, the top-3 most
+    // cosine-similar vectors with a DIFFERENT label — the contrastive-
+    // training sampling step. Same kernel + ranking determinism as
+    // sim_cosine_topk (native codegen'd cosine, round(cos,4) + vec_id
+    // tiebreak).
+    "sim_hard_negatives" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("qlabel"), col("rank"), col("vec_id"),
+          col("label"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_contamination_ngram" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT doc_id, lang,
+                            unnest(list_transform(range(1, len(t) - 3),
+                              k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]
+                                   || ' ' || t[k+3] || ' ' || t[k+4])) AS g
+                     FROM tok WHERE len(t) >= 5),
+              ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+              co AS (SELECT lang, count(DISTINCT doc_id) AS nc
+                     FROM sh WHERE doc_id % 97 <> 0
+                       AND g IN (SELECT g FROM ev)
+                     GROUP BY lang),
+              tr AS (SELECT lang, count(*) AS n_train
+                     FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang)
+         SELECT tr.lang, tr.n_train, coalesce(co.nc, 0) AS n_contaminated
+         FROM tr LEFT JOIN co ON tr.lang = co.lang
+         ORDER BY tr.lang""",
+    "text_repetition_filter" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                      FROM documents),
+              topw AS (SELECT doc_id,
+                              CAST(max(c) AS DOUBLE) / sum(c) AS topf
+                       FROM (SELECT doc_id, w, count(*) AS c
+                             FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+                             GROUP BY doc_id, w)
+                       GROUP BY doc_id),
+              bg AS (SELECT doc_id, lang,
+                            unnest(list_transform(range(1, len(t)),
+                              k -> t[k] || ' ' || t[k+1])) AS b
+                     FROM tok WHERE len(t) >= 2),
+              df AS (SELECT doc_id, lang,
+                            1.0 - CAST(count(DISTINCT b) AS DOUBLE) / count(*)
+                              AS dupf
+                     FROM bg GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_docs,
+                count(CASE WHEN dupf <= 0.05 AND topf <= 0.12 THEN 1 END)
+                  AS n_kept,
+                floor(avg(dupf) * 10000) / 10000 AS avg_dupfrac,
+                floor(max(topf) * 10000) / 10000 AS max_topfrac
+         FROM df JOIN topw USING (doc_id)
+         GROUP BY lang ORDER BY lang""",
+    "text_dedup_paragraph" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                      FROM documents WHERE len(string_split(text, ' ')) >= 20),
+              ch AS (SELECT doc_id, lang,
+                            md5(array_to_string(t[(k*20+1):(k*20+20)], ' ')) AS h
+                     FROM tok, unnest(range(0, len(t) // 20)) AS u(k)),
+              sh AS (SELECT h FROM ch GROUP BY h
+                     HAVING count(DISTINCT doc_id) > 1),
+              hit AS (SELECT lang, count(DISTINCT doc_id) AS n_docs_shared,
+                             count(*) AS n_shared_occurrences
+                      FROM ch WHERE h IN (SELECT h FROM sh)
+                      GROUP BY lang),
+              tot AS (SELECT lang, count(*) AS n_chunks FROM ch GROUP BY lang)
+         SELECT tot.lang, tot.n_chunks,
+                coalesce(hit.n_docs_shared, 0) AS n_docs_shared,
+                coalesce(hit.n_shared_occurrences, 0) AS n_shared_occurrences
+         FROM tot LEFT JOIN hit ON tot.lang = hit.lang
+         ORDER BY tot.lang""",
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+                    FROM n WHERE vec_id < 5),
+              s AS (SELECT qid, qlabel, vec_id, label,
+                           list_aggregate(list_transform(range(1, len(qv) + 1),
+                                          i -> qv[i] * v[i]), 'sum')
+                             / (qnrm * nrm) AS cos
+                    FROM q JOIN n ON label <> qlabel),
+              rk AS (SELECT qid, qlabel, vec_id, label, cos,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                     FROM s)
+         SELECT qid, qlabel, CAST(rn AS INTEGER) AS rank, vec_id, label,
+                round(cos, 4) AS cos
+         FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+  )
+}
