@@ -32,6 +32,7 @@ object SparkEntry {
     (operators.Clustering.queries, operators.Clustering.oracles),
     (operators.Lifecycle.queries, operators.Lifecycle.oracles),
     (operators.CurationOps.queries, operators.CurationOps.oracles),
+    (operators.Analytics3.queries, operators.Analytics3.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

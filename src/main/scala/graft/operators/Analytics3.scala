@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third analytics wave (round-4 continuation): OHLC resampling,
+  * robust (MAD) outlier detection, RFM segmentation, and entropy
+  * profiling.
+  *
+  * Scale notes (100 TB):
+  *   - `timeseries_ohlc`: one hash aggregate keyed by (group, hour) —
+  *     open/close are arg-min/arg-max over a fixed-width sortable key,
+  *     so the whole bar computes in a single partial+final pass with
+  *     no window sort (the window formulation would sort every
+  *     partition by ts first).
+  *   - `anomaly_mad`: per-group median/MAD need exact quantiles — two
+  *     aggregation passes over a 5-row-keyed group space; the
+  *     deviations join is a broadcast of the tiny stats table, as in
+  *     anomaly_zscore. At petabyte scale swap the exact median for
+  *     the mergeable approx-percentile sketch (agg_percentile_approx)
+  *     — same shape, bounded state.
+  *   - `analytics_rfm`: one aggregation over orders (150k rows →
+  *     one row per customer), then ntile windows over the AGGREGATED
+  *     table — windows never see raw orders.
+  *   - `agg_entropy`: two chained hash aggregates ((bucket,type) then
+  *     bucket); the shuffle carries category counts, never events.
+  */
+object Analytics3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def trunc4(c: Column): Column =
+    floor(c * 10000).cast("double") / 10000.0
+
+  /** Fixed-width sortable (µs, event_id) key: lexicographic order ==
+    * numeric order for zero-padded non-negatives (Analytics2's
+    * agg_minmax_by pattern — bare min_by/max_by is tie-undefined). */
+  private val sortKey = "printf('%020d|%012d', us, event_id)"
+
+  val queries: Map[String, Q] = Map(
+    // Hourly OHLC bars per event_type: open/close = value at the
+    // first/last event of the hour (deterministic via the sortable
+    // key), high/low = extremes. Raw doubles pass through bit-exact —
+    // no arithmetic, no rounding needed.
+    "timeseries_ohlc" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          date_trunc("hour", col("ts")).as("h"))
+        .groupBy("event_type", "h")
+        .agg(
+          expr(s"min_by(value, $sortKey)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr(s"max_by(value, $sortKey)").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "h")),
+
+    // Robust outlier detection: median absolute deviation (MAD), the
+    // outlier-resistant alternative to anomaly_zscore (a z-score's
+    // mean/stddev are themselves dragged by the outliers they hunt).
+    // Outlier ⇔ |v − median| > 3 × 1.4826 × MAD. Fixture margin to
+    // the threshold is ≥ 1.8e-3 (measured both sfs) ≫ double drift.
+    "anomaly_mad" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("m"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("m")).as("dv"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dv, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("dv") > lit(3 * 1.4826) * col("mad"), 1))
+            .as("n_outliers"),
+          round(max(col("mad")), 4).as("mad4"))
+        .orderBy("event_type")
+    }),
+
+    // RFM customer segmentation: recency (days since last order,
+    // against the corpus max date), frequency (order count), monetary
+    // (decimal-exact total) → ntile(5) buckets per dimension (windows
+    // run over the one-row-per-customer aggregate, tie-broken by
+    // custkey) → segment-size distribution.
+    "analytics_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxD = o.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+      val cust = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("dmax"), col("last_d")).as("rec"),
+          col("freq"), col("mon"))
+      def nt(c: String, asc: Boolean) = ntile(5).over(
+        Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
+      cust
+        .withColumn("r", nt("rec", asc = true))   // low recency = best
+        .withColumn("f", nt("freq", asc = false))
+        .withColumn("m", nt("mon", asc = false))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          // decimal sum is exact/order-independent; ONE double cast +
+          // correctly-rounded division + floor-scale → identical bits
+          // (round() of the double-summed avg diverged at sf0.1)
+          trunc4(sum(col("mon")).cast("double") / count(lit(1)))
+            .as("avg_monetary"))
+        .orderBy("r", "f", "m")
+    }),
+
+    // Shannon entropy of the event-type distribution per user bucket —
+    // the category-balance diagnostic for a training corpus (uniform
+    // 5-way ⇒ ln 5 ≈ 1.609; fixture sits just below). ln() may differ
+    // by an ulp cross-engine; values sit ~1e-4-far from floor4
+    // boundaries (measured both sfs).
+    "agg_entropy" -> ((s, d) => {
+      val c = Tables.events(s, d)
+        .groupBy((col("user_id") % 16).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("bucket").agg(sum(col("n")).as("tot"))
+      c.join(t, "bucket")
+        .groupBy("bucket")
+        .agg(
+          sum(col("n")).as("n_events"),
+          trunc4(-sum((col("n").cast("double") / col("tot"))
+            * log(col("n").cast("double") / col("tot")))).as("entropy"))
+        .orderBy("bucket")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "timeseries_ohlc" ->
+      """WITH e AS (SELECT event_type, value, event_id,
+                           epoch_us(ts) AS us, date_trunc('hour', ts) AS h
+                    FROM events)
+         SELECT event_type, h,
+                arg_min(value, printf('%020d|%012d', us, event_id)) AS open,
+                max(value) AS high,
+                min(value) AS low,
+                arg_max(value, printf('%020d|%012d', us, event_id)) AS close,
+                count(*) AS n
+         FROM e GROUP BY event_type, h ORDER BY event_type, h""",
+    "anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                      FROM events GROUP BY event_type),
+              dev AS (SELECT e.event_type, abs(value - m) AS dv
+                      FROM events e JOIN med USING (event_type)),
+              mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+                      FROM dev GROUP BY event_type)
+         SELECT d.event_type, count(*) AS n,
+                count(CASE WHEN dv > 3 * 1.4826 * mad THEN 1 END)
+                  AS n_outliers,
+                round(max(mad), 4) AS mad4
+         FROM dev d JOIN mad USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+    "analytics_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+                  date_diff('day', max(CAST(o_orderdate AS DATE)),
+                    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+                    AS rec,
+                  count(*) AS freq,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+           FROM orders GROUP BY o_custkey),
+         b AS (SELECT o_custkey, mon,
+                      ntile(5) OVER (ORDER BY rec ASC, o_custkey) AS r,
+                      ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+                      ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS m
+               FROM cust)
+         SELECT r, f, m, count(*) AS n_customers,
+                floor(CAST(sum(mon) AS DOUBLE) / count(*) * 10000) / 10000
+                  AS avg_monetary
+         FROM b GROUP BY r, f, m ORDER BY r, f, m""",
+    "agg_entropy" ->
+      """WITH c AS (SELECT user_id % 16 AS bucket, event_type,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              t AS (SELECT bucket, sum(n) AS tot FROM c GROUP BY bucket)
+         SELECT c.bucket, sum(n) AS n_events,
+                floor(-sum((CAST(n AS DOUBLE) / tot)
+                  * ln(CAST(n AS DOUBLE) / tot)) * 10000) / 10000 AS entropy
+         FROM c JOIN t USING (bucket)
+         GROUP BY c.bucket ORDER BY c.bucket""",
+  )
+}
