@@ -33,6 +33,7 @@ object SparkEntry {
     (operators.Lifecycle.queries, operators.Lifecycle.oracles),
     (operators.CurationOps.queries, operators.CurationOps.oracles),
     (operators.Analytics3.queries, operators.Analytics3.oracles),
+    (operators.Governance.queries, operators.Governance.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-governance operators: declarative data-quality expectations
+  * with a write-audit-publish gate, snapshot diffing between staged
+  * table versions, and file-statistics manifest collection — the
+  * control plane around a staging engine's writes.
+  *
+  * Scale notes (100 TB):
+  *   - `dq_expectations`: every per-row rule folds into ONE
+  *     aggregation pass (conditional counts); the uniqueness rule is
+  *     one hash aggregate on the key; the FK rule is an anti-join
+  *     whose build side is the PK column only. No rule scans the
+  *     table twice.
+  *   - `stage_snapshot_diff`: both snapshots hash their payload
+  *     per-row (content-addressed rows), then ONE full-outer join on
+  *     the key classifies added/removed/changed/unchanged — the diff
+  *     shuffles keys + 32-byte hashes, never full payloads.
+  *   - `sink_stats_manifest`: per-partition min/max/count stats are
+  *     what a catalog stores for partition pruning; collected in one
+  *     aggregation over the staged read-back (at scale: from footer
+  *     metadata, which this read exercises via parquet statistics).
+  */
+object Governance {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Declarative DQ expectations over the lineitem batch + the
+    // write-audit-publish gate: the batch publishes only if every
+    // rule passes. The fixture's real duplicate rows make the
+    // uniqueness rule FAIL — visible in the audit output (and the
+    // batch correctly does not publish; GovernanceSpec asserts the
+    // staged dir stays absent).
+    "dq_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perRow = li.agg(
+        count(when(col("l_orderkey").isNull, 1)).as("nn"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .as("rng"),
+        count(when(col("l_quantity") <= 0, 1)).as("pos"))
+      val dups = li.groupBy("l_orderkey", "l_linenumber", "l_partkey")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+          .as("dup"))
+      val orphans = li.join(Tables.orders(s, d).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk"))
+      val audit = perRow.crossJoin(dups).crossJoin(orphans)
+        .selectExpr(
+          """stack(5,
+               'fk_orderkey_in_orders',  fk,
+               'not_null_orderkey',      nn,
+               'positive_quantity',      pos,
+               'range_discount_0_0.1',   rng,
+               'unique_line_key',        dup)
+             AS (rule, n_violations)""")
+        .withColumn("passed", col("n_violations") === 0)
+      // write-audit-publish: stage only when EVERY rule passes (the
+      // fixture's dup rows veto it; the audit table is the output)
+      val allPass = audit.agg(min(col("passed"))).head.getBoolean(0)
+      if (allPass)
+        li.write.mode("overwrite")
+          .parquet(graft.sources.Staging.tmpDir("dq_published"))
+      audit.orderBy("rule")
+    }),
+
+    // Snapshot diff between two staged versions: v2 is a deterministic
+    // mutation of v1 (keys %10==0 changed, %10==3 removed, negated
+    // keys added). Rows are content-hashed; one full-outer join on the
+    // key classifies each row; output is the per-class summary a
+    // data-versioning layer shows for a commit.
+    "stage_snapshot_diff" -> ((s, d) => {
+      val v1 = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          md5(concat_ws("|", col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))).as("h1"))
+      val v2base = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 =!= 3)
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      val v2 = v2base.unionByName(
+          Tables.customer(s, d).filter(col("c_custkey") % 10 === 7)
+            .select((-col("c_custkey")).as("c_custkey"), col("c_nationkey"),
+              col("c_acctbal"), col("c_mktsegment")))
+        .select(col("c_custkey"),
+          md5(concat_ws("|", col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))).as("h2"))
+      v1.join(v2, Seq("c_custkey"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("class"))
+        .groupBy("class").agg(count(lit(1)).as("n"))
+        .orderBy("class")
+    }),
+
+    // File-statistics manifest of a partitioned staged table: per
+    // partition, the row count + key min/max + decimal-exact measure
+    // total — the stats a catalog uses for partition pruning. The
+    // manifest is collected from the staged READ-BACK (round-trip
+    // through the engine's own sink), not from the source.
+    "sink_stats_manifest" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("stats_manifest")
+      Tables.orders(s, d)
+        .withColumn("status", col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("status").parquet(out)
+      s.read.parquet(out)
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total_price"))
+        .orderBy("status")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq_expectations" ->
+      """WITH nn AS (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) AS v
+                     FROM lineitem),
+              rng AS (SELECT count(*) FILTER (WHERE l_discount < 0
+                        OR l_discount > 0.1) AS v FROM lineitem),
+              pos AS (SELECT count(*) FILTER (WHERE l_quantity <= 0) AS v
+                      FROM lineitem),
+              dup AS (SELECT coalesce(sum(c - 1), 0) AS v FROM (
+                        SELECT count(*) AS c FROM lineitem
+                        GROUP BY l_orderkey, l_linenumber, l_partkey
+                        HAVING count(*) > 1)),
+              fk AS (SELECT count(*) AS v FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+         SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+           SELECT 'fk_orderkey_in_orders' AS rule,
+                  (SELECT v FROM fk) AS n_violations
+           UNION ALL SELECT 'not_null_orderkey', (SELECT v FROM nn)
+           UNION ALL SELECT 'positive_quantity', (SELECT v FROM pos)
+           UNION ALL SELECT 'range_discount_0_0.1', (SELECT v FROM rng)
+           UNION ALL SELECT 'unique_line_key', (SELECT v FROM dup))
+         ORDER BY rule""",
+    "stage_snapshot_diff" ->
+      """WITH v1 AS (SELECT c_custkey,
+                            md5(concat_ws('|', c_nationkey, c_acctbal,
+                                          c_mktsegment)) AS h1
+                     FROM customer),
+              v2 AS (SELECT c_custkey,
+                            md5(concat_ws('|', c_nationkey,
+                              CASE WHEN c_custkey % 10 = 0
+                                   THEN c_acctbal + 100
+                                   ELSE c_acctbal END,
+                              c_mktsegment)) AS h2
+                     FROM customer WHERE c_custkey % 10 <> 3
+                     UNION ALL
+                     SELECT -c_custkey,
+                            md5(concat_ws('|', c_nationkey, c_acctbal,
+                                          c_mktsegment))
+                     FROM customer WHERE c_custkey % 10 = 7)
+         SELECT CASE WHEN h1 IS NULL THEN 'added'
+                     WHEN h2 IS NULL THEN 'removed'
+                     WHEN h1 <> h2 THEN 'changed'
+                     ELSE 'unchanged' END AS class,
+                count(*) AS n
+         FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+         GROUP BY class ORDER BY class""",
+    "sink_stats_manifest" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
+  )
+}

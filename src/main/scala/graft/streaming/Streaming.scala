@@ -341,6 +341,53 @@ object Streaming {
           countDistinct(col("day")).as("n_days"))
         .orderBy("event_type")
     }),
+
+    // Late-data drop under a watermark — the event-time semantics the
+    // other streaming keys never exercise (their single source file
+    // arrives in order). The fixture is split at its midpoint
+    // timestamp into two files; explicit modification times force
+    // batch 1 = RECENT half, batch 2 = OLD half (maxFilesPerTrigger=1
+    // processes one file per micro-batch, oldest mod-time first).
+    // Batch 1 advances the watermark to max(ts) − 30 min; every
+    // batch-2 row is then hours older than the watermark and is
+    // DROPPED before the windowed aggregation. Append mode emits only
+    // watermark-closed windows, so the declared result is exactly the
+    // hour-windows of the recent half with end ≤ final watermark —
+    // batch-expressible for the oracle. StreamingSpec asserts 2
+    // batches ran and the late rows really were dropped.
+    "stream_late_data_drop" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val scratch = graft.sources.Staging.tmpDir("late_scratch")
+      val src = graft.sources.Staging.tmpDir("late_src")
+      val e = Tables.events(s, d).select(col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      val mm = e.agg(min(col("us")), max(col("us"))).head
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      e.filter(col("us") > mid).select("event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/recent")
+      e.filter(col("us") <= mid).select("event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/old")
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      def placeAs(fromDir: String, name: String, mtime: Long): Unit = {
+        val part = fs.listStatus(new Path(fromDir))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dest = new Path(src, name)
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, true,
+          s.sparkContext.hadoopConfiguration)
+        fs.setTimes(dest, mtime, -1)
+      }
+      val t0 = 1600000000000L // fixed epoch-ms: deterministic ordering
+      placeAs(s"$scratch/recent", "00_recent.parquet", t0)
+      placeAs(s"$scratch/old", "01_late.parquet", t0 + 60000)
+      val schema = s.read.parquet(src).schema
+      val sdf = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .select(col("window.start").as("ws"), col("count").as("n"))
+      drain(sdf, "append").orderBy("ws")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +421,17 @@ object Streaming {
     "stream_watermark_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // recent half only (late half is entirely below the batch-1
+    // watermark), windows closed by the final watermark hi − 30 min
+    "stream_late_data_drop" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us, ts FROM events),
+              sp AS (SELECT (min(us) + max(us)) // 2 AS mid,
+                            max(us) AS hi FROM b),
+              agg AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+                      FROM b, sp WHERE us > mid GROUP BY 1)
+         SELECT ws, n FROM agg, sp
+         WHERE epoch_us(ws) + 3600000000 <= hi - 1800000000
+         ORDER BY ws""",
     // single AvailableNow batch → watermark still 0 during the batch,
     // no state eviction → exact distinct (the API difference is the
     // eviction contract, which only shows across micro-batches)
