@@ -76,7 +76,10 @@ object Analytics3 {
           count(lit(1)).as("n"),
           count(when(col("dv") > lit(3 * 1.4826) * col("mad"), 1))
             .as("n_outliers"),
-          round(max(col("mad")), 4).as("mad4"))
+          // trunc4, not round(): §5.4.2 — round() diverges cross-engine
+          // on .xxxx5 shortest-repr boundaries; floor on identical
+          // double bits cannot (mad is a raw percentile, no arithmetic)
+          trunc4(max(col("mad"))).as("mad4"))
         .orderBy("event_type")
     }),
 
@@ -114,20 +117,29 @@ object Analytics3 {
 
     // Shannon entropy of the event-type distribution per user bucket —
     // the category-balance diagnostic for a training corpus (uniform
-    // 5-way ⇒ ln 5 ≈ 1.609; fixture sits just below). ln() may differ
-    // by an ulp cross-engine; values sit ~1e-4-far from floor4
-    // boundaries (measured both sfs).
+    // 5-way ⇒ ln 5 ≈ 1.609; fixture sits just below). A bare double
+    // Σ p·ln p is partition-order-dependent and crossed a floor4
+    // boundary under local[32] (r4 driver run), so each term is
+    // quantized to DECIMAL(28,10) first: the decimal sum is exact and
+    // order-independent, the floor-scale runs in decimal space, and
+    // only the final 4-decimal value is cast to double (both engines
+    // convert a 4-decimal value to the identical double). Residual
+    // cross-engine risk is a 1-ulp ln() difference flipping the 1e-10
+    // quantization — 1e-6 per term, and even then it moves the exact
+    // sum by 1e-10 ≪ the measured distance to the nearest 1e-4 floor
+    // boundary.
     "agg_entropy" -> ((s, d) => {
       val c = Tables.events(s, d)
         .groupBy((col("user_id") % 16).as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       val t = c.groupBy("bucket").agg(sum(col("n")).as("tot"))
+      val p = col("n").cast("double") / col("tot")
       c.join(t, "bucket")
         .groupBy("bucket")
         .agg(
           sum(col("n")).as("n_events"),
-          trunc4(-sum((col("n").cast("double") / col("tot"))
-            * log(col("n").cast("double") / col("tot")))).as("entropy"))
+          (floor((-sum((p * log(p)).cast("decimal(28,10)"))) * 10000)
+            .cast("double") / 10000.0).as("entropy"))
         .orderBy("bucket")
     }),
   )
@@ -154,7 +166,7 @@ object Analytics3 {
          SELECT d.event_type, count(*) AS n,
                 count(CASE WHEN dv > 3 * 1.4826 * mad THEN 1 END)
                   AS n_outliers,
-                round(max(mad), 4) AS mad4
+                floor(max(mad) * 10000) / 10000 AS mad4
          FROM dev d JOIN mad USING (event_type)
          GROUP BY d.event_type ORDER BY d.event_type""",
     "analytics_rfm" ->
@@ -181,8 +193,9 @@ object Analytics3 {
                     FROM events GROUP BY 1, 2),
               t AS (SELECT bucket, sum(n) AS tot FROM c GROUP BY bucket)
          SELECT c.bucket, sum(n) AS n_events,
-                floor(-sum((CAST(n AS DOUBLE) / tot)
-                  * ln(CAST(n AS DOUBLE) / tot)) * 10000) / 10000 AS entropy
+                CAST(floor(-sum(CAST((CAST(n AS DOUBLE) / tot)
+                    * ln(CAST(n AS DOUBLE) / tot) AS DECIMAL(28,10)))
+                  * 10000) AS DOUBLE) / 10000 AS entropy
          FROM c JOIN t USING (bucket)
          GROUP BY c.bucket ORDER BY c.bucket""",
   )

@@ -27,45 +27,56 @@ import graft.Tables
 object Governance {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The 5-rule DQ audit over the lineitem batch: three per-row rules
+    * fold into ONE aggregation pass, uniqueness is one hash aggregate
+    * on the line key, the FK rule is an anti-join whose build side is
+    * the PK column only. Pure — callers decide what to do with it. */
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perRow = li.agg(
+      count(when(col("l_orderkey").isNull, 1)).as("nn"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+        .as("rng"),
+      count(when(col("l_quantity") <= 0, 1)).as("pos"))
+    val dups = li.groupBy("l_orderkey", "l_linenumber", "l_partkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+        .as("dup"))
+    val orphans = li.join(Tables.orders(s, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk"))
+    perRow.crossJoin(dups).crossJoin(orphans)
+      .selectExpr(
+        """stack(5,
+             'fk_orderkey_in_orders',  fk,
+             'not_null_orderkey',      nn,
+             'positive_quantity',      pos,
+             'range_discount_0_0.1',   rng,
+             'unique_line_key',        dup)
+           AS (rule, n_violations)""")
+      .withColumn("passed", col("n_violations") === 0)
+  }
+
+  /** Write-audit-publish: stage the batch to `outDir` only when EVERY
+    * audit rule passes. Returns true iff published. Deliberately NOT a
+    * declared query — it runs an action and a conditional write, which
+    * would make a declared "query" impure (r4 ADVICE). */
+  def writeAuditPublish(s: SparkSession, d: String, outDir: String)
+      : Boolean = {
+    val allPass = dqAudit(s, d).agg(min(col("passed"))).head.getBoolean(0)
+    if (allPass)
+      Tables.lineitem(s, d).write.mode("overwrite").parquet(outDir)
+    allPass
+  }
+
   val queries: Map[String, Q] = Map(
-    // Declarative DQ expectations over the lineitem batch + the
-    // write-audit-publish gate: the batch publishes only if every
-    // rule passes. The fixture's real duplicate rows make the
-    // uniqueness rule FAIL — visible in the audit output (and the
-    // batch correctly does not publish; GovernanceSpec asserts the
-    // staged dir stays absent).
-    "dq_expectations" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val perRow = li.agg(
-        count(when(col("l_orderkey").isNull, 1)).as("nn"),
-        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
-          .as("rng"),
-        count(when(col("l_quantity") <= 0, 1)).as("pos"))
-      val dups = li.groupBy("l_orderkey", "l_linenumber", "l_partkey")
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
-          .as("dup"))
-      val orphans = li.join(Tables.orders(s, d).select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("fk"))
-      val audit = perRow.crossJoin(dups).crossJoin(orphans)
-        .selectExpr(
-          """stack(5,
-               'fk_orderkey_in_orders',  fk,
-               'not_null_orderkey',      nn,
-               'positive_quantity',      pos,
-               'range_discount_0_0.1',   rng,
-               'unique_line_key',        dup)
-             AS (rule, n_violations)""")
-        .withColumn("passed", col("n_violations") === 0)
-      // write-audit-publish: stage only when EVERY rule passes (the
-      // fixture's dup rows veto it; the audit table is the output)
-      val allPass = audit.agg(min(col("passed"))).head.getBoolean(0)
-      if (allPass)
-        li.write.mode("overwrite")
-          .parquet(graft.sources.Staging.tmpDir("dq_published"))
-      audit.orderBy("rule")
-    }),
+    // Declarative DQ expectations over the lineitem batch. The
+    // fixture's real duplicate rows make the uniqueness rule FAIL —
+    // visible in the audit output. The declared query is a PURE
+    // DataFrame (no actions, no writes); the write-audit-publish gate
+    // that consumes this audit lives in `writeAuditPublish` below and
+    // is exercised by GovernanceSpec, not by the declared key.
+    "dq_expectations" -> ((s, d) => dqAudit(s, d).orderBy("rule")),
 
     // Snapshot diff between two staged versions: v2 is a deterministic
     // mutation of v1 (keys %10==0 changed, %10==3 removed, negated

@@ -342,19 +342,26 @@ object Streaming {
         .orderBy("event_type")
     }),
 
-    // Late-data drop under a watermark — the event-time semantics the
+    // Late data under a watermark — the event-time semantics the
     // other streaming keys never exercise (their single source file
     // arrives in order). The fixture is split at its midpoint
     // timestamp into two files; explicit modification times force
     // batch 1 = RECENT half, batch 2 = OLD half (maxFilesPerTrigger=1
     // processes one file per micro-batch, oldest mod-time first).
-    // Batch 1 advances the watermark to max(ts) − 30 min; every
-    // batch-2 row is then hours older than the watermark and is
-    // DROPPED before the windowed aggregation. Append mode emits only
-    // watermark-closed windows, so the declared result is exactly the
-    // hour-windows of the recent half with end ≤ final watermark —
-    // batch-expressible for the oracle. StreamingSpec asserts 2
-    // batches ran and the late rows really were dropped.
+    // Batch 1 advances the watermark to max(ts) − 30 min, hours past
+    // every batch-2 row. MEASURED Spark 4.1.2 behavior (r4): the
+    // below-watermark batch-2 rows are NOT dropped on input
+    // (numRowsDroppedByWatermark = 0); append mode admits them and
+    // immediately emits their already-closed windows. So the engine-
+    // level contract here is "windows with end ≤ watermark are final",
+    // not "late input vanishes". The DECLARED result is therefore made
+    // admission-policy-independent: it keeps only windows that start
+    // strictly after the midpoint (reachable by recent-half rows
+    // alone — an old row's hour-window starts ≤ its ts ≤ mid) and
+    // that append mode closed (end ≤ final watermark). That subset is
+    // batch-expressible for the oracle and invariant to whether an
+    // engine drops or admits the late batch. StreamingSpec asserts 2
+    // micro-batches ran and that no below-mid window leaks through.
     "stream_late_data_drop" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val scratch = graft.sources.Staging.tmpDir("late_scratch")
@@ -386,7 +393,9 @@ object Streaming {
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour")).count()
         .select(col("window.start").as("ws"), col("count").as("n"))
-      drain(sdf, "append").orderBy("ws")
+      drain(sdf, "append")
+        .filter(col("ws") > timestamp_micros(lit(mid)))
+        .orderBy("ws")
     }),
   )
 
@@ -421,8 +430,10 @@ object Streaming {
     "stream_watermark_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
-    // recent half only (late half is entirely below the batch-1
-    // watermark), windows closed by the final watermark hi − 30 min
+    // windows that start strictly after the midpoint (recent-half rows
+    // only — boundary hour excluded on both sides) and were closed by
+    // the final watermark hi − 30 min; see the query comment for why
+    // the declared subset is admission-policy-independent
     "stream_late_data_drop" ->
       """WITH b AS (SELECT epoch_us(ts) AS us, ts FROM events),
               sp AS (SELECT (min(us) + max(us)) // 2 AS mid,
@@ -430,7 +441,8 @@ object Streaming {
               agg AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n
                       FROM b, sp WHERE us > mid GROUP BY 1)
          SELECT ws, n FROM agg, sp
-         WHERE epoch_us(ws) + 3600000000 <= hi - 1800000000
+         WHERE epoch_us(ws) > mid
+           AND epoch_us(ws) + 3600000000 <= hi - 1800000000
          ORDER BY ws""",
     // single AvailableNow batch → watermark still 0 during the batch,
     // no state eviction → exact distinct (the API difference is the

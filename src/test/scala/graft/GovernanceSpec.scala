@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Governance
+
+/** Governance-operator tests: the DQ audit's per-rule verdicts, the
+  * write-audit-publish gate (both the veto and the publish path — the
+  * side effect the declared `dq_expectations` key deliberately does
+  * NOT perform), and the snapshot-diff / stats-manifest invariants
+  * cross-checked against direct batch computations. */
+class GovernanceSpec extends GraftSuite {
+
+  test("dq_expectations: uniqueness rule vetoes, all other rules pass") {
+    val audit = Governance.queries("dq_expectations")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(audit.keySet == Set("fk_orderkey_in_orders", "not_null_orderkey",
+      "positive_quantity", "range_discount_0_0.1", "unique_line_key"))
+    // the fixture's real duplicate line keys are the ONLY violation
+    val dupDirect = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_linenumber", "l_partkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L))).collect()(0).getLong(0)
+    assert(dupDirect > 0, "fixture must contain duplicate line keys")
+    assert(audit("unique_line_key") == (dupDirect, false))
+    audit.filter(_._1 != "unique_line_key").foreach { case (rule, (n, p)) =>
+      assert(n == 0 && p, s"rule $rule should pass")
+    }
+  }
+
+  test("writeAuditPublish vetoes the dup fixture, publishes a clean batch") {
+    val vetoOut = graft.sources.Staging.tmpDir("dq_spec_veto") + "/pub"
+    assert(!Governance.writeAuditPublish(spark, sf, vetoOut))
+    assert(!new java.io.File(vetoOut).exists(),
+      "vetoed batch must not be staged")
+
+    // clean sfDir: dedup the line key, keep orders for the FK rule
+    val cleanSf = graft.sources.Staging.tmpDir("dq_spec_clean_sf")
+    Tables.lineitem(spark, sf)
+      .dropDuplicates("l_orderkey", "l_linenumber", "l_partkey")
+      .write.mode("overwrite").parquet(s"$cleanSf/lineitem.parquet")
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").parquet(s"$cleanSf/orders.parquet")
+    val pubOut = graft.sources.Staging.tmpDir("dq_spec_pub") + "/pub"
+    assert(Governance.writeAuditPublish(spark, cleanSf, pubOut))
+    val expected = Tables.lineitem(spark, cleanSf).count()
+    assert(spark.read.parquet(pubOut).count() == expected)
+  }
+
+  test("stage_snapshot_diff classes match the mutation recipe") {
+    val diff = Governance.queries("stage_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = Tables.customer(spark, sf).cache()
+    val added = c.filter(col("c_custkey") % 10 === 7).count()
+    val removed = c.filter(col("c_custkey") % 10 === 3).count()
+    val changed = c.filter(col("c_custkey") % 10 === 0).count()
+    val total = c.count()
+    assert(diff("added") == added)
+    assert(diff("removed") == removed)
+    assert(diff("changed") == changed)
+    assert(diff("unchanged") == total - removed - changed)
+    c.unpersist()
+  }
+
+  test("sink_stats_manifest equals direct per-status aggregation") {
+    val manifest = Governance.queries("sink_stats_manifest")(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 4).as("total_price"))
+      .orderBy("status")
+    assert(manifest.except(direct).isEmpty && direct.except(manifest).isEmpty)
+  }
+}

@@ -107,4 +107,45 @@ class StreamingSpec extends GraftSuite {
     assert(run(within = false) == 2L,
       "dropDuplicates keeps id state forever")
   }
+
+  test("stream_late_data_drop: 2 micro-batches, no below-mid window leaks, " +
+      "result equals the batch formulation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val result = Streaming.queries("stream_late_data_drop")(spark, sf)
+      .cache()
+    // batch formulation of the declared subset: recent-half rows,
+    // windows starting strictly after mid and closed by hi − 30 min
+    val e = Tables.events(spark, sf)
+      .select(col("ts"), unix_micros(col("ts")).as("us"))
+    val mm = e.agg(min(col("us")), max(col("us"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = (lo + hi) / 2
+    val expected = e.filter(col("us") > mid)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_micros(col("ws")) > mid &&
+        unix_micros(col("ws")) + 3600000000L <= hi - 1800000000L)
+    assert(result.count() > 0)
+    assert(result.except(expected).isEmpty && expected.except(result).isEmpty)
+    // no window at or below the midpoint may leak through the filter
+    // (an old-half row's hour-window always starts <= its ts <= mid)
+    assert(result.filter(unix_micros(col("ws")) <= mid).isEmpty)
+    // the declared query left its two-file source behind at a fixed
+    // scratch path — re-stream it to prove maxFilesPerTrigger=1 really
+    // split the halves into 2 micro-batches (recent first: batch 1's
+    // file has the older mod-time by construction)
+    val src = graft.sources.Staging.scratchPath("late_src")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() == 2, "two files must drive two micro-batches")
+    result.unpersist()
+  }
 }
