@@ -184,17 +184,21 @@ object DedupAdvanced {
         .limit(10)
     }),
 
-    // Embedding-cosine near-dup via the native codegen'd
-    // CosineSimilarity expression (bit-identical to the HOF math the
-    // oracle mirrors), pairwise over a sample (ANN candidates at scale).
+    // Embedding-cosine near-dup, scale-shaped: md5-Rademacher sign-LSH
+    // buckets generate the candidate pairs (shuffle on (table,
+    // signature) — never an all-pairs join), exact cosine via the
+    // native codegen'd CosineSimilarity runs on collisions only, and
+    // the top near-dup candidates are ranked. The oracle reproduces
+    // the EXACT candidate set (MirroredLsh.candidateSqlCtes), so LSH
+    // recall cannot cause a hash mismatch — both engines rank the same
+    // pairs.
     "dedup_embedding_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), col("embedding"))
-      e.toDF("a", "va").join(e.toDF("b", "vb"), col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+      MirroredLsh.candidates(
+          Tables.embeddings(s, d)
+            .filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id"), col("embedding")))
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("cos").desc, col("a"), col("b"))
         .limit(10)
     }),
@@ -316,18 +320,17 @@ object DedupAdvanced {
          SELECT a, b, round(CAST(ni AS DOUBLE) / (tot - ni), 4) AS jac
          FROM p ORDER BY jac DESC, a, b LIMIT 10""",
     "dedup_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings WHERE vec_id % 20 = 0),
+      s"""WITH ${MirroredLsh.candidateSqlCtes("vec_id % 20 = 0")},
               n AS (SELECT vec_id, v,
                            sqrt(list_aggregate(list_transform(v, x -> x * x),
                                                'sum')) AS nrm
                     FROM e)
-         SELECT a.vec_id AS a, b.vec_id AS b,
-                round(list_aggregate(list_transform(range(1, len(a.v) + 1),
-                        i -> a.v[i] * b.v[i]), 'sum')
-                      / (a.nrm * b.nrm), 4) AS cos
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         SELECT cand.a, cand.b,
+                round(list_aggregate(list_transform(range(1, len(x.v) + 1),
+                        i -> x.v[i] * y.v[i]), 'sum')
+                      / (x.nrm * y.nrm), 4) AS cos
+         FROM cand JOIN n x ON x.vec_id = cand.a
+                   JOIN n y ON y.vec_id = cand.b
          ORDER BY cos DESC, a, b LIMIT 10""",
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sign-LSH over embeddings whose hyperplanes are ORACLE-MIRRORABLE.
+  *
+  * The hyperplanes are Rademacher (±1) vectors derived from md5 bits:
+  * sign(t, j, i) = bit i of md5("t:j") (first 16 hex chars = 64 bits,
+  * one per dimension). md5 is available in both the JVM and DuckDB, so
+  * the EXACT candidate set — not an approximation of it — is
+  * reproducible in the correctness oracle via `candidateSqlCtes`. That
+  * removes the recall problem that makes random-gaussian LSH
+  * un-oracle-able: both engines agree on which pairs are candidates,
+  * so declared results built on these candidates hash-match
+  * deterministically, while the Spark plan keeps the scale-correct
+  * shape (signature projection → shuffle on (table, signature) →
+  * bucket equi-join → exact cosine only on collisions; never an
+  * all-pairs join).
+  *
+  * Sign-consistency across engines: the dot product is accumulated in
+  * index order in both (a sequential JVM loop here; a left-fold
+  * `list_aggregate(..., 'sum')` in DuckDB) over identical doubles
+  * (float→double widening is exact, ±1 products are exact), so both
+  * engines compute bit-identical sums and agree on every `> 0` sign.
+  *
+  * Rademacher-vs-gaussian: for sign-LSH only the DIRECTION of the
+  * hyperplane matters; ±1 vectors are a standard substitute (cf.
+  * Achlioptas-style sparse/signed random projections) with the same
+  * collision-probability behavior at dim 64.
+  *
+  * Scale notes (100 TB): per-vector signature cost is L·b·dim fused
+  * multiply-adds, embarrassingly parallel, no shuffle; the candidate
+  * join shuffles (table, signature, vec_id) triples only. `NBits`
+  * grows with log2(corpus / target bucket size) so per-bucket work is
+  * constant; the fixture geometry (near-random vectors, true-NN cosine
+  * 0.36–0.48) is the adversarial case documented in Similarity.scala.
+  */
+object MirroredLsh {
+  val NTables = 20
+  val NBits = 6
+  val Dim = 64
+
+  /** signs(t * NBits + j)(i) ∈ {−1.0, +1.0} — from bit i of
+    * md5(s"$t:$j"), exactly as candidateSqlCtes derives it in SQL. */
+  private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(NTables * NBits) { k =>
+      val t = k / NBits
+      val j = k % NBits
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t:$j".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      Array.tabulate(Dim) { i =>
+        val nibble = Character.digit(hex(i / 4), 16)
+        if (((nibble >> (3 - i % 4)) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Per-vector signatures: one NBits-bit sign pattern per table.
+    * Bounded per-row compute, no shuffle; runs once in the projection
+    * feeding the bucket join. */
+  private lazy val sigUdf = {
+    val sg = signs
+    val (tables, bits, dim) = (NTables, NBits, Dim)
+    udf((emb: Seq[Float]) => {
+      val v = emb.toArray
+      Array.tabulate(tables) { t =>
+        var sig = 0
+        var j = 0
+        while (j < bits) {
+          val p = sg(t * bits + j)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += p(i) * v(i); i += 1 }
+          if (dot > 0) sig |= 1 << j
+          j += 1
+        }
+        sig
+      }
+    })
+  }
+
+  /** Candidate pairs (a < b) with exact cosine, deduped across tables.
+    * `sample` must have (vec_id, embedding); the caller must have
+    * registered GraftFunctions (for the codegen'd cosine_sim). */
+  def candidates(sample: DataFrame): DataFrame = {
+    val e = sample.select(col("vec_id"), col("embedding"),
+      posexplode(sigUdf(col("embedding"))).as(Seq("t", "sig")))
+    e.as("x").join(e.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        expr("cosine_sim(x.embedding, y.embedding)").as("cos"))
+      .groupBy("a", "b").agg(max(col("cos")).as("cos"))
+  }
+
+  /** DuckDB CTE chain reproducing the EXACT candidate set:
+    * `e(vec_id, v)` (double-widened sample), `cand(a, b)` (distinct
+    * bucket-join pairs). Compose per-key SQL on top (cosine refine,
+    * thresholds, ranking). `samplePred` filters `embeddings`. */
+  def candidateSqlCtes(samplePred: String): String =
+    s"""e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE $samplePred),
+       tj AS (SELECT t.t, j.j,
+                     md5(CAST(t.t AS VARCHAR) || ':'
+                         || CAST(j.j AS VARCHAR)) AS h
+              FROM (SELECT unnest(range(0, $NTables)) AS t) t,
+                   (SELECT unnest(range(0, $NBits)) AS j) j),
+       bitv AS (SELECT e.vec_id, tj.t, tj.j,
+                       CASE WHEN list_aggregate(list_transform(
+                              range(1, ${Dim + 1}),
+                              i -> CASE WHEN ((strpos('0123456789abcdef',
+                                       substr(h, ((i-1)//4) + 1, 1)) - 1)
+                                       >> (3 - ((i-1)%4))) & 1 = 1
+                                   THEN v[i] ELSE -v[i] END), 'sum') > 0
+                            THEN 1 ELSE 0 END AS bv
+                FROM e, tj),
+       sg AS (SELECT vec_id, t, sum(bv * (1 << j)) AS sig
+              FROM bitv GROUP BY vec_id, t),
+       cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                FROM sg x JOIN sg y
+                  ON x.t = y.t AND x.sig = y.sig
+                 AND x.vec_id < y.vec_id)"""
+}

