@@ -179,6 +179,50 @@ object Staging {
         .orderBy("o_orderstatus")
     }),
 
+    // INCOMPATIBLE schema evolution: type widening across staged
+    // epochs — the painful real-world case scan_schema_evolution's
+    // add-column does not cover. An early producer wrote narrow types
+    // (int32 key, float32 measure); a later producer widened them
+    // (int64 beyond int range, float64). mergeSchema REFUSES this
+    // (int vs bigint is a conflict, not a merge), so the schema-on-read
+    // policy is an EXPLICIT declared target schema: Spark 4's parquet
+    // reader upcasts int32→int64 and float32→float64 per file
+    // (verified on this runtime). At 100 TB this is the metadata-only
+    // alternative to rewriting every historical partition when a key
+    // outgrows int32. The float→double widening is exact (every
+    // float32 is a float64), so the oracle replicates it with the
+    // same two casts.
+    "scan_schema_widening" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = tmpDir("graft_widen_")
+      val o = Tables.orders(s, d)
+      // v1 measure is whole dollars (floor — round() is the §5.4.2
+      // landmine): integers < 2^24 are exact in float32, so the
+      // narrow staging is lossless and the key tests the READER's
+      // upcast, not float rounding (8-significant-digit cents exceed
+      // float32 and their dyadic halves round apart cross-engine —
+      // measured before this quantization).
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("k"),
+          floor(col("o_totalprice")).cast("float").as("price"))
+        .write.mode("overwrite").parquet(s"$out/b1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select((col("o_orderkey") + lit(10000000000L)).as("k"),
+          col("o_totalprice").cast("double").as("price"))
+        .write.mode("overwrite").parquet(s"$out/b2")
+      val widened = StructType(Seq(
+        StructField("k", LongType), StructField("price", DoubleType)))
+      s.read.schema(widened).parquet(s"$out/b1", s"$out/b2")
+        .groupBy(when(col("k") >= 10000000000L, "v2_wide")
+          .otherwise("v1_narrow").as("epoch"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          round(sum(col("price").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("epoch")
+    }),
+
     // Partition-pruned read-back: filter on the partition column of a
     // staged table — the scan must touch ONLY the matching partition
     // directories (PartitionFilters in the plan, asserted in
@@ -337,6 +381,20 @@ object Staging {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "scan_schema_widening" ->
+      """WITH w AS (SELECT CASE WHEN o_orderkey % 2 = 0
+                               THEN CAST(o_orderkey AS BIGINT)
+                               ELSE o_orderkey + 10000000000 END AS k,
+                          CASE WHEN o_orderkey % 2 = 0
+                               THEN floor(o_totalprice)
+                               ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+                          CASE WHEN o_orderkey % 2 = 0
+                               THEN 'v1_narrow' ELSE 'v2_wide' END AS epoch
+                   FROM orders)
+         SELECT epoch, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+                round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM w GROUP BY epoch ORDER BY epoch""",
     "scan_partition_pruned" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -363,30 +363,13 @@ object Streaming {
     // engine drops or admits the late batch. StreamingSpec asserts 2
     // micro-batches ran and that no below-mid window leaks through.
     "stream_late_data_drop" -> ((s, d) => {
-      import org.apache.hadoop.fs.Path
-      val scratch = graft.sources.Staging.tmpDir("late_scratch")
-      val src = graft.sources.Staging.tmpDir("late_src")
       val e = Tables.events(s, d).select(col("event_id"), col("ts"),
         unix_micros(col("ts")).as("us"))
       val mm = e.agg(min(col("us")), max(col("us"))).head
       val mid = (mm.getLong(0) + mm.getLong(1)) / 2
-      e.filter(col("us") > mid).select("event_id", "ts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/recent")
-      e.filter(col("us") <= mid).select("event_id", "ts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$scratch/old")
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(s.sparkContext.hadoopConfiguration)
-      def placeAs(fromDir: String, name: String, mtime: Long): Unit = {
-        val part = fs.listStatus(new Path(fromDir))
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-        val dest = new Path(src, name)
-        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, true,
-          s.sparkContext.hadoopConfiguration)
-        fs.setTimes(dest, mtime, -1)
-      }
-      val t0 = 1600000000000L // fixed epoch-ms: deterministic ordering
-      placeAs(s"$scratch/recent", "00_recent.parquet", t0)
-      placeAs(s"$scratch/old", "01_late.parquet", t0 + 60000)
+      val src = twoBatchSource(s,
+        e.filter(col("us") > mid).select("event_id", "ts"),
+        e.filter(col("us") <= mid).select("event_id", "ts"), "late")
       val schema = s.read.parquet(src).schema
       val sdf = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -397,7 +380,59 @@ object Streaming {
         .filter(col("ws") > timestamp_micros(lit(mid)))
         .orderBy("ws")
     }),
+
+    // UPDATE output mode — the output-mode-matrix completion (the
+    // other streaming keys run append or complete). The memory sink
+    // accumulates one row per (key, micro-batch-in-which-it-changed),
+    // so the declared result is the running-count UPDATE HISTORY: a
+    // user with events only in batch 1 emits (u, n1); a user touched
+    // by both batches emits (u, n1) AND (u, n1+n2). The two batches
+    // are a deterministic event_id-parity split with forced file
+    // mod-times (same mechanism as stream_late_data_drop), so the
+    // history is batch-expressible for the oracle. State is one long
+    // per user — eviction semantics for unbounded key spaces are
+    // covered by stream_dedup_within_watermark (spec-asserted).
+    "stream_update_running_counts" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"))
+      val src = twoBatchSource(s,
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 =!= 0), "upd")
+      val schema = s.read.parquet(src).schema
+      val sdf = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      drain(sdf, "update").orderBy("user_id", "n")
+    }),
   )
+
+  /** Stage two single-file parquet batches into one source dir with
+    * FORCED modification times (fixed epoch base) so that
+    * maxFilesPerTrigger=1 processes `first` then `second` — the
+    * deterministic two-micro-batch arrival order several keys need.
+    * Fixed scratch paths per `name` (pre-cleaned by tmpDir). */
+  private def twoBatchSource(s: SparkSession, first: DataFrame,
+      second: DataFrame, name: String): String = {
+    import org.apache.hadoop.fs.Path
+    val scratch = graft.sources.Staging.tmpDir(s"${name}_scratch")
+    val src = graft.sources.Staging.tmpDir(s"${name}_src")
+    first.coalesce(1).write.mode("overwrite").parquet(s"$scratch/f1")
+    second.coalesce(1).write.mode("overwrite").parquet(s"$scratch/f2")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    def placeAs(fromDir: String, fname: String, mtime: Long): Unit = {
+      val part = fs.listStatus(new Path(fromDir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dest = new Path(src, fname)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, true,
+        s.sparkContext.hadoopConfiguration)
+      fs.setTimes(dest, mtime, -1)
+    }
+    val t0 = 1600000000000L // fixed epoch-ms: deterministic ordering
+    placeAs(s"$scratch/f1", "00_first.parquet", t0)
+    placeAs(s"$scratch/f2", "01_second.parquet", t0 + 60000)
+    src
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_window" ->
@@ -444,6 +479,20 @@ object Streaming {
          WHERE epoch_us(ws) > mid
            AND epoch_us(ws) + 3600000000 <= hi - 1800000000
          ORDER BY ws""",
+    // update-mode history: one row per user per micro-batch that
+    // changed it — (u, n_batch1) for users in the even-id half, plus
+    // (u, n_total) for users also touched by the odd-id half
+    "stream_update_running_counts" ->
+      """WITH e AS (SELECT user_id, event_id % 2 = 0 AS in_a
+                    FROM events WHERE user_id % 10 = 0),
+              a AS (SELECT user_id, count(*) AS n FROM e
+                    WHERE in_a GROUP BY user_id),
+              t AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id),
+              b AS (SELECT DISTINCT user_id FROM e WHERE NOT in_a)
+         SELECT user_id, n FROM a
+         UNION ALL
+         SELECT t.user_id, t.n FROM t JOIN b USING (user_id)
+         ORDER BY user_id, n""",
     // single AvailableNow batch → watermark still 0 during the batch,
     // no state eviction → exact distinct (the API difference is the
     // eviction contract, which only shows across micro-batches)

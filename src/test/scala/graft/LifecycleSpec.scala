@@ -69,4 +69,17 @@ class LifecycleSpec extends GraftSuite {
       .filter(col("p_partkey") % 10 === 0).count()
     assert(n == 2 * ids)
   }
+
+  test("scan_schema_widening upcasts int32/float32 epochs under the " +
+      "declared wide schema") {
+    val out = SparkEntry.queries("scan_schema_widening")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("v1_narrow", "v2_wide"))
+    // v2 keys really exceed int32 range — the widening was load-bearing
+    assert(out("v2_wide").getLong(3) > Int.MaxValue.toLong)
+    assert(out("v1_narrow").getLong(3) <= Int.MaxValue.toLong)
+    // nothing lost across the two epochs
+    val total = out("v1_narrow").getLong(1) + out("v2_wide").getLong(1)
+    assert(total == Tables.orders(spark, sf).count())
+  }
 }

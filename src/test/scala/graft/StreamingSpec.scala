@@ -108,6 +108,30 @@ class StreamingSpec extends GraftSuite {
       "dropDuplicates keeps id state forever")
   }
 
+  test("stream_update_running_counts: one history row per touching batch, " +
+      "final row equals the batch total") {
+    val hist = Streaming.queries("stream_update_running_counts")(spark, sf)
+      .cache()
+    val e = Tables.events(spark, sf).filter(col("user_id") % 10 === 0)
+      .select("user_id", "event_id")
+    // users with events in both parity halves update twice → 2 rows;
+    // single-half users update once → 1 row
+    val expected = e.groupBy("user_id")
+      .agg(sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("na"),
+        count(lit(1)).as("nt"))
+      .select(col("user_id"),
+        when(col("na") > 0 && col("na") < col("nt"), 2L).otherwise(1L)
+          .as("k"))
+    val rowsPerUser = hist.groupBy("user_id").agg(count(lit(1)).as("k"))
+    assert(rowsPerUser.except(expected).isEmpty &&
+      expected.except(rowsPerUser).isEmpty)
+    // the last update per user is the full running count
+    val finals = hist.groupBy("user_id").agg(max("n").as("n"))
+    val totals = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finals.except(totals).isEmpty && totals.except(finals).isEmpty)
+    hist.unpersist()
+  }
+
   test("stream_late_data_drop: 2 micro-batches, no below-mid window leaks, " +
       "result equals the batch formulation") {
     import org.apache.spark.sql.streaming.Trigger
