@@ -58,6 +58,10 @@ object Clustering {
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         .cache()
       var labels = verts.select(col("n"), col("n").as("lab")).cache()
+      // the frame actually HOLDING the current round's cached blocks
+      // (labels itself becomes a stats-reset wrapper, whose unpersist
+      // is a no-op — see below)
+      var storage = labels
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 16) {
@@ -69,22 +73,39 @@ object Clustering {
           .select(labels("n"),
             least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
         // (2) pointer jump: lab := lab(lab) — labels only decrease and
-        // every label is itself a node, so the lookup always hits
+        // every label is itself a node, so the lookup always hits.
+        // (A double jump was tried for the r5 ANN chain graphs and did
+        // NOT reduce the round count — 12 rounds either way at sf0.1 —
+        // so the extra per-round join is not paid.)
         val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
         // localCheckpoint, not cache: each round references the prior
         // round's frame TWICE (neighbor join + pointer jump), so the
         // logical plan doubles per round — lineage must be truncated
         // or planning itself blows up exponentially
-        val next = m1.join(j, m1("lab") === j("jn"))
+        val ck = m1.join(j, m1("lab") === j("jn"))
           .select(m1("n"), col("jlab").as("lab"))
           .localCheckpoint(true)
+        // REBUILD from the checkpointed RDD: localCheckpoint PRESERVES
+        // the origin plan's ESTIMATED statistics, so sizeInBytes
+        // compounds multiplicatively round over round (^2 per round
+        // here; ^4 with a double jump, where the optimizer visibly
+        // spun multiplying million-bit BigIntegers —
+        // BigInteger.multiplyToomCook3 pinned the main thread). A
+        // fresh LogicalRDD resets the estimate each round.
+        val next = s.createDataFrame(ck.rdd, ck.schema)
         changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
           .filter(col("lab") =!= col("old")).count()
-        labels.unpersist()
+        storage.unpersist()
+        storage = ck
         labels = next
         iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[components] round=$iter changed=$changed")
       }
       edges.unpersist()
+      // NOTE: the final round's checkpoint blocks (`storage`) stay
+      // cached — the returned frame reads them; they are sample-sized
+      // and released when the session GCs the RDD.
       labels
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
