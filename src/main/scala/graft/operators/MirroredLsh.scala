@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   * multiply-adds, embarrassingly parallel, no shuffle; the candidate
   * join shuffles (table, signature, vec_id) triples only. `NBits`
   * grows with log2(corpus / target bucket size) so per-bucket work is
-  * constant; the fixture geometry (near-random vectors, true-NN cosine
-  * 0.36–0.48) is the adversarial case documented in Similarity.scala.
+  * constant. Geometry: the fixture embeddings are near-random —
+  * true-NN cosine only 0.36–0.48 (per-bit collision p ≈ 0.63), the
+  * adversarial case for sign-LSH; 20 tables × 6 bits targets recall
+  * 1−(1−p⁶)²⁰ ≈ 0.74 at a ~27 % candidate fraction. Clustered real
+  * corpora (p ≥ 0.9 inside a near-dup cluster) reach the same recall
+  * with 3–4 tables and a far smaller candidate set.
   */
 object MirroredLsh {
   val NTables = 20

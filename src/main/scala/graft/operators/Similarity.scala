@@ -183,23 +183,29 @@ object Similarity {
       out
     }),
 
-    // Approximate NN at scale: seeded sign-random-projection LSH in
-    // pure DataFrame ops — b sign-bits per table bucket the corpus, L
-    // tables OR-amplify recall, and the exact cosine kernel runs ONLY
-    // on hash-colliding pairs (never all-pairs). Replaces the earlier
-    // MLlib approxSimilarityJoin formulation, whose explode-join over
-    // per-table hash arrays plus a non-codegen distance UDF made the
-    // candidate stage both larger and slower; here the bucket join is
-    // a plain shuffled equi-join on (table, signature) and the scoring
-    // loop is the codegen'd native expression. No oracle (approx) —
-    // determinism + recall vs brute force property-tested in
-    // SimilaritySpec.
-    "sim_lsh_ann" -> ((s, d) =>
-      lshCandidates(s, d)
+    // Approximate NN at scale: sign-LSH in pure DataFrame ops — b
+    // sign-bits per table bucket the corpus, L tables OR-amplify
+    // recall, and the exact cosine kernel runs ONLY on hash-colliding
+    // pairs (never all-pairs); the bucket join is a plain shuffled
+    // equi-join on (table, signature) and the scoring loop is the
+    // codegen'd native expression. Since r5 the hyperplanes are the
+    // ORACLE-MIRRORED md5-Rademacher set (MirroredLsh), so this key is
+    // oracle-checked end-to-end (previously no-oracle): DuckDB
+    // reproduces the exact candidate set and the fingerprint.
+    // Aggregates are drift-proofed: decimal-quantized cosine sum for
+    // the mean, floor-scale for both outputs (§5.4.2).
+    "sim_lsh_ann" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      MirroredLsh.candidates(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
         .agg(
           count(lit(1)).as("n_pairs"),
-          round(avg(col("cos")), 4).as("avg_cos"),
-          round(max(col("cos")), 4).as("max_cos"))),
+          (floor(sum(col("cos").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)) * 10000).cast("double") / 10000.0)
+            .as("avg_cos"),
+          (floor(max(col("cos")) * 10000).cast("double") / 10000.0)
+            .as("max_cos"))
+    }),
 
     // Int8 scalar quantization of the embedding column — the memory/
     // bandwidth lever for ANN at 100 TB: 4× smaller vectors mean 4×
@@ -228,70 +234,24 @@ object Similarity {
         .orderBy("vec_id")),
   )
 
-  // LSH geometry: L tables × b sign-bits. The fixture embeddings are
-  // near-random — measured true-NN cosine is only 0.36–0.48 (≈66°,
-  // per-bit collision p ≈ 0.63) while non-neighbors sit at 90° — the
-  // adversarial case for sign-LSH. 20 tables × 6 bits targets recall
-  // 1-(1-p^6)^20 ≈ 0.74 at a ~27% candidate fraction; clustered real
-  // corpora (p ≥ 0.9 within a near-dup cluster) reach the same recall
-  // with 3-4 tables and a far smaller candidate set. At 100 TB, b
-  // grows with log2(corpus/target-bucket-size) so per-bucket work
-  // stays constant while the bucket join remains one shuffle on
-  // (table, signature).
-  private val LshTables = 20
-  private val LshBits = 6
-  private val LshDim = 64
-
-  /** Deterministic Gaussian hyperplanes — fixed seed, same planes on
-    * every executor/run (broadcast with the UDF closure; 6×6×64
-    * doubles ≈ 18 KB). */
-  private lazy val lshPlanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42L)
-    Array.fill(LshTables * LshBits)(Array.fill(LshDim)(rnd.nextGaussian()))
-  }
-
-  /** Per-vector signatures: one b-bit sign pattern per table. A scalar
-    * UDF is acceptable here — bounded per-row compute with no shuffle
-    * implications — but it does fence codegen, so it runs once in the
-    * projection that feeds the bucket join, never per candidate pair. */
-  private lazy val lshSigUdf = {
-    val planes = lshPlanes
-    val (tables, bits, dim) = (LshTables, LshBits, LshDim)
-    udf((emb: Seq[Float]) => {
-      val v = emb.toArray
-      Array.tabulate(tables) { t =>
-        var sig = 0
-        var j = 0
-        while (j < bits) {
-          val p = planes(t * bits + j)
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += p(i) * v(i); i += 1 }
-          if (dot > 0) sig |= 1 << j
-          j += 1
-        }
-        sig
-      }
-    })
-  }
-
-  /** LSH candidate pairs (a < b) with exact cosine, deduped across
-    * tables. Shared by the declared query and SimilaritySpec's recall
-    * test. */
-  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(
-      col("vec_id"), col("embedding"),
-      posexplode(lshSigUdf(col("embedding"))).as(Seq("t", "sig")))
-    e.as("x").join(e.as("y"),
-        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        expr("cosine_sim(x.embedding, y.embedding)").as("cos"))
-      .groupBy("a", "b").agg(max(col("cos")).as("cos")) // dedup multi-table hits
-  }
-
   val oracles: Map[String, String] = Map(
+    "sim_lsh_ann" ->
+      s"""WITH ${MirroredLsh.candidateSqlCtes("TRUE")},
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              sc AS (SELECT list_aggregate(list_transform(
+                              range(1, len(x.v) + 1),
+                              i -> x.v[i] * y.v[i]), 'sum')
+                            / (x.nrm * y.nrm) AS cos
+                     FROM cand JOIN n x ON x.vec_id = cand.a
+                               JOIN n y ON y.vec_id = cand.b)
+         SELECT count(*) AS n_pairs,
+                floor(CAST(sum(CAST(cos AS DECIMAL(28,10))) AS DOUBLE)
+                      / count(*) * 10000) / 10000 AS avg_cos,
+                floor(max(cos) * 10000) / 10000 AS max_cos
+         FROM sc""",
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -41,7 +41,7 @@ class SimilaritySpec extends GraftSuite {
       .select(col("q"), col("vec_id").as("nn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truePairs.nonEmpty)
-    val found = graft.operators.Similarity.lshCandidates(spark, sf)
+    val found = graft.operators.MirroredLsh.candidates(e)
       .select(col("a"), col("b"))
       .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
                                   (r.getLong(1), r.getLong(0)))).toSet
