@@ -36,12 +36,23 @@ object DedupAdvanced {
     * xxhash64 token hashes, per-bit majority vote, emitted as a
     * 64-char bit string. Shared by the declared query and
     * DedupAdvancedSpec (so the spec always tests THIS construction). */
+  /** 64-bit SimHash as a '0'/'1' bit string. Token hash = the first 64
+    * bits of md5(token) (hex-nibble extraction — the same derivation as
+    * MirroredLsh's hyperplane signs), so since r5 the signature is
+    * reproducible in the DuckDB oracle; xxhash64 (the usual choice)
+    * has no DuckDB twin and kept this key no-oracle through r4.
+    * Per-bit ±1 majority over the document's tokens; integer sums →
+    * deterministic; tie (even token count) → '0' in both engines. */
   private[graft] def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("h"))
     val bits = tok.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 63), j -> named_struct(
            'pos', j,
-           'pm', CASE WHEN ((xxhash64(token) >> j) & 1) = 1
+           'pm', CASE WHEN (cast(conv(substring(h, cast(j div 4 as int) + 1, 1),
+                                      16, 10) as int)
+                            >> (3 - j % 4)) & 1 = 1
                       THEN 1 ELSE -1 END))"""
     )).as("pb")).select(col("doc_id"), col("pb.pos").as("pos"), col("pb.pm").as("pm"))
     bits.groupBy("doc_id", "pos").agg(sum("pm").as("sg"))
@@ -203,20 +214,31 @@ object DedupAdvanced {
         .limit(10)
     }),
 
-    // 64-bit SimHash (xxhash64 token hashes, per-bit majority vote) +
-    // pairwise Hamming distance via the native codegen hamming_bits
-    // kernel (one fused byte loop vs the HOF split/zip_with chain's
-    // three array allocations per pair). xxhash64 has no DuckDB twin →
-    // no-oracle; properties tested in DedupAdvancedSpec.
+    // 64-bit SimHash (md5-bit token hashes, per-bit majority vote) +
+    // Hamming distance via the native codegen hamming_bits kernel (one
+    // fused byte loop vs the HOF split/zip_with chain's three array
+    // allocations per pair). Candidates come from a 4×16-bit BAND
+    // equi-join — any pair within Hamming ≤ 3 must share an exact
+    // band (pigeonhole), the standard SimHash scale path; exact
+    // Hamming runs on collisions only, never all-pairs. Oracle-checked
+    // since r5: md5 signatures + band join are reproduced in SQL.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val sims = simhash(
         Tables.documents(s, d)
           .filter(col("doc_id") % 25 === 0)
           .select(col("doc_id"), col("text")))
-      sims.toDF("a", "ha").join(sims.toDF("b", "hb"), col("a") < col("b"))
-        .select(col("a"), col("b"),
-          expr("hamming_bits(ha, hb)").as("hamming"))
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> substring(simhash, b * 16 + 1, 16))"))
+          .as(Seq("band", "bval")))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("hamming_bits(x.simhash, y.simhash)").as("hamming"))
+        .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(10)
     }),
@@ -319,6 +341,36 @@ object DedupAdvanced {
                     FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT a, b, round(CAST(ni AS DOUBLE) / (tot - ni), 4) AS jac
          FROM p ORDER BY jac DESC, a, b LIMIT 10""",
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, md5(token) AS h
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS token
+                          FROM documents WHERE doc_id % 25 = 0)),
+              bts AS (SELECT doc_id, j,
+                             CASE WHEN ((strpos('0123456789abcdef',
+                                         substr(h, (j//4)+1, 1)) - 1)
+                                        >> (3 - (j%4))) & 1 = 1
+                                  THEN 1 ELSE -1 END AS pm
+                      FROM t, (SELECT unnest(range(0, 64)) AS j) js),
+              sg AS (SELECT doc_id, j, sum(pm) AS s
+                     FROM bts GROUP BY doc_id, j),
+              sh AS (SELECT doc_id,
+                            string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                                       '' ORDER BY j) AS simhash
+                     FROM sg GROUP BY doc_id),
+              bd AS (SELECT doc_id, simhash, bb,
+                            substr(simhash, bb*16+1, 16) AS bval
+                     FROM sh, (SELECT unnest(range(0, 4)) AS bb) bs),
+              cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                              x.simhash AS sa, y.simhash AS sb
+                       FROM bd x JOIN bd y ON x.bb = y.bb AND x.bval = y.bval
+                                          AND x.doc_id < y.doc_id)
+         SELECT da AS a, db AS b,
+                CAST(list_aggregate(list_transform(range(1, 65),
+                       i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+                                 THEN 1 ELSE 0 END), 'sum') AS INTEGER)
+                  AS hamming
+         FROM cand ORDER BY hamming, a, b LIMIT 10""",
     "dedup_embedding_neardup" ->
       s"""WITH ${MirroredLsh.candidateSqlCtes("vec_id % 20 = 0")},
               n AS (SELECT vec_id, v,
