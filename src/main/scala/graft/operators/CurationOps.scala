@@ -153,9 +153,167 @@ object CurationOps {
           col("label"), round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rank")
     }),
+
+    // THE composed text-curation funnel in one declared query — the
+    // pipeline a training-corpus job actually runs over raw documents,
+    // every stage the already-verified primitive: (1) exact content
+    // dedup (keep min doc per md5(text)), (2) Gopher-style repetition
+    // filter (dup-bigram ≤ 5 %, top-token ≤ 12 %), (3) composite
+    // quality ≥ 0.55 (same formula as text_quality_score — ratios of
+    // integer counts combined in a fixed op order, so both engines
+    // compute bit-identical doubles and the threshold is
+    // deterministic even at zero margin), (4) benchmark
+    // decontamination (5-gram overlap with the held-out eval slice),
+    // (5) paragraph dedup (a 20-token chunk owned by an earlier doc
+    // drops the later one — C4-style). Output: the per-lang survivor
+    // funnel, integer counts only. ONE pass builds per-doc flags
+    // (scan + a few key-joins, each stage's state is per-doc/chunk
+    // aggregates — never a second corpus scan), so the composition
+    // scales exactly like its stages.
+    "pipeline_curation_e2e" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          split(col("text"), " ").as("t"))
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      val tok = corpus.select(col("doc_id"), explode(col("t")).as("w"))
+      val keepExact = corpus.groupBy(md5(col("text")).as("ch"))
+        .agg(min(col("doc_id")).as("kid"))
+        .select(col("kid").as("doc_id"), lit(true).as("exact_keep"))
+      val topf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("topf"))
+      val dupf = corpus.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), k -> concat_ws(' ', element_at(t, k), element_at(t, k+1)))"
+        )).as("b"))
+        .groupBy("doc_id")
+        .agg((lit(1.0) - countDistinct(col("b")).cast("double") / count(lit(1)))
+          .as("dupf"))
+      val top5 = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(5).select(col("w").as("sw"))
+      val qual = tok.join(broadcast(top5), col("w") === col("sw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_types"),
+          (count(col("sw")).cast("double") / count(lit(1))).as("stop_raw"))
+        .select(col("doc_id"),
+          (col("n_types").cast("double") / col("n_tok") * 0.4
+            + (lit(1) - col("stop_raw")) * 0.3
+            + least(col("n_tok") / 100.0, lit(1.0)) * 0.3).as("quality"))
+      val sh5 = all.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(shingle5)).as("g"))
+      val evalSet = sh5.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      val contam = sh5.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "g").select("doc_id").distinct()
+        .withColumn("is_contam", lit(true))
+      val chunks = corpus.filter(size(col("t")) >= 20)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(t) div 20 - 1),
+               k -> md5(concat_ws(' ', slice(t, k * 20 + 1, 20))))"""
+        )).as("h"))
+      val paraDup = chunks
+        .join(chunks.groupBy("h").agg(min("doc_id").as("own")), "h")
+        .filter(col("doc_id") > col("own")).select("doc_id").distinct()
+        .withColumn("is_paradup", lit(true))
+      corpus
+        .join(keepExact, Seq("doc_id"), "left")
+        .join(topf, Seq("doc_id"), "left")
+        .join(dupf, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(paraDup, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(col("exact_keep"), lit(false)).as("p1"),
+          (coalesce(col("dupf"), lit(0.0)) <= 0.05 &&
+            col("topf") <= 0.12).as("rep_ok"),
+          (col("quality") >= 0.55).as("q_ok"),
+          coalesce(col("is_contam"), lit(false)).as("bad4"),
+          coalesce(col("is_paradup"), lit(false)).as("bad5"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_in"),
+          count(when(col("p1"), 1)).as("n_exact"),
+          count(when(col("p1") && col("rep_ok"), 1)).as("n_rep"),
+          count(when(col("p1") && col("rep_ok") && col("q_ok"), 1))
+            .as("n_quality"),
+          count(when(col("p1") && col("rep_ok") && col("q_ok") &&
+            !col("bad4"), 1)).as("n_decontam"),
+          count(when(col("p1") && col("rep_ok") && col("q_ok") &&
+            !col("bad4") && !col("bad5"), 1)).as("n_kept"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curation_e2e" ->
+      """WITH corpus AS (SELECT doc_id, lang, text,
+                                string_split(text, ' ') AS t
+                         FROM documents WHERE doc_id % 97 <> 0),
+              tok AS (SELECT doc_id, unnest(t) AS w FROM corpus),
+              ke AS (SELECT min(doc_id) AS doc_id FROM corpus
+                     GROUP BY md5(text)),
+              topf AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topf
+                       FROM (SELECT doc_id, w, count(*) AS c FROM tok
+                             GROUP BY doc_id, w)
+                       GROUP BY doc_id),
+              bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                              k -> t[k] || ' ' || t[k+1])) AS b
+                     FROM corpus WHERE len(t) >= 2),
+              dupf AS (SELECT doc_id,
+                              1.0 - CAST(count(DISTINCT b) AS DOUBLE)/count(*)
+                                AS dupf
+                       FROM bg GROUP BY doc_id),
+              top5 AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok
+                       GROUP BY w ORDER BY c DESC, w LIMIT 5)),
+              qual AS (SELECT doc_id,
+                              (CAST(count(DISTINCT w) AS DOUBLE)/count(*)) * 0.4
+                              + (1 - CAST(count(CASE WHEN w IN
+                                    (SELECT w FROM top5) THEN 1 END)
+                                  AS DOUBLE)/count(*)) * 0.3
+                              + least(count(*)/100.0, 1.0) * 0.3 AS quality
+                       FROM tok GROUP BY doc_id),
+              sh AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(t) - 3),
+                              k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]
+                                   || ' ' || t[k+3] || ' ' || t[k+4])) AS g
+                     FROM (SELECT doc_id, string_split(text, ' ') AS t
+                           FROM documents)
+                     WHERE len(t) >= 5),
+              ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+              contam AS (SELECT DISTINCT doc_id FROM sh
+                         WHERE doc_id % 97 <> 0
+                           AND g IN (SELECT g FROM ev)),
+              ch AS (SELECT doc_id,
+                            md5(array_to_string(t[(k*20+1):(k*20+20)], ' '))
+                              AS h
+                     FROM corpus, unnest(range(0, len(t) // 20)) AS u(k)
+                     WHERE len(t) >= 20),
+              para AS (SELECT DISTINCT c.doc_id FROM ch c
+                       JOIN (SELECT h, min(doc_id) AS own FROM ch
+                             GROUP BY h) m ON c.h = m.h
+                       WHERE c.doc_id > m.own),
+              fl AS (SELECT corpus.doc_id, lang,
+                            corpus.doc_id IN (SELECT doc_id FROM ke) AS p1,
+                            coalesce(dupf.dupf, 0.0) <= 0.05
+                              AND topf.topf <= 0.12 AS rep_ok,
+                            qual.quality >= 0.55 AS q_ok,
+                            corpus.doc_id IN (SELECT doc_id FROM contam)
+                              AS bad4,
+                            corpus.doc_id IN (SELECT doc_id FROM para)
+                              AS bad5
+                     FROM corpus
+                     LEFT JOIN dupf ON corpus.doc_id = dupf.doc_id
+                     JOIN topf ON corpus.doc_id = topf.doc_id
+                     JOIN qual ON corpus.doc_id = qual.doc_id)
+         SELECT lang, count(*) AS n_in,
+                count(CASE WHEN p1 THEN 1 END) AS n_exact,
+                count(CASE WHEN p1 AND rep_ok THEN 1 END) AS n_rep,
+                count(CASE WHEN p1 AND rep_ok AND q_ok THEN 1 END)
+                  AS n_quality,
+                count(CASE WHEN p1 AND rep_ok AND q_ok AND NOT bad4 THEN 1
+                  END) AS n_decontam,
+                count(CASE WHEN p1 AND rep_ok AND q_ok AND NOT bad4
+                  AND NOT bad5 THEN 1 END) AS n_kept
+         FROM fl GROUP BY lang ORDER BY lang""",
     "text_contamination_ngram" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                       FROM documents),

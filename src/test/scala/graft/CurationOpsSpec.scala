@@ -49,4 +49,20 @@ class CurationOpsSpec extends GraftSuite {
       assert(rs.forall(r => r.getDouble(5) >= -1.0001 && r.getDouble(5) <= 1.0001))
     }
   }
+
+  test("pipeline_curation_e2e: funnel is monotone and covers the corpus") {
+    val rows = CurationOps.queries("pipeline_curation_e2e")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val counts = (1 to 6).map(r.getLong) // n_in ... n_kept
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"funnel must be monotone non-increasing: ${r.mkString(",")}")
+      assert(counts.last >= 0 && counts.head > 0)
+    }
+    val corpusTotal = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == corpusTotal,
+      "per-lang n_in must partition the decontaminated corpus")
+  }
 }
