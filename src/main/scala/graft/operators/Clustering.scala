@@ -69,8 +69,11 @@ object Clustering {
         val nbr = edges.join(labels, edges("src") === labels("n"))
           .select(edges("dst").as("n2"), labels("lab").as("nl"))
           .groupBy("n2").agg(min(col("nl")).as("nl"))
+        // carry the prior label through so fixpoint detection is a
+        // filter-count over the materialized checkpoint, not an extra
+        // per-round join job
         val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
-          .select(labels("n"),
+          .select(labels("n"), labels("lab").as("old"),
             least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
         // (2) pointer jump: lab := lab(lab) — labels only decrease and
         // every label is itself a node, so the lookup always hits.
@@ -83,8 +86,9 @@ object Clustering {
         // logical plan doubles per round — lineage must be truncated
         // or planning itself blows up exponentially
         val ck = m1.join(j, m1("lab") === j("jn"))
-          .select(m1("n"), col("jlab").as("lab"))
+          .select(m1("n"), m1("old"), col("jlab").as("lab"))
           .localCheckpoint(true)
+        changed = ck.filter(col("lab") =!= col("old")).count()
         // REBUILD from the checkpointed RDD: localCheckpoint PRESERVES
         // the origin plan's ESTIMATED statistics, so sizeInBytes
         // compounds multiplicatively round over round (^2 per round
@@ -92,9 +96,8 @@ object Clustering {
         // spun multiplying million-bit BigIntegers —
         // BigInteger.multiplyToomCook3 pinned the main thread). A
         // fresh LogicalRDD resets the estimate each round.
-        val next = s.createDataFrame(ck.rdd, ck.schema)
-        changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
-          .filter(col("lab") =!= col("old")).count()
+        val slim = ck.select(col("n"), col("lab"))
+        val next = s.createDataFrame(slim.rdd, slim.schema)
         storage.unpersist()
         storage = ck
         labels = next
