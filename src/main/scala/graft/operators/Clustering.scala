@@ -24,10 +24,11 @@ import graft.Tables
   * only counts changed labels per round to detect the fixpoint
   * (a scalar per round, same pattern as any iterative MLlib job).
   *
-  * The pair stage here scores the sampled corpus all-pairs with the
-  * native cosine kernel (bounded: |sample|² evaluations); at scale the
-  * input pairs come from `sim_lsh_ann`/`dedup_minhash_lsh` candidates
-  * instead — the closure is agnostic to the candidate generator.
+  * The pair stage (r5) is the oracle-mirrored sign-LSH bucket join
+  * (`MirroredLsh.candidates`) with the native cosine kernel refining
+  * collisions only — the same candidate-generator family the closure
+  * consumes at 100 TB; the closure itself is agnostic to the
+  * generator.
   *
   * Oracle: DuckDB computes the same components via a recursive CTE
   * (label = min reachable node id), so rows+hash check end-to-end.
