@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -125,45 +124,63 @@ object Similarity {
     }),
 
     // IVF (inverted-file) ANN — the second scale path beside LSH:
-    // seeded k-means coarse quantizer partitions the corpus into 16
-    // cells; each probe searches only its 2 nearest cells with the
-    // native cosine kernel. At 100 TB the cell id becomes the
-    // partition key, so a probe touches 2/16ths of the data. No
-    // oracle (k-means is float-iterative); recall property-tested in
-    // SimilaritySpec.
+    // a coarse quantizer partitions the corpus into 16 cells; each
+    // probe searches only its 2 nearest cells with the native cosine
+    // kernel. At 100 TB the cell id becomes the partition key, so a
+    // probe touches 2/16ths of the data; assignment is a
+    // broadcast-centroid linear scan, exactly this plan. Since r5 the
+    // quantizer is a hand-rolled Lloyd loop the ORACLE REPRODUCES
+    // digit-for-digit (previously seeded MLlib k-means — no oracle):
+    // seeds = the 16 lowest-id vectors, 2 update rounds, per-dim
+    // means through DECIMAL(28,10) sums (exact, order-independent —
+    // the scaled sums stay < 2^53 so the decimal→double conversion
+    // is exact in both engines), distances/cosines as index-order
+    // left folds. Empty cells keep their previous centroid.
     "sim_ivf_ann" -> ((s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
       graft.functions.GraftFunctions.register(s)
-      val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-      // cached: k-means is iterative — without this every iteration
-      // re-scans parquet and re-runs the vectorizing UDF
+      import s.implicits._
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          toVec(col("embedding")).as("features"))
+          expr(dbl("embedding")).as("v"))
         .cache()
-      // fit on a canonically-ORDERED SINGLE-PARTITION training frame:
-      // seeded k-means|| is still partition-layout-sensitive (init
-      // sampling + aggregation order — DeterminismSweepSpec caught the
-      // drift), and a coarse quantizer is trained on a bounded
-      // deterministic sample at any corpus scale (faiss-style), so the
-      // single partition is the 100 TB design too, not a fixture hack.
-      val train = emb.sort("vec_id").coalesce(1).cache()
-      val model = new KMeans().setK(16).setSeed(7L).setMaxIter(3)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(train)
-      train.unpersist()
-      val assigned = model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      import s.implicits._
-      val cents = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-        .toDF("cid", "cvec")
-      val probes = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dim = 64
+      var cents: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(16)
+        .select("v").collect().map(_.getSeq[Double](0)).toSeq
+        .zipWithIndex.map { case (v, i) => (i, v) }
+      def assign(c: Seq[(Int, Seq[Double])]): DataFrame = {
+        val cdf = c.toDF("cid", "cv")
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        emb.crossJoin(broadcast(cdf))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, t) -> acc + t)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("v"), col("cid"))
+      }
+      for (_ <- 1 to 2) {
+        val means = assign(cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+        cents = cents.map { case (cid, old) =>
+          (cid, Seq.tabulate(dim)(j => means.getOrElse((cid, j), old(j))))
+        }
+      }
+      val assigned = assign(cents).withColumnRenamed("cid", "cell")
+      val cdf = cents.toDF("cid", "cv")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("v").as("qv"))
       val wc = Window.partitionBy("qid")
         .orderBy(col("csim").desc, col("cid"))
-      val probeCells = probes.crossJoin(broadcast(cents))
-        .withColumn("csim", expr("cosine_sim(qe, cvec)"))
+      val probeCells = probes.crossJoin(broadcast(cdf))
+        .withColumn("csim", expr(
+          s"""${fsum("zip_with(qv, cv, (x, y) -> x * y)")}
+              / (sqrt(${fsum("zip_with(qv, qv, (x, y) -> x * y)")})
+                 * sqrt(${fsum("zip_with(cv, cv, (x, y) -> x * y)")}))"""))
         .withColumn("rn", row_number().over(wc))
         .filter(col("rn") <= 2)
         .select("qid", "qe", "cid")
@@ -235,6 +252,96 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_ann" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                              AS INTEGER) - 1 AS cid, v AS cv
+                     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+              a1 AS (SELECT vec_id, v, cid FROM (
+                       SELECT e.vec_id, e.v, c.cid,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 65), i -> (e.v[i] - c.cv[i])
+                                    * (e.v[i] - c.cv[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM e, c0 c) WHERE rn = 1),
+              m1 AS (SELECT cid, dim,
+                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                              / count(*) AS m
+                     FROM (SELECT cid, dd.dim, v[dd.dim + 1] AS x
+                           FROM a1, (SELECT unnest(range(0, 64)) AS dim) dd)
+                     GROUP BY cid, dim),
+              c1 AS (SELECT c0.cid,
+                            list(coalesce(m1.m, c0.cv[dd.dim + 1])
+                                 ORDER BY dd.dim) AS cv
+                     FROM c0
+                     CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) dd
+                     LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = dd.dim
+                     GROUP BY c0.cid),
+              a2 AS (SELECT vec_id, v, cid FROM (
+                       SELECT e.vec_id, e.v, c.cid,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 65), i -> (e.v[i] - c.cv[i])
+                                    * (e.v[i] - c.cv[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM e, c1 c) WHERE rn = 1),
+              m2 AS (SELECT cid, dim,
+                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                              / count(*) AS m
+                     FROM (SELECT cid, dd.dim, v[dd.dim + 1] AS x
+                           FROM a2, (SELECT unnest(range(0, 64)) AS dim) dd)
+                     GROUP BY cid, dim),
+              c2 AS (SELECT c1.cid,
+                            list(coalesce(m2.m, c1.cv[dd.dim + 1])
+                                 ORDER BY dd.dim) AS cv
+                     FROM c1
+                     CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) dd
+                     LEFT JOIN m2 ON m2.cid = c1.cid AND m2.dim = dd.dim
+                     GROUP BY c1.cid),
+              af AS (SELECT vec_id, cid FROM (
+                       SELECT e.vec_id, c.cid,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 65), i -> (e.v[i] - c.cv[i])
+                                    * (e.v[i] - c.cv[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM e, c2 c) WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              pc AS (SELECT qid, cid FROM (
+                       SELECT q.qid, c.cid,
+                              row_number() OVER (PARTITION BY q.qid
+                                ORDER BY (list_aggregate(list_transform(
+                                    range(1, 65), i -> q.qv[i] * c.cv[i]),
+                                    'sum')
+                                  / (sqrt(list_aggregate(list_transform(
+                                      range(1, 65), i -> q.qv[i] * q.qv[i]),
+                                      'sum'))
+                                     * sqrt(list_aggregate(list_transform(
+                                         range(1, 65), i -> c.cv[i] * c.cv[i]),
+                                         'sum')))) DESC, c.cid) AS rn
+                       FROM q, c2 c) WHERE rn <= 2),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              cands AS (SELECT pc.qid, af.vec_id,
+                               list_aggregate(list_transform(range(1, 65),
+                                 i -> qn.v[i] * xn.v[i]), 'sum')
+                                 / (qn.nrm * xn.nrm) AS cos
+                        FROM pc JOIN af ON af.cid = pc.cid
+                        JOIN n qn ON qn.vec_id = pc.qid
+                        JOIN n xn ON xn.vec_id = af.vec_id
+                        WHERE af.vec_id <> pc.qid),
+              rk AS (SELECT qid, vec_id, cos,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                     FROM cands)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
+                round(cos, 4) AS cos
+         FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
     "sim_lsh_ann" ->
       s"""WITH ${MirroredLsh.candidateSqlCtes("TRUE")},
               n AS (SELECT vec_id, v,
