@@ -166,10 +166,13 @@ object CurationOps {
     // decontamination (5-gram overlap with the held-out eval slice),
     // (5) paragraph dedup (a 20-token chunk owned by an earlier doc
     // drops the later one — C4-style). Output: the per-lang survivor
-    // funnel, integer counts only. ONE pass builds per-doc flags
-    // (scan + a few key-joins, each stage's state is per-doc/chunk
-    // aggregates — never a second corpus scan), so the composition
-    // scales exactly like its stages.
+    // funnel, integer counts only. Plan shape: each stage is a
+    // per-doc/chunk aggregate joined back on doc_id — a handful of
+    // COLUMN-PRUNED corpus scans (tokens, bigrams, shingles, chunks),
+    // never a per-stage pass over prior stages' output; at 100 TB the
+    // tokenized projection would be staged once and the stage
+    // aggregates would read that, leaving the join structure
+    // unchanged.
     "pipeline_curation_e2e" -> ((s, d) => {
       val all = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
