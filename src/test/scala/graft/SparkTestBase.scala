@@ -23,5 +23,8 @@ object SparkTestBase {
 
 abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
-  def sf: String = SparkTestBase.sf0001
+  // GRAFT_TEST_SF overrides the fixture dir for one-off deeper sweeps
+  // (e.g. the determinism sweep at sf0.01 before a driver round)
+  def sf: String =
+    sys.env.getOrElse("GRAFT_TEST_SF", SparkTestBase.sf0001)
 }
