@@ -86,10 +86,19 @@ object DedupAdvanced {
     * keys can never diverge on band/hash structure. */
   private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
     val shing = shingles(s, d)
-    val seeds = s.range(8).toDF("i")
-    val mh = shing.crossJoin(seeds)
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("h"))
+    // ONE aggregation pass computes all 8 seed-minima as parallel
+    // min() columns (map-side partial agg carries 8 digest states per
+    // doc), then unpivots to (doc_id, i, h) for the band join. The
+    // previous crossJoin(seeds) shape multiplied the shingle shuffle
+    // 8× — at 100 TB that is 8 corpus-sized shuffles vs one. Hash
+    // strings are identical ("i:shingle"), so signatures, candidates,
+    // and the oracle are unchanged (r5 plan fix).
+    val minCols = (0 until 8).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"h$i"))
+    val mh = shing.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .selectExpr("doc_id",
+        "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
+          ") AS (i, h)")
     val cand = mh.toDF("da", "ia", "ha")
       .join(mh.toDF("db", "ib", "hb"),
         col("ia") === col("ib") && col("ha") === col("hb") &&
