@@ -36,10 +36,20 @@ object Bench {
     println(line)
     // the driver keeps only the TAIL of stdout and has twice recorded
     // "parsed": null after truncation ate the line (r3, r4) — persist
-    // the full JSON to a file too so the numbers survive regardless
+    // the full JSON to a file too so the numbers survive regardless.
+    // Anchored to SPARK_GRAFT_BENCH_OUT or the repo root (not cwd —
+    // launched elsewhere the record would silently land in the wrong
+    // directory), and failures are logged, not swallowed.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d, "build.sbt")))
+        .map(d => s"$d/BENCH_SELF.json"))
+      .getOrElse("/root/repo/BENCH_SELF.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: failed to write $outPath: $e") }
     spark.stop()
   }
 }

@@ -192,7 +192,7 @@ object Analytics3 {
                            count(*) AS n
                     FROM events GROUP BY 1, 2),
               t AS (SELECT bucket, sum(n) AS tot FROM c GROUP BY bucket)
-         SELECT c.bucket, sum(n) AS n_events,
+         SELECT c.bucket, CAST(sum(n) AS BIGINT) AS n_events,
                 CAST(floor(-sum(CAST((CAST(n AS DOUBLE) / tot)
                     * ln(CAST(n AS DOUBLE) / tot) AS DECIMAL(28,10)))
                   * 10000) AS DOUBLE) / 10000 AS entropy

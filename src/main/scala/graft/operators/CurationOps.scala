@@ -297,16 +297,17 @@ object CurationOps {
               fl AS (SELECT corpus.doc_id, lang,
                             corpus.doc_id IN (SELECT doc_id FROM ke) AS p1,
                             coalesce(dupf.dupf, 0.0) <= 0.05
-                              AND topf.topf <= 0.12 AS rep_ok,
-                            qual.quality >= 0.55 AS q_ok,
+                              AND coalesce(topf.topf <= 0.12, false)
+                              AS rep_ok,
+                            coalesce(qual.quality >= 0.55, false) AS q_ok,
                             corpus.doc_id IN (SELECT doc_id FROM contam)
                               AS bad4,
                             corpus.doc_id IN (SELECT doc_id FROM para)
                               AS bad5
                      FROM corpus
                      LEFT JOIN dupf ON corpus.doc_id = dupf.doc_id
-                     JOIN topf ON corpus.doc_id = topf.doc_id
-                     JOIN qual ON corpus.doc_id = qual.doc_id)
+                     LEFT JOIN topf ON corpus.doc_id = topf.doc_id
+                     LEFT JOIN qual ON corpus.doc_id = qual.doc_id)
          SELECT lang, count(*) AS n_in,
                 count(CASE WHEN p1 THEN 1 END) AS n_exact,
                 count(CASE WHEN p1 AND rep_ok THEN 1 END) AS n_rep,

@@ -32,10 +32,6 @@ import graft.Tables
 object DedupAdvanced {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 64-bit SimHash per document from a (doc_id, text) frame —
-    * xxhash64 token hashes, per-bit majority vote, emitted as a
-    * 64-char bit string. Shared by the declared query and
-    * DedupAdvancedSpec (so the spec always tests THIS construction). */
   /** 64-bit SimHash as a '0'/'1' bit string. Token hash = the first 64
     * bits of md5(token) (hex-nibble extraction — the same derivation as
     * MirroredLsh's hyperplane signs), so since r5 the signature is

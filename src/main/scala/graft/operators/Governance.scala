@@ -141,7 +141,8 @@ object Governance {
                         OR l_discount > 0.1) AS v FROM lineitem),
               pos AS (SELECT count(*) FILTER (WHERE l_quantity <= 0) AS v
                       FROM lineitem),
-              dup AS (SELECT coalesce(sum(c - 1), 0) AS v FROM (
+              dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v
+                      FROM (
                         SELECT count(*) AS c FROM lineitem
                         GROUP BY l_orderkey, l_linenumber, l_partkey
                         HAVING count(*) > 1)),

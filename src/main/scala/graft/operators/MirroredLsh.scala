@@ -86,16 +86,29 @@ object MirroredLsh {
 
   /** Candidate pairs (a < b) with exact cosine, deduped across tables.
     * `sample` must have (vec_id, embedding); the caller must have
-    * registered GraftFunctions (for the codegen'd cosine_sim). */
+    * registered GraftFunctions (for the codegen'd cosine_sim).
+    *
+    * Shape (r6): dedup-then-score. The bucket self-join shuffles bare
+    * (t, sig, vec_id) triples — no embedding payloads — then the
+    * distinct (a, b) pairs join the embeddings back and pay ONE cosine
+    * each. The r5 shape scored every colliding (table, pair) copy
+    * (~27 % candidate fraction × up to 20 tables of identical cosine
+    * evaluations) and shuffled 20 embedding copies per vector; this
+    * matches the oracle's `SELECT DISTINCT`-before-refine CTE shape. */
   def candidates(sample: DataFrame): DataFrame = {
-    val e = sample.select(col("vec_id"), col("embedding"),
+    val sigs = sample.select(col("vec_id"),
       posexplode(sigUdf(col("embedding"))).as(Seq("t", "sig")))
-    e.as("x").join(e.as("y"),
+    val pairs = sigs.as("x").join(sigs.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        expr("cosine_sim(x.embedding, y.embedding)").as("cos"))
-      .groupBy("a", "b").agg(max(col("cos")).as("cos"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val emb = sample.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.as("ea"), col("a") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("b") === col("eb.vec_id"))
+      .select(col("a"), col("b"),
+        expr("cosine_sim(ea.embedding, eb.embedding)").as("cos"))
   }
 
   /** DuckDB CTE chain reproducing the EXACT candidate set:

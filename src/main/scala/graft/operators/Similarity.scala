@@ -147,15 +147,26 @@ object Similarity {
       var cents: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(16)
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
         .zipWithIndex.map { case (v, i) => (i, v) }
+      // Assignment is a single projection (r6): the 16 centroids are
+      // driver-known, so each row folds its 16 distances into an array
+      // of (dist, cid) structs and array_sort picks the argmin inline —
+      // zero shuffle, no 16× row blowup (the r5 shape crossJoined the
+      // centroids and ran a row_number window over 16× the corpus).
+      // Same index-order left-fold distance and (dist, cid) tie-break,
+      // so the oracle's digit-for-digit replay is unchanged.
       def assign(c: Seq[(Int, Seq[Double])]): DataFrame = {
-        val cdf = c.toDF("cid", "cv")
-        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-        emb.crossJoin(broadcast(cdf))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (acc, t) -> acc + t)"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("v"), col("cid"))
+        val distStructs = c.map { case (cid, cv) =>
+          struct(
+            aggregate(
+              zip_with(col("v"), array(cv.map(lit): _*),
+                (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, t) => acc + t).as("dist"),
+            lit(cid).as("cid"))
+        }
+        emb
+          .withColumn("best", element_at(array_sort(array(distStructs: _*)), 1))
+          .select(col("vec_id"), col("embedding"), col("v"),
+            col("best.cid").as("cid"))
       }
       for (_ <- 1 to 2) {
         val means = assign(cents)

@@ -31,24 +31,33 @@ class DeterminismSweepSpec extends GraftSuite {
 
   test("float-output keys are invariant to partition layout (values + order)") {
     val conf = spark.conf
-    val keys = SparkEntry.queries.keys.filterNot(isStreaming).toSeq.sorted
-      .filter(k => hasFloat(SparkEntry.queries(k)(spark, sf).schema))
-    assert(keys.nonEmpty)
-    def runAll(parts: String, maxBytes: String): Map[String, Seq[String]] = {
+    val allKeys = SparkEntry.queries.keys.filterNot(isStreaming).toSeq.sorted
+    // The float filter runs INSIDE the first layout pass (schema read off
+    // the same DataFrame object) — a separate schema-discovery pass would
+    // re-invoke every closure a third time, and several run driver
+    // actions at construction (Lloyd collects, label propagation,
+    // staging writes), doubling the heaviest keys' cost (ADVICE r5).
+    def runAll(parts: String, maxBytes: String,
+               subset: Option[Seq[String]]): Map[String, Seq[String]] = {
       val prevP = conf.get("spark.sql.shuffle.partitions")
       val prevB = conf.get("spark.sql.files.maxPartitionBytes")
       conf.set("spark.sql.shuffle.partitions", parts)
       conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
-      try keys.map(k =>
-        k -> SparkEntry.queries(k)(spark, sf).collect().toSeq.map(_.toString))
-        .toMap
+      try subset.getOrElse(allKeys).flatMap { k =>
+        val df = SparkEntry.queries(k)(spark, sf)
+        if (hasFloat(df.schema))
+          Some(k -> df.collect().toSeq.map(_.toString))
+        else None
+      }.toMap
       finally {
         conf.set("spark.sql.shuffle.partitions", prevP)
         conf.set("spark.sql.files.maxPartitionBytes", prevB)
       }
     }
-    val wide = runAll("3", "134217728")     // few fat partitions
-    val narrow = runAll("17", "65536")      // many partitions, tiny splits
+    val wide = runAll("3", "134217728", None)  // few fat partitions
+    val keys = wide.keys.toSeq.sorted
+    assert(keys.nonEmpty)
+    val narrow = runAll("17", "65536", Some(keys)) // many parts, tiny splits
     val drifted = keys.filter(k => wide(k) != narrow(k))
     val detail = drifted.headOption.map { k =>
       val firstDiff = wide(k).zipAll(narrow(k), "<missing>", "<missing>")

@@ -24,6 +24,47 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB output types whose pandas coercion is FLOAT/object: the values
+# then stringify/hash differently from Spark's integer parquet column
+# even when numerically equal (r5 postmortem: sum(BIGINT) -> HUGEINT
+# broke agg_entropy and dq_expectations in the driver gate while this
+# script's value compare saw 61234 == 61234.0 and stayed green). Width
+# drift WITHIN the integer family (INTEGER vs BIGINT, UINTEGER) and
+# DATE vs TIMESTAMP normalize identically driver-side — 7 such keys
+# passed every driver run — so those only warn, never fail.
+HASH_BREAKING = ("HUGEINT", "UHUGEINT", "DECIMAL")
+INTLIKE = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+           "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def canon_type(t):
+    """Collapse DuckDB type names that hash identically driver-side."""
+    s = str(t).upper()
+    if s.startswith("TIMESTAMP") or s == "DATE":
+        return "DATETIME"
+    if s in INTLIKE:
+        return "INTEGER"
+    return s
+
+
+def compare_types(name, spark_rel, ora_rel, failures, warnings):
+    o_types = dict(zip(ora_rel.columns, [str(t) for t in ora_rel.types]))
+    s_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+    for c in sorted(o_types):
+        ot = o_types[c].upper()
+        if any(ot.startswith(u) for u in HASH_BREAKING):
+            failures.append((name, f"col {c}: oracle emits {ot}, which "
+                                   f"pandas coerces to float/object — the "
+                                   f"driver hash WILL mismatch even on "
+                                   f"equal values; CAST it in the oracle"))
+            return False
+        st = s_types.get(c)
+        if st is not None and canon_type(st) != canon_type(ot):
+            warnings.append((name, f"col {c}: type drift spark={st} "
+                                   f"oracle={ot} (normalizes driver-side "
+                                   f"today; keep an eye on it)"))
+    return True
+
 
 def compare(name, s, o, failures):
     s = s[sorted(s.columns)]
@@ -59,24 +100,27 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    failures, passed = [], []
+    failures, passed, warnings = [], [], []
     for name in sorted(oracle):
         dump_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(dump_glob):
             failures.append((name, "no spark dump written (query failed in Verify?)"))
             continue
         try:
-            spark_df = con.sql(f"SELECT * FROM '{dump_glob}'").df()
+            spark_rel = con.sql(f"SELECT * FROM '{dump_glob}'")
+            spark_df = spark_rel.df()
         except Exception as e:
             failures.append((name, f"dump unreadable: {e}"))
             continue
         try:
-            ora_df = con.sql(oracle[name]).df()
+            ora_rel = con.sql(oracle[name])
+            ora_df = ora_rel.df()
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
         n_before = len(failures)
-        compare(name, spark_df, ora_df, failures)
+        if compare_types(name, spark_rel, ora_rel, failures, warnings):
+            compare(name, spark_df, ora_df, failures)
         if len(failures) == n_before:
             passed.append(name)
     # queries with no oracle still need a dump with >0 rows potential —
@@ -88,6 +132,8 @@ def main(sf_dir, out_dir):
         print(f"  ok   {n}")
     if no_oracle:
         print(f"  (no-oracle dumps present: {', '.join(no_oracle)})")
+    for n, msg in warnings:
+        print(f"  warn {n}: {msg}")
     if failures:
         print(f"FAIL {len(failures)}:")
         for n, msg in failures:
