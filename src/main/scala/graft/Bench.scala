@@ -18,8 +18,23 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("count(*)").collect()
+      // warm the parquet WRITE path too (committer + write codegen +
+      // output FS init, ~1.7 s): otherwise whichever write-key the map
+      // iterates first absorbs it — r5's key reshuffle moved that cost
+      // onto scan_partition_pruned (0.9 -> 2.5 s with identical code)
+      val wtmp = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm").toString
+      spark.range(100L).selectExpr("id", "id % 3 AS p")
+        .write.mode("overwrite").partitionBy("p").parquet(wtmp)
+      spark.read.parquet(wtmp).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=key1,key2 benches a subset — isolation runs for
+    // chasing per-key regressions without the 157-query wall time
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
