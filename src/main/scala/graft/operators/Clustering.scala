@@ -80,7 +80,12 @@ object Clustering {
         // every label is itself a node, so the lookup always hits.
         // (A double jump was tried for the r5 ANN chain graphs and did
         // NOT reduce the round count — 12 rounds either way at sf0.1 —
-        // so the extra per-round join is not paid.)
+        // so the extra per-round join is not paid. r6 negative result:
+        // batching TWO propagate+jump steps per checkpoint cut blocks
+        // 12→7 but ran ~40% SLOWER A/B'd under identical load — with
+        // no materialization between steps, step 1's subplan is
+        // re-executed ~4x inside step 2's two self-references. The
+        // eager per-step checkpoint IS the cheap configuration.)
         val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
         // localCheckpoint, not cache: each round references the prior
         // round's frame TWICE (neighbor join + pointer jump), so the
