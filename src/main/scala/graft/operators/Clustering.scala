@@ -53,16 +53,26 @@ object Clustering {
   private[graft] def components(verts: DataFrame, pairs: DataFrame): DataFrame = {
     val s = verts.sparkSession
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         .cache()
       var labels = verts.select(col("n"), col("n").as("lab")).cache()
-      // the frame actually HOLDING the current round's cached blocks
-      // (labels itself becomes a stats-reset wrapper, whose unpersist
-      // is a no-op — see below)
-      var storage = labels
+      // Size the loop's shuffles to STATE VOLUME, not core count: the
+      // per-round frames hold one (node, label) row per node, and with
+      // ~12 rounds × ~5 stages each, every surplus partition multiplies
+      // into hundreds of near-empty tasks (r6: 400 sample nodes on 8
+      // partitions spent the whole 4.6 s budget on task overhead). A
+      // ~500k-rows-per-partition target gives 2 partitions at sample
+      // scale and grows to thousands at 10⁹ nodes. The vertex count is
+      // one cheap job over the caller's cached sample.
+      val nNodes = labels.count()
+      val parts = math.min(2048L, math.max(2L, nNodes / 500000L + 1L))
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // releases the round currently HOLDING cached blocks (labels
+      // itself becomes a stats-reset wrapper whose unpersist would be
+      // a no-op — see below)
+      var unpersistPrev: () => Unit = { val l = labels; () => { l.unpersist(); () } }
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 16) {
@@ -70,9 +80,9 @@ object Clustering {
         val nbr = edges.join(labels, edges("src") === labels("n"))
           .select(edges("dst").as("n2"), labels("lab").as("nl"))
           .groupBy("n2").agg(min(col("nl")).as("nl"))
-        // carry the prior label through so fixpoint detection is a
-        // filter-count over the materialized checkpoint, not an extra
-        // per-round join job
+        // carry the prior label through so fixpoint detection can ride
+        // the materialization pass (accumulator below), not an extra
+        // per-round job
         val m1 = labels.join(nbr, labels("n") === nbr("n2"), "left")
           .select(labels("n"), labels("lab").as("old"),
             least(labels("lab"), coalesce(col("nl"), labels("lab"))).as("lab"))
@@ -87,34 +97,51 @@ object Clustering {
         // re-executed ~4x inside step 2's two self-references. The
         // eager per-step checkpoint IS the cheap configuration.)
         val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
-        // localCheckpoint, not cache: each round references the prior
-        // round's frame TWICE (neighbor join + pointer jump), so the
-        // logical plan doubles per round — lineage must be truncated
-        // or planning itself blows up exponentially
-        val ck = m1.join(j, m1("lab") === j("jn"))
+        // Materialize the round into a persisted RDD (truncating
+        // lineage — each round references the prior round's frame
+        // TWICE, neighbor join + pointer jump, so the logical plan
+        // would double per round and planning itself blows up
+        // exponentially) and fold the fixpoint detection INTO the
+        // materialization pass: an accumulator counts label changes
+        // while the rows persist, so each round runs ONE job, not a
+        // checkpoint job plus a count job (r6: the extra per-round
+        // action was ~40% of loop wall time at sample scale). Task
+        // retries can only OVERcount the accumulator; the loop exits
+        // on exactly zero, which retries cannot fabricate, so the
+        // detection stays sound on a real cluster. Rebuilding the next
+        // frame as a fresh LogicalRDD also resets the ESTIMATED
+        // statistics each round — localCheckpoint preserved the origin
+        // plan's sizeInBytes, which compounds multiplicatively round
+        // over round (^2 per round; the optimizer visibly spun
+        // multiplying million-bit BigIntegers in
+        // BigInteger.multiplyToomCook3 with a double jump).
+        val acc = s.sparkContext.longAccumulator
+        val ckRdd = m1.join(j, m1("lab") === j("jn"))
           .select(m1("n"), m1("old"), col("jlab").as("lab"))
-          .localCheckpoint(true)
-        changed = ck.filter(col("lab") =!= col("old")).count()
-        // REBUILD from the checkpointed RDD: localCheckpoint PRESERVES
-        // the origin plan's ESTIMATED statistics, so sizeInBytes
-        // compounds multiplicatively round over round (^2 per round
-        // here; ^4 with a double jump, where the optimizer visibly
-        // spun multiplying million-bit BigIntegers —
-        // BigInteger.multiplyToomCook3 pinned the main thread). A
-        // fresh LogicalRDD resets the estimate each round.
-        val slim = ck.select(col("n"), col("lab"))
-        val next = s.createDataFrame(slim.rdd, slim.schema)
-        storage.unpersist()
-        storage = ck
+          .rdd.map { r =>
+            if (r.get(1) != r.get(2)) acc.add(1L)
+            r
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ckRdd.count()
+        changed = acc.value
+        val next = s.createDataFrame(
+          ckRdd.map(r => org.apache.spark.sql.Row(r.get(0), r.get(2))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lab",
+              org.apache.spark.sql.types.LongType))))
+        unpersistPrev()
+        unpersistPrev = () => { ckRdd.unpersist(); () }
         labels = next
         iter += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(s"[components] round=$iter changed=$changed")
       }
       edges.unpersist()
-      // NOTE: the final round's checkpoint blocks (`storage`) stay
-      // cached — the returned frame reads them; they are sample-sized
-      // and released when the session GCs the RDD.
+      // NOTE: the final round's persisted RDD stays cached — the
+      // returned frame reads it; it is sample-sized and released when
+      // the session GCs the RDD.
       labels
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }

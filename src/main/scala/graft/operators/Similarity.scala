@@ -154,32 +154,49 @@ object Similarity {
       // centroids and ran a row_number window over 16× the corpus).
       // Same index-order left-fold distance and (dist, cid) tie-break,
       // so the oracle's digit-for-digit replay is unchanged.
+      // One lambda evaluated against a nested centroid-array LITERAL
+      // (16×64 doubles fold to a single Literal) instead of 16 inlined
+      // per-centroid fold expressions: the distance math and the
+      // (dist, cid) tie-break are unchanged (same index-order left fold
+      // per centroid), but the expression tree the analyzer/optimizer
+      // walks per round is ~16× smaller (r6: the inlined shape spent
+      // its whole budget re-planning, not executing).
       def assign(c: Seq[(Int, Seq[Double])]): DataFrame = {
-        val distStructs = c.map { case (cid, cv) =>
-          struct(
-            aggregate(
-              zip_with(col("v"), array(cv.map(lit): _*),
-                (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, t) => acc + t).as("dist"),
-            lit(cid).as("cid"))
-        }
+        val centArr = array(c.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
         emb
-          .withColumn("best", element_at(array_sort(array(distStructs: _*)), 1))
+          .withColumn("cents", centArr)
+          .withColumn("best", element_at(array_sort(expr(
+            s"""transform(sequence(0, ${c.size - 1}), i -> named_struct(
+                  'dist', aggregate(zip_with(v, cents[i],
+                            (x, y) -> (x - y) * (x - y)),
+                          0D, (acc, t) -> acc + t),
+                  'cid', i))""")), 1))
           .select(col("vec_id"), col("embedding"), col("v"),
             col("best.cid").as("cid"))
       }
-      for (_ <- 1 to 2) {
-        val means = assign(cents)
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim")
-          .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-        cents = cents.map { case (cid, old) =>
-          (cid, Seq.tabulate(dim)(j => means.getOrElse((cid, j), old(j))))
+      // The fit loop's only shuffle is a (cid, dim)-keyed aggregate with
+      // ≤ 16·64 = 1024 groups; running it on the session's 32 partitions
+      // pays ~10× empty-task overhead per round at sample scale. 4
+      // partitions bound the fit regardless of corpus size (map-side
+      // partial aggregation reduces to ≤1024 rows before the exchange);
+      // the conf is restored before the returned plan is built, so the
+      // probe query still runs at the session setting.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        for (_ <- 1 to 2) {
+          val means = assign(cents)
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy("cid", "dim")
+            .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+              count(lit(1))).as("m"))
+            .collect()
+            .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+          cents = cents.map { case (cid, old) =>
+            (cid, Seq.tabulate(dim)(j => means.getOrElse((cid, j), old(j))))
+          }
         }
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val assigned = assign(cents).withColumnRenamed("cid", "cell")
       val cdf = cents.toDF("cid", "cv")
       val probes = emb.filter(col("vec_id") < 5)
