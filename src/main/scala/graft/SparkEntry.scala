@@ -34,6 +34,8 @@ object SparkEntry {
     (operators.CurationOps.queries, operators.CurationOps.oracles),
     (operators.Analytics3.queries, operators.Analytics3.oracles),
     (operators.Governance.queries, operators.Governance.oracles),
+    (operators.TextModel.queries, operators.TextModel.oracles),
+    (operators.GraphOps.queries, operators.GraphOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -111,7 +111,9 @@ object DedupAdvanced {
       .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
       .select(col("da").as("a"), col("db").as("b"),
         (coalesce(col("ni"), lit(0)).cast("double") /
-          (col("xn") + col("yn") - coalesce(col("ni"), lit(0)))).as("jac"))
+          (col("xn") + col("yn") - coalesce(col("ni"), lit(0)))).as("jac"),
+        coalesce(col("ni"), lit(0)).as("ni"),
+        col("xn").as("na"), col("yn").as("nb"))
   }
 
   /** URL canonicalizer, all codegen'd string ops: lowercase
@@ -159,6 +161,23 @@ object DedupAdvanced {
       minhashJaccard(s, d)
         .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
         .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(20)),
+
+    // Asymmetric CONTAINMENT dedup (round 6): |A∩B| / min(|A|,|B|)
+    // over the same MinHash-band candidates. Jaccard misses the
+    // quote-inside-a-larger-page duplication pattern (|A∩B|/|A∪B|
+    // shrinks as the size gap grows); containment flags a document
+    // fully embedded in another even when Jaccard is tiny — the C4/
+    // RefinedWeb-style sub-document leak check. Shares the candidate
+    // generator with dedup_minhash_lsh (one shingle scan, one band
+    // join at scale), so candidates stay bucketed, never all-pairs.
+    "dedup_minhash_containment" -> ((s, d) =>
+      minhashJaccard(s, d)
+        .select(col("a"), col("b"),
+          (floor(col("ni").cast("double") / least(col("na"), col("nb"))
+            * 10000).cast("double") / 10000.0).as("cont"),
+          round(col("jac"), 4).as("jac"))
+        .orderBy(col("cont").desc, col("a"), col("b"))
         .limit(20)),
 
     // THE composed curation flow, end-to-end in one declared query:
@@ -297,6 +316,37 @@ object DedupAdvanced {
          JOIN sizes x ON x.doc_id = c.da
          JOIN sizes y ON y.doc_id = c.db
          ORDER BY jac DESC, a, b LIMIT 20""",
+    "dedup_minhash_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 5 = 0),
+              shing AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                        FROM tok WHERE len(t) >= 3),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              mh AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                     FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+              cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                       FROM mh a JOIN mh b
+                         ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+              inter AS (SELECT c.da, c.db, count(*) AS n
+                        FROM cand c
+                        JOIN shing sa ON sa.doc_id = c.da
+                        JOIN shing sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                        GROUP BY c.da, c.db)
+         SELECT c.da AS a, c.db AS b,
+                CAST(floor(CAST(coalesce(i.n, 0) AS DOUBLE)
+                           / least(x.n, y.n) * 10000) AS DOUBLE) / 10000
+                  AS cont,
+                round(CAST(coalesce(i.n, 0) AS DOUBLE)
+                      / (x.n + y.n - coalesce(i.n, 0)), 4) AS jac
+         FROM cand c
+         LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+         JOIN sizes x ON x.doc_id = c.da
+         JOIN sizes y ON y.doc_id = c.db
+         ORDER BY cont DESC, a, b LIMIT 20""",
     "pipeline_dedup_e2e" ->
       """WITH RECURSIVE
            tok AS (SELECT doc_id, string_split(text, ' ') AS t

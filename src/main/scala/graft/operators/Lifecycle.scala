@@ -181,6 +181,43 @@ object Lifecycle {
     // into one sort key, range-partition + sort the write by it, and
     // fingerprint the read-back per z-bucket. Predicates on EITHER
     // source column prune row groups after this layout.
+    // Manifest-based TIME TRAVEL (round 6) — the table-format
+    // primitive Delta/Iceberg provide, built from scratch over plain
+    // parquet: each commit appends data files and writes an immutable
+    // manifest v{N} listing every file visible in that snapshot.
+    // Readers pin a manifest, so concurrent appends never tear a
+    // query (snapshot isolation) and any historical version stays
+    // queryable as long as its files live. At 100 TB the manifest
+    // lists files + stats (cf. sink_stats_manifest) and the version
+    // read prunes through it instead of listing the directory — the
+    // declared query reads "AS OF v1" AFTER a v2 append landed and
+    // must see only v1 content.
+    "stage_time_travel" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("timetravel")
+      val dataDir = s"$out/data"
+      def commit(df: DataFrame, version: Int): Unit = {
+        df.write.mode("append").parquet(dataDir)
+        val files = new java.io.File(dataDir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/manifest_v$version.txt"),
+          files.mkString("\n"))
+      }
+      val base = Tables.orders(s, d)
+      commit(base.filter(col("o_orderkey") % 3 === 0), 1)
+      commit(base.filter(col("o_orderkey") % 3 === 1), 2)
+      val v1Files = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$out/manifest_v1.txt"))
+        .split("\n").toSeq
+      s.read.parquet(v1Files: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "sink_zorder_curve" -> ((s, d) => {
       val out = graft.sources.Staging.tmpDir("zorder")
       Tables.part(s, d)
@@ -198,6 +235,12 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "stage_time_travel" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS total
+         FROM orders WHERE o_orderkey % 3 = 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "stage_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
                        FROM customer),

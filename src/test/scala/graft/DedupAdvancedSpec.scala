@@ -58,4 +58,18 @@ class DedupAdvancedSpec extends GraftSuite {
       assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
     }
   }
+
+  test("dedup_minhash_containment: containment dominates jaccard on every pair") {
+    val rows = DedupAdvanced.queries("dedup_minhash_containment")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cont, jac) = (r.getDouble(2), r.getDouble(3))
+      // |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B| always — the whole point of
+      // the asymmetric measure (subset pairs score 1.0 at tiny jaccard);
+      // floor- vs HALF_UP-rounding may differ by one ulp-step
+      assert(cont >= jac - 1e-4, s"containment $cont < jaccard $jac")
+      assert(cont >= 0.0 && cont <= 1.0)
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Cross-checks for the fixed-iteration PageRank: mass conservation
+  * (no dangling nodes in the symmetric bipartite graph, so total rank
+  * stays exactly n through the damped update) and equality with a
+  * driver-side recomputation over the same edges. */
+class GraphOpsSpec extends GraftSuite {
+
+  private def edgeList(): Array[(Long, Long)] = {
+    val pairs = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 20 === 0)
+      .select((col("l_partkey") * 2).as("pn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.map { case (p, sn) => (p, sn) } ++
+      pairs.map { case (p, sn) => (sn, p) }
+  }
+
+  private def brutePagerank(edges: Array[(Long, Long)]): Map[Long, Double] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    var pr = deg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+      edges.foreach { case (s, t) =>
+        contrib(t) = contrib.getOrElse(t, 0.0) + pr(s) / deg(s)
+      }
+      pr = contrib.map { case (n, c) => n -> (0.15 + 0.85 * c) }.toMap
+    }
+    pr
+  }
+
+  test("graph_pagerank top-20 matches a driver-side recomputation") {
+    val brute = brutePagerank(edgeList())
+    val expected = brute.toSeq
+      .map { case (n, p) => (n, math.floor(p * 10000) / 10000) }
+      .sortBy { case (n, p) => (-p, n) }.take(20)
+    val got = GraphOps.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // driver sums floats in arbitrary map order vs the engine's exact
+    // decimal sums — compare ranks with a 1-ulp-scale slack on the
+    // floor-scaled value
+    assert(got.map(_._1) == expected.map(_._1),
+      s"rank order differs: got=$got expected=$expected")
+    got.zip(expected).foreach { case ((_, gp), (_, ep)) =>
+      assert(math.abs(gp - ep) <= 1e-4, s"pr drift: $gp vs $ep")
+    }
+  }
+
+  test("rank mass is conserved (0.15·n teleport + 0.85 damping)") {
+    val edges = edgeList()
+    val n = edges.map(_._1).distinct.length
+    val total = brutePagerank(edges).values.sum
+    assert(math.abs(total - n) < 1e-6 * n,
+      s"mass leaked: $total vs $n nodes")
+  }
+}

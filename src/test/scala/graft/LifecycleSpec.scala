@@ -82,4 +82,24 @@ class LifecycleSpec extends GraftSuite {
     val total = out("v1_narrow").getLong(1) + out("v2_wide").getLong(1)
     assert(total == Tables.orders(spark, sf).count())
   }
+
+  test("stage_time_travel pins the v1 snapshot while v2 sees the append") {
+    // running the declared query also (re)creates the staged table +
+    // both manifests under the scratch dir
+    val v1Rows = Lifecycle.queries("stage_time_travel")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val base = Tables.orders(spark, sf)
+    assert(v1Rows == base.filter(col("o_orderkey") % 3 === 0).count(),
+      "AS OF v1 must see exactly the v1 commit")
+    // the v2 manifest covers both commits — the "current" read
+    val out = graft.sources.Staging.scratchPath("timetravel")
+    val v2Files = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$out/manifest_v2.txt"))
+      .split("\n").toSeq
+    val v2Rows = spark.read.parquet(v2Files: _*).count()
+    assert(v2Rows ==
+      base.filter(col("o_orderkey") % 3 === 0 ||
+        col("o_orderkey") % 3 === 1).count(),
+      "v2 must see v1 + the append")
+  }
 }

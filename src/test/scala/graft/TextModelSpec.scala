@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextModel
+
+/** Cross-checks for the unigram-LM quality scorer: the distributed
+  * score must equal a driver-side recomputation from raw token
+  * counts, and the score must behave like a surprise measure (rarer
+  * tokens → higher score). */
+class TextModelSpec extends GraftSuite {
+
+  test("text_unigram_logprob matches a driver-side recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    docs.values.foreach(_.split(" ", -1).foreach { w =>
+      counts(w) = counts.getOrElse(w, 0L) + 1L; total += 1
+    })
+    val got = TextModel.queries("text_unigram_logprob")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (docId, nTok, nllTok) =>
+      val toks = docs(docId).split(" ", -1)
+      assert(toks.length.toLong == nTok, s"doc $docId token count")
+      val exp = toks.map(w =>
+        -math.log(counts(w).toDouble / total.toDouble)).sum / toks.length
+      // the engine quantizes per-term to DECIMAL(28,10) then
+      // floor-scales — allow the quantization slack
+      assert(math.abs(exp - nllTok) < 2e-4,
+        s"doc $docId: driver=$exp engine=$nllTok")
+    }
+  }
+
+  test("scores are positive and non-degenerate across documents") {
+    val scores = TextModel.queries("text_unigram_logprob")(spark, sf)
+      .collect().map(_.getDouble(3))
+    // -ln p with p <= 1 is nonnegative, and real corpora differ
+    scores.foreach(v => assert(v > 0))
+    assert(scores.distinct.length > 1, "all docs scored identically")
+  }
+}
