@@ -57,6 +57,36 @@ object Analytics3 {
           count(lit(1)).as("n"))
         .orderBy("event_type", "h")),
 
+    // Exponential smoothing over a BOUNDED trailing frame (round 6):
+    // ewma8 = Σ w_k·x_{t−k} / Σ w_k, w_k = 0.5^k over the last 8
+    // events per type — the denoising primitive beside gap_fill/OHLC
+    // in the timeseries family. The bounded frame (vs the recursive
+    // infinite-history EWMA) is what keeps the operator a pure window
+    // expression: no iterative state, shuffles once on the partition
+    // key. Determinism: 0.5^k is EXACT in binary for every k, each
+    // term is one multiply of identical doubles, and both engines sum
+    // the frame list in index order (left fold ≡ list_aggregate), so
+    // the quotient is bit-identical before the floor-scale.
+    "timeseries_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-7, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ls", collect_list(col("value")).over(w))
+        .filter(col("event_id") % 101 === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          trunc4(expr(
+            """aggregate(transform(sequence(1, size(ls)),
+                 p -> element_at(ls, p) * pow(0.5D, size(ls) - p)),
+               0D, (a, x) -> a + x)
+               / aggregate(transform(sequence(1, size(ls)),
+                 p -> pow(0.5D, size(ls) - p)), 0D, (a, x) -> a + x)"""))
+            .as("ewma8"))
+        .orderBy("event_id")
+    }),
+
     // Robust outlier detection: median absolute deviation (MAD), the
     // outlier-resistant alternative to anomaly_zscore (a z-score's
     // mean/stddev are themselves dragged by the outliers they hunt).
@@ -145,6 +175,24 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "timeseries_ewma" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+                           epoch_us(ts) AS us
+                    FROM events),
+              fr AS (SELECT event_id, event_type, value,
+                            list(value) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                              AS ls
+                     FROM e)
+         SELECT event_id, event_type, value,
+                CAST(floor(
+                  list_aggregate(list_transform(range(1, len(ls) + 1),
+                    p -> ls[p] * pow(0.5, len(ls) - p)), 'sum')
+                  / list_aggregate(list_transform(range(1, len(ls) + 1),
+                    p -> pow(0.5, len(ls) - p)), 'sum')
+                  * 10000) AS DOUBLE) / 10000 AS ewma8
+         FROM fr WHERE event_id % 101 = 0 ORDER BY event_id""",
     "timeseries_ohlc" ->
       """WITH e AS (SELECT event_type, value, event_id,
                            epoch_us(ts) AS us, date_trunc('hour', ts) AS h

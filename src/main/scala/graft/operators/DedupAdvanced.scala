@@ -13,9 +13,9 @@ import graft.Tables
   * byte-identical in Spark and DuckDB — and MinHash signatures are
   * lexicographic minima of those hex strings, so the whole
   * shingle → minhash → band → bucket-join → Jaccard-verify pipeline
-  * is reproducible in the oracle engine. SimHash needs 64-bit integer
-  * hashing (xxhash64), which DuckDB cannot reproduce → declared
-  * no-oracle, property-tested in DedupAdvancedSpec instead.
+  * is reproducible in the oracle engine. SimHash likewise derives its
+  * per-token bits from md5 hex nibbles (since r5), so the signature —
+  * and the banded Hamming join on it — hash-checks in DuckDB too.
   *
   * Scale notes (100 TB):
   *   - MinHash-LSH NEVER does all-pairs: candidates come from the

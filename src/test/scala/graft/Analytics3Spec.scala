@@ -45,4 +45,37 @@ class Analytics3Spec extends GraftSuite {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= math.log(5) + 1e-9)
     }
   }
+
+  test("timeseries_ewma matches a driver-side trailing-8 recomputation") {
+    import org.apache.spark.sql.functions._
+    val hist = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.sortBy(t => (t._4, t._3)) // (us, event_id) order
+      }
+    // driver EWMA per (type, event_id): weighted mean of trailing 8
+    val expected = hist.iterator.flatMap { case (_, rows) =>
+      rows.zipWithIndex.map { case ((_, _, id, _), i) =>
+        val frame = rows.slice(math.max(0, i - 7), i + 1).map(_._2)
+        val l = frame.length
+        val num = frame.zipWithIndex
+          .map { case (v, p) => v * math.pow(0.5, l - 1 - p) }.sum
+        val den = (0 until l).map(p => math.pow(0.5, l - 1 - p)).sum
+        id -> num / den
+      }
+    }.toMap
+    val got = Analytics3.queries("timeseries_ewma")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, v) = (r.getLong(0), r.getDouble(3))
+      // driver sums in a different order than the engine's index fold —
+      // allow fp slack above the 1e-4 floor-scale
+      assert(math.abs(expected(id) - v) < 2e-4,
+        s"event $id: driver=${expected(id)} engine=$v")
+    }
+  }
 }

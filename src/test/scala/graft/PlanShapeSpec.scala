@@ -135,4 +135,25 @@ class PlanShapeSpec extends GraftSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"aggregation re-shuffled what the window already partitioned:\n$plan")
   }
+
+  test("graph_pagerank never falls back to a nested-loop join and " +
+      "reuses the edge exchange across iterations") {
+    val plan = executedPlan("graph_pagerank")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pagerank join degenerated:\n$plan")
+    // the 3 unrolled iterations reference the same edge/degree
+    // subplans — Spark must dedupe those exchanges, not rescan
+    assert(plan.contains("ReusedExchange"),
+      s"edge exchange not reused across iterations:\n$plan")
+  }
+
+  test("text_unigram_logprob broadcasts the corpus total (1 row)") {
+    val plan = executedPlan("text_unigram_logprob")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row total must broadcast, not cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"corpus-total join is not broadcast:\n$plan")
+  }
 }
