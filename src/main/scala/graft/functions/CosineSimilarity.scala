@@ -111,12 +111,16 @@ object GraftFunctions {
     exprs => CosineSimilarity(exprs(0), exprs(1))
   val hammingBitsBuilder: Seq[Expression] => Expression =
     exprs => StringHamming(exprs(0), exprs(1))
+  val lshSigsBuilder: Seq[Expression] => Expression =
+    exprs => LshSignatures(exprs(0))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("hamming_bits", hammingBitsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("lsh_sigs", lshSigsBuilder, "built-in")
   }
 }
 
@@ -131,6 +135,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_bits"),
       new ExpressionInfo(classOf[StringHamming].getName, "hamming_bits"),
       GraftFunctions.hammingBitsBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sigs"),
+      new ExpressionInfo(classOf[LshSignatures].getName, "lsh_sigs"),
+      GraftFunctions.lshSigsBuilder))
     // top-1-per-key windows → min(struct) aggregation (see
     // graft.plans.TopOneToMinStruct for the safety gates)
     ext.injectOptimizerRule(_ => graft.plans.TopOneToMinStruct)

@@ -60,28 +60,55 @@ object MirroredLsh {
       }
     }
 
-  /** Per-vector signatures: one NBits-bit sign pattern per table.
-    * Bounded per-row compute, no shuffle; runs once in the projection
-    * feeding the bucket join. */
-  private lazy val sigUdf = {
-    val sg = signs
-    val (tables, bits, dim) = (NTables, NBits, Dim)
-    udf((emb: Seq[Float]) => {
-      val v = emb.toArray
-      Array.tabulate(tables) { t =>
-        var sig = 0
-        var j = 0
-        while (j < bits) {
-          val p = sg(t * bits + j)
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += p(i) * v(i); i += 1 }
-          if (dot > 0) sig |= 1 << j
-          j += 1
-        }
-        sig
+  /** Hyperplane signs flattened to one primitive array (plane-major:
+    * `flatSigns(k * Dim + i)`), the layout [[signatureKernel]] walks. */
+  private lazy val flatSigns: Array[Double] = {
+    val out = new Array[Double](NTables * NBits * Dim)
+    var k = 0
+    while (k < NTables * NBits) {
+      System.arraycopy(signs(k), 0, out, k * Dim, Dim)
+      k += 1
+    }
+    out
+  }
+
+  /** Per-vector signature kernel: one NBits-bit sign pattern per
+    * table, reading the row's ArrayData directly (no boxing, no
+    * encoder). Called from the codegen'd
+    * [[graft.functions.LshSignatures]] expression — one static invoke
+    * inside the enclosing WholeStageCodegen stage. Returns null (→ SQL
+    * NULL) for short or null-element embeddings instead of throwing.
+    * Arithmetic is the same index-order `±1 · v(i)` double
+    * accumulation as the r5 UDF and the oracle's left-fold, so the
+    * signatures — and therefore the candidate set — are bit-identical. */
+  def signatureKernel(emb: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    if (emb.numElements() < Dim) return null
+    val sg = flatSigns
+    val v = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) {
+      if (emb.isNullAt(i)) return null
+      v(i) = emb.getFloat(i).toDouble
+      i += 1
+    }
+    val out = new Array[Int](NTables)
+    var t = 0
+    while (t < NTables) {
+      var sig = 0
+      var j = 0
+      while (j < NBits) {
+        val base = (t * NBits + j) * Dim
+        var dot = 0.0
+        i = 0
+        while (i < Dim) { dot += sg(base + i) * v(i); i += 1 }
+        if (dot > 0) sig |= 1 << j
+        j += 1
       }
-    })
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Candidate pairs (a < b) with exact cosine, deduped across tables.
@@ -97,7 +124,7 @@ object MirroredLsh {
     * matches the oracle's `SELECT DISTINCT`-before-refine CTE shape. */
   def candidates(sample: DataFrame): DataFrame = {
     val sigs = sample.select(col("vec_id"),
-      posexplode(sigUdf(col("embedding"))).as(Seq("t", "sig")))
+      posexplode(expr("lsh_sigs(embedding)")).as(Seq("t", "sig")))
     val pairs = sigs.as("x").join(sigs.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -148,6 +148,15 @@ class PlanShapeSpec extends GraftSuite {
       s"edge exchange not reused across iterations:\n$plan")
   }
 
+  test("sim_lsh_ann signature projection is codegen'd, not a ScalaUDF") {
+    // r6: the LshSignatures expression replaced the Seq[Float]-boxing
+    // UDF — the plan must carry the native lsh_sigs call and no UDF
+    // invoke in the signature projection
+    val plan = executedPlan("sim_lsh_ann")
+    assert(!plan.contains("UDF("), s"signature UDF survived:\n$plan")
+    assert(plan.contains("lsh_sigs"), s"lsh_sigs expression missing:\n$plan")
+  }
+
   test("text_unigram_logprob broadcasts the corpus total (1 row)") {
     val plan = executedPlan("text_unigram_logprob")
     assert(!plan.contains("CartesianProduct"),
