@@ -87,6 +87,52 @@ object Analytics3 {
         .orderBy("event_id")
     }),
 
+    // Linear-interpolation gap fill (round 6): the reconstruction
+    // primitive beside the zero-fill `timeseries_gap_fill` — missing
+    // grid hours take the line between the PREVIOUS and NEXT observed
+    // hourly means instead of zero. Shape: one hourly pre-aggregation
+    // (shuffle carries (type, hour) partials, never events), grid
+    // explode, then two bounded-state window passes (last-non-null
+    // backward, first-non-null forward) — no self-joins, no per-gap
+    // scans, which is what keeps a year-long 100 TB backfill one
+    // linear job. Determinism: hourly mean = exact decimal sum /
+    // count (identical double bits both engines), the interpolation
+    // weight is a double division of µs BIGINT differences, and both
+    // engines evaluate pv + (nv − pv) · w on identical doubles →
+    // floor-scale is drift-free. Grid endpoints are observed by
+    // construction (span = min..max observed hour), so interior gaps
+    // always have both neighbors.
+    "timeseries_interpolate_linear" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("v"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val g = grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("us", unix_micros(col("h")))
+      val wb = Window.partitionBy("event_type").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      g.withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+        .withColumn("pu", last(when(col("v").isNotNull, col("us")),
+          ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nu", first(when(col("v").isNotNull, col("us")),
+          ignoreNulls = true).over(wf))
+        .select(col("event_type"), col("h"),
+          col("v").isNotNull.as("observed"),
+          trunc4(when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pu")).cast("double")
+                / (col("nu") - col("pu")).cast("double"))))
+            .as("v_interp"))
+        .orderBy("event_type", "h")
+    }),
+
     // Robust outlier detection: median absolute deviation (MAD), the
     // outlier-resistant alternative to anomaly_zscore (a z-score's
     // mean/stddev are themselves dragged by the outliers they hunt).
@@ -175,6 +221,43 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "timeseries_interpolate_linear" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, min(h) AS h0, max(h) AS h1
+           FROM hourly GROUP BY event_type),
+         grid AS (
+           SELECT event_type,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM spans),
+         g AS (
+           SELECT grid.event_type, grid.h, epoch_us(grid.h) AS us, hourly.v
+           FROM grid LEFT JOIN hourly
+             ON grid.event_type = hourly.event_type AND grid.h = hourly.h),
+         f AS (
+           SELECT event_type, h, us, v,
+                  last_value(v IGNORE NULLS) OVER wb AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN us END
+                             IGNORE NULLS) OVER wb AS pu,
+                  first_value(v IGNORE NULLS) OVER wf AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN us END
+                              IGNORE NULLS) OVER wf AS nu
+           FROM g
+           WINDOW wb AS (PARTITION BY event_type ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY event_type ORDER BY us
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, h, v IS NOT NULL AS observed,
+                CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv)
+                           * (CAST(us - pu AS DOUBLE)
+                              / CAST(nu - pu AS DOUBLE)) END) * 10000)
+                     AS DOUBLE) / 10000 AS v_interp
+         FROM f ORDER BY event_type, h""",
     "timeseries_ewma" ->
       """WITH e AS (SELECT event_id, event_type, value,
                            epoch_us(ts) AS us

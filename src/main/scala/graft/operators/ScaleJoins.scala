@@ -28,6 +28,44 @@ object ScaleJoins {
 
   private val salts = 4
 
+  /** The inner plan of `join_runtime_bloom`: big fact ⋈ selectively
+    * filtered dim. Exposed so ScaleJoinsSpec can assert the injected
+    * bloom filter under the same confs the declared key sets. */
+  private[graft] def runtimeBloomPlan(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_orderstatus")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Run `body` with runtime-bloom-filter injection enabled and
+    * broadcast disabled (the filter only injects into shuffle joins),
+    * restoring every conf afterwards. The sandbox-scale thresholds
+    * (application side ≥ 0 bytes) stand in for the 10 GB default a
+    * real cluster keeps; at 100 TB the defaults fire on their own. */
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val want = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = want.map { case (k, _) => k -> s.conf.getOption(k) }
+    want.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "join_skew_salted" -> ((s, d) => {
       val probe = Tables.lineitem(s, d)
@@ -68,6 +106,21 @@ object ScaleJoins {
           round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
             .as("revenue"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Runtime bloom-filter join (round 6) — the third scale-join
+    // technique beside salting and bucketing: a selective dim filter
+    // is turned into a bloom filter that prunes the FACT side's
+    // shuffle input (Catalyst's InjectRuntimeFilter), so the 100 TB
+    // fact scan ships only might-match rows into the exchange instead
+    // of all of them. The declared key materializes under conf scope
+    // (lazy plans would otherwise be optimized AFTER the confs are
+    // restored — and leaving them set would leak broadcast-disable
+    // into every later key); ScaleJoinsSpec asserts
+    // bloom_filter_might_contain lands in the fact-side plan. The
+    // oracle runs the plain join — injection must not change results.
+    "join_runtime_bloom" -> ((s, d) => withBloomConfs(s) {
+      runtimeBloomPlan(s, d).localCheckpoint(true)
     }),
 
     // Interval join as a pure equi-join: bucket event time into
@@ -114,6 +167,13 @@ object ScaleJoins {
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_runtime_bloom" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_interval_bucketed" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -252,6 +252,46 @@ object Similarity {
             .as("max_cos"))
     }),
 
+    // ANN quality evaluation (round 6): recall@10 of the MirroredLsh
+    // candidate set against brute-force cosine truth, per query
+    // vector. THIS is the tuning harness for the LSH knobs (NTables ×
+    // NBits trade recall against candidate fraction): at 100 TB you
+    // run exactly this plan on a sampled query batch — the only
+    // brute-force leg is bounded by the batch (broadcast of 5 query
+    // vectors over one corpus scan), while the candidate leg reuses
+    // the bucketed equi-join, so the evaluation never goes all-pairs.
+    // Determinism: truth membership ranks on round(cos,4) with vec_id
+    // tiebreak (the sim_cosine_topk convention) and the candidate set
+    // is exact-mirrored in the oracle, so the hit counts are integers
+    // both engines agree on; counts are COUNT (BIGINT in DuckDB, long
+    // in Spark — never HUGEINT), recall is one double division of
+    // identical small ints.
+    "sim_ann_recall_eval" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 5)
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"))
+      // column pruning drops the unused cosine from the candidate leg
+      val cand = MirroredLsh.candidates(e).select(col("a"), col("b"))
+      val nbrs = cand.select(col("a").as("qid"), col("b").as("vec_id"))
+        .union(cand.select(col("b").as("qid"), col("a").as("vec_id")))
+        .filter(col("qid") < 5)
+        .withColumn("hit", lit(1))
+      truth.join(nbrs, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_true"), col("n_hit"),
+          (col("n_hit") * lit(1.0) / col("n_true")).as("recall10"))
+        .orderBy("qid")
+    }),
+
     // Int8 scalar quantization of the embedding column — the memory/
     // bandwidth lever for ANN at 100 TB: 4× smaller vectors mean 4×
     // more candidates per scan and a broadcastable quantized corpus
@@ -387,6 +427,32 @@ object Similarity {
                       / count(*) * 10000) / 10000 AS avg_cos,
                 floor(max(cos) * 10000) / 10000 AS max_cos
          FROM sc""",
+    "sim_ann_recall_eval" ->
+      s"""WITH ${MirroredLsh.candidateSqlCtes("TRUE")},
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+                    FROM n WHERE vec_id < 5),
+              s AS (SELECT qid, vec_id,
+                           list_aggregate(list_transform(range(1, len(qv) + 1),
+                                          i -> qv[i] * v[i]), 'sum')
+                             / (qnrm * nrm) AS cos
+                    FROM q JOIN n ON vec_id <> qid),
+              rk AS (SELECT qid, vec_id,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                     FROM s),
+              truth AS (SELECT qid, vec_id FROM rk WHERE rn <= 10),
+              nb AS (SELECT a AS qid, b AS vec_id FROM cand WHERE a < 5
+                     UNION ALL
+                     SELECT b AS qid, a AS vec_id FROM cand WHERE b < 5)
+         SELECT t.qid, count(*) AS n_true, count(nb.vec_id) AS n_hit,
+                count(nb.vec_id) * 1.0 / count(*) AS recall10
+         FROM truth t LEFT JOIN nb
+           ON nb.qid = t.qid AND nb.vec_id = t.vec_id
+         GROUP BY t.qid ORDER BY t.qid""",
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

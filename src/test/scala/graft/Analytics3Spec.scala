@@ -46,6 +46,38 @@ class Analytics3Spec extends GraftSuite {
     }
   }
 
+  test("timeseries_interpolate_linear: observed rows exact, gaps between neighbors") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Analytics3
+      .queries("timeseries_interpolate_linear")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // grid is contiguous per type: every hour between endpoints present
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      assert(hours.sliding(2).forall {
+        case Array(a, b) => b - a == 3600 * 1000L
+        case _ => true
+      }, "grid has holes")
+      // interpolated values sit between (or at) their observed neighbors
+      val vs = rs.sortBy(_.getTimestamp(1).getTime)
+        .map(r => (r.getBoolean(2), r.getDouble(3)))
+      var i = 0
+      while (i < vs.length) {
+        if (!vs(i)._1) {
+          val prev = vs.take(i).reverse.find(_._1).map(_._2)
+          val next = vs.drop(i + 1).find(_._1).map(_._2)
+          assert(prev.isDefined && next.isDefined, "gap missing a neighbor")
+          val (lo, hi) = (math.min(prev.get, next.get), math.max(prev.get, next.get))
+          // floor-scale can dip 1e-4 below the true interpolant
+          assert(vs(i)._2 >= lo - 1e-4 && vs(i)._2 <= hi + 1e-4,
+            s"interpolant ${vs(i)._2} outside [$lo, $hi]")
+        }
+        i += 1
+      }
+    }
+  }
+
   test("timeseries_ewma matches a driver-side trailing-8 recomputation") {
     import org.apache.spark.sql.functions._
     val hist = Tables.events(spark, sf)

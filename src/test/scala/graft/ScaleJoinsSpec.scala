@@ -33,6 +33,24 @@ class ScaleJoinsSpec extends GraftSuite {
     assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
   }
 
+  test("join_runtime_bloom injects bloom_filter_might_contain on the fact side") {
+    ScaleJoins.withBloomConfs(spark) {
+      val df = ScaleJoins.runtimeBloomPlan(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // Spark 4.1 renders the injected filter as
+      // might_contain(subquery ...) over a bloom_filter_agg build
+      val lower = plan.toLowerCase
+      assert(lower.contains("might_contain") &&
+        lower.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"bloom injection requires a shuffle join:\n$plan")
+    }
+    // and the conf scope must restore cleanly
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("join_interval_bucketed pair counts equal the plain interval join") {
     // the cell rewrite must be a pure plan transformation: same pairs,
     // same groups, as the declared range-join key

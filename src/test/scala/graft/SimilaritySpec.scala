@@ -20,6 +20,21 @@ class SimilaritySpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("sim_ann_recall_eval: full truth denominator, recall consistent") {
+    val rows = Similarity.queries("sim_ann_recall_eval")(spark, sf).collect()
+    assert(rows.length == 5) // one row per query vector
+    rows.foreach { r =>
+      val (nTrue, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nTrue == 10, s"truth set must be top-10, got $nTrue")
+      assert(nHit >= 0 && nHit <= nTrue)
+      assert(recall == nHit.toDouble / nTrue)
+    }
+    // the 20×6 LSH geometry targets ~0.74 mean recall on near-random
+    // fixtures — a collapse below 0.3 means the candidate generator broke
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.3, s"mean recall@10 collapsed: $mean")
+  }
+
   test("sim_lsh_ann: recall ≥ 0.5 vs brute-force nearest neighbor") {
     // Brute-force 1-NN by cosine for each of 20 probe vectors; the
     // LSH candidate set (the exact pair set the declared query
