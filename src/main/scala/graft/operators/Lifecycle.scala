@@ -218,6 +218,68 @@ object Lifecycle {
         .orderBy("o_orderstatus")
     }),
 
+    // Copy-on-write MERGE on the manifest mini-format (round 6) — the
+    // second table-format primitive after `stage_time_travel`'s
+    // snapshot reads: a MERGE commit rewrites ONLY the data files
+    // holding matched rows, appends an insert file, and publishes a
+    // new manifest that re-references every untouched file. v1 stays
+    // byte-identical and readable after the merge (the declared
+    // result carries BOTH versions, so snapshot isolation is part of
+    // the hash-checked semantics, not a side assertion). Files are
+    // bucketed by c_custkey % 4 and the update predicate
+    // (c_custkey % 8 = 0) only hits bucket 0, so the commit rewrites
+    // 1 of 4 data files — at 100 TB this file-level pruning is why
+    // MERGE costs O(matched files), not O(table). LifecycleSpec
+    // asserts v2's manifest re-references 3 of v1's 4 files.
+    "stage_acid_merge" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("acidmerge")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      }
+      def commit(version: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/manifest_v$version.txt"),
+          files.mkString("\n"))
+      def readVersion(version: Int): DataFrame = {
+        val files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      // v1: 4 bucket files
+      val v1Files = (0 to 3).flatMap(b =>
+        writeFiles(base.filter(pmod(col("c_custkey"), lit(4)) === b), s"b$b"))
+      commit(1, v1Files)
+      // MERGE: update acctbal+100 where c_custkey % 8 = 0 (bucket 0
+      // only → rewrite exactly that file), insert mirrored rows for
+      // c_custkey % 8 = 3
+      val newB0 = base.filter(pmod(col("c_custkey"), lit(4)) === 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 8 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+      val inserts = base.filter(col("c_custkey") % 8 === 3)
+        .select((-col("c_custkey")).as("c_custkey"), col("c_nationkey"),
+          lit(7.77).as("c_acctbal"))
+      val untouched = v1Files.filterNot(_.contains("/b0/"))
+      commit(2, untouched ++ writeFiles(newB0, "b0_v2")
+        ++ writeFiles(inserts, "ins_v2"))
+      def agg(df: DataFrame, v: Int): DataFrame =
+        df.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(v).as("version"), col("c_nationkey"), col("n"),
+            col("total"))
+      agg(readVersion(1), 1).unionAll(agg(readVersion(2), 2))
+        .orderBy("version", "c_nationkey")
+    }),
+
     "sink_zorder_curve" -> ((s, d) => {
       val out = graft.sources.Staging.tmpDir("zorder")
       Tables.part(s, d)
@@ -241,6 +303,26 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_acid_merge" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer),
+              v2 AS (SELECT c_custkey, c_nationkey,
+                            CASE WHEN c_custkey % 8 = 0
+                                 THEN c_acctbal + 100 ELSE c_acctbal END
+                              AS c_acctbal
+                     FROM base
+                     UNION ALL
+                     SELECT -c_custkey, c_nationkey, 7.77
+                     FROM base WHERE c_custkey % 8 = 3)
+         SELECT 1 AS version, c_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM base GROUP BY c_nationkey
+         UNION ALL
+         SELECT 2, c_nationkey, count(*),
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+         FROM v2 GROUP BY c_nationkey
+         ORDER BY version, c_nationkey""",
     "stage_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
                        FROM customer),

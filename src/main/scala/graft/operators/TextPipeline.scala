@@ -161,6 +161,69 @@ object TextPipeline {
     // of the same corpus — unlike random sampling, THE property a
     // training-data pipeline needs (no leakage when data is re-staged).
     // '0'|'1' prefix ≈ 2/16 → ~12.5% test split.
+    // Sequence packing (round 6): concatenate documents in id order
+    // and chunk into fixed token-budget training sequences — the step
+    // between curation and the trainer. A document lands in the pack
+    // where its first token falls (pack = prev-cumsum div budget),
+    // i.e. streaming concat-then-chunk. Packing is PER SHARD
+    // (doc_id % 8): each shard's window is independent, so the job is
+    // embarrassingly parallel at 100 TB — a global pack order would
+    // serialize on one partition, which is exactly what this shape
+    // avoids (the trainer only needs within-sequence order, not a
+    // corpus-global one). Output per pack: doc count, token count,
+    // fill ratio vs the 2048 budget; all counts are COUNT/window sums
+    // of BIGINTs cast explicitly in the oracle (HUGEINT-proofed).
+    "text_sequence_pack" -> ((s, d) => {
+      val budget = 2048
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("long").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack_id", expr(s"cum_prev div $budget"))
+        .groupBy("shard", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("fill",
+          floor(col("n_tokens") * lit(10000L) / lit(budget.toLong))
+            .cast("double") / 10000.0)
+        .orderBy("shard", "pack_id")
+    }),
+
+    // Deterministic importance-weighted sampling (round 6): the
+    // training-mix reweighting primitive. Every doc gets an inclusion
+    // probability p = min(1, n_chars/4000) (longer docs up-weighted)
+    // and is kept iff its content hash falls under the per-row
+    // threshold: substr(md5(text),1,6) < lpad(hex(floor(p·(16⁶−1))))
+    // — equal-length lowercase hex compares lexicographically ==
+    // numerically, the same trick as sample_hash_split but with a
+    // VARIABLE per-row rate. Pure projection + one aggregate: no
+    // shuffle before the groupBy, reproducible across any
+    // partitioning/cluster size because the coin is the content
+    // itself. At 100 TB this replaces rand()-based sampling, whose
+    // per-task seeds make reruns irreproducible.
+    "sample_importance_weighted" -> ((s, d) => {
+      val p = least(lit(1.0), length(col("text")) / 4000.0)
+      val thresh = lpad(lower(hex(floor(p * 16777215.0).cast("long"))),
+        6, "0")
+      Tables.documents(s, d)
+        .withColumn("kept", substring(md5(col("text")), 1, 6) < thresh)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("kept"), lit(1))).as("n_kept"),
+          round(sum(when(col("kept"),
+            col("n_chars").cast("decimal(18,2)")))
+            .cast("double"), 4).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     "sample_hash_split" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("split",
@@ -212,6 +275,39 @@ object TextPipeline {
       .orderBy("doc_id", "frame_idx")
 
   val oracles: Map[String, String] = Map(
+    "text_sequence_pack" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 8 AS shard,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                AS n_tok
+                       FROM documents),
+              c AS (SELECT doc_id, shard, n_tok,
+                           CAST(coalesce(sum(n_tok) OVER (PARTITION BY
+                             shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                             AS cum_prev
+                    FROM toks)
+         SELECT shard, cum_prev // 2048 AS pack_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(min(doc_id) AS BIGINT) AS first_doc,
+                CAST(max(doc_id) AS BIGINT) AS last_doc,
+                CAST(floor(CAST(sum(n_tok) AS BIGINT) * 10000 // 2048)
+                     AS DOUBLE) / 10000 AS fill
+         FROM c GROUP BY shard, cum_prev // 2048
+         ORDER BY shard, pack_id""",
+    "sample_importance_weighted" ->
+      """WITH k AS (SELECT lang, n_chars,
+                           substr(md5(text), 1, 6)
+                             < lpad(lower(to_hex(CAST(floor(
+                                 least(1.0, length(text) / 4000.0)
+                                 * 16777215) AS BIGINT))), 6, '0') AS kept
+                    FROM documents)
+         SELECT lang, count(*) AS n_total,
+                count(CASE WHEN kept THEN 1 END) AS n_kept,
+                round(CAST(sum(CASE WHEN kept
+                      THEN CAST(n_chars AS DECIMAL(18,2)) END) AS DOUBLE), 4)
+                  AS kept_chars
+         FROM k GROUP BY lang ORDER BY lang""",
     "sample_hash_split" ->
       """SELECT CASE WHEN md5(text) < '2' THEN 'test' ELSE 'train' END AS split,
                 count(*) AS n,

@@ -83,6 +83,28 @@ class LifecycleSpec extends GraftSuite {
     assert(total == Tables.orders(spark, sf).count())
   }
 
+  test("stage_acid_merge is copy-on-write: v2 re-references 3 of v1's 4 files") {
+    val out = Lifecycle.queries("stage_acid_merge")(spark, sf).collect()
+    val root = graft.sources.Staging.scratchPath("acidmerge")
+    def manifest(v: Int): Set[String] = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/manifest_v$v.txt"))
+      .split("\n").toSet
+    val (v1, v2) = (manifest(1), manifest(2))
+    assert(v1.size == 4, s"v1 must hold 4 bucket files, got ${v1.size}")
+    assert((v1 intersect v2).size == 3,
+      "MERGE must re-reference exactly the 3 untouched bucket files")
+    assert(v2.size == 5, "v2 = 3 shared + rewritten b0 + insert file")
+    // snapshot isolation is part of the declared result: v1 aggregate
+    // equals the raw base table even after the merge committed
+    val base = Tables.customer(spark, sf)
+    val v1Total = out.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    assert(v1Total == base.count(), "v1 read changed after the merge")
+    val v2Total = out.filter(_.getInt(0) == 2).map(_.getLong(2)).sum
+    assert(v2Total == base.count()
+      + base.filter(col("c_custkey") % 8 === 3).count(),
+      "v2 must hold base + inserted rows")
+  }
+
   test("stage_time_travel pins the v1 snapshot while v2 sees the append") {
     // running the declared query also (re)creates the staged table +
     // both manifests under the scratch dir

@@ -104,4 +104,52 @@ class PropertiesSpec extends GraftSuite {
         s"n=$n edges=$edges:\n got=$got\n expected=$expected")
     }
   }
+
+  test("text_sequence_pack: packs partition each shard in doc order") {
+    val packs = graft.operators.TextPipeline
+      .queries("text_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc lands in exactly one pack
+    assert(packs.map(_._3).sum == docs.length.toLong)
+    // per-shard token totals conserved
+    val tokByShard = docs.groupBy(_._1 % 8).view.mapValues(_.map(_._2).sum)
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      assert(ps.map(_._4).sum == tokByShard(shard),
+        s"shard $shard lost tokens")
+      // doc ranges are disjoint and ordered: pack N+1 starts after N ends
+      val ordered = ps.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(p, q) => assert(q._5 > p._6,
+          s"shard $shard: pack ${q._2} overlaps ${p._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("sample_importance_weighted: deterministic, rate tracks length") {
+    val q = graft.operators.TextPipeline.queries("sample_importance_weighted")
+    val a = q(spark, sf).collect().toSeq
+    val b = q(spark, sf).collect().toSeq
+    assert(a == b, "content-hash sampling must be rerun-identical")
+    val (tot, kept) = (a.map(_.getLong(1)).sum, a.map(_.getLong(2)).sum)
+    assert(kept > 0 && kept < tot, s"degenerate keep rate: $kept/$tot")
+    // longer docs must be kept at a higher rate than shorter ones
+    val docs = Tables.documents(spark, sf)
+      .withColumn("kept",
+        substring(md5(col("text")), 1, 6) <
+          lpad(lower(hex(floor(least(lit(1.0), length(col("text")) / 4000.0)
+            * 16777215.0).cast("long"))), 6, "0"))
+      .select(col("n_chars").cast("long"), col("kept")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val median = docs.map(_._1).sorted.apply(docs.length / 2)
+    def rate(xs: Array[(Long, Boolean)]) =
+      xs.count(_._2).toDouble / math.max(1, xs.length)
+    assert(rate(docs.filter(_._1 >= median)) > rate(docs.filter(_._1 < median)),
+      "importance weighting must favor longer documents")
+  }
 }
