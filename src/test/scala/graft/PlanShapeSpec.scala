@@ -136,6 +136,17 @@ class PlanShapeSpec extends GraftSuite {
       s"aggregation re-shuffled what the window already partitioned:\n$plan")
   }
 
+  test("text_sequence_pack groups on (shard, pack) without re-shuffling " +
+      "the shard window") {
+    // hashpartitioning(shard) already co-locates every (shard, pack_id)
+    // group — EnsureRequirements must accept the coarser partitioning
+    // instead of adding a second exchange
+    val plan = executedPlan("text_sequence_pack")
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"pack aggregation re-shuffled the shard window's partitioning:\n$plan")
+  }
+
   test("graph_pagerank never falls back to a nested-loop join and " +
       "reuses the edge exchange across iterations") {
     val plan = executedPlan("graph_pagerank")
