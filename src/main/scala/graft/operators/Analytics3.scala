@@ -133,6 +133,42 @@ object Analytics3 {
         .orderBy("event_type", "h")
     }),
 
+    // Count–min sketch, ORACLE-CHECKED (round 6) — unlike the
+    // DataSketches families (HLL / approx top-k / KLL), whose
+    // internals are categorically not SQL-mirrorable, a CMS built on
+    // md5-derived row hashes is: both engines rebuild the d=4 × w=64
+    // counter table and the per-key min-over-rows estimate
+    // digit-for-digit. The sketch table is 256 rows REGARDLESS of key
+    // cardinality — a broadcastable synopsis; at 100 TB shards build
+    // partial counter tables map-side and merge by addition (the same
+    // mergeability story as the HLL keys, here with an exact oracle).
+    // Declared output: per probe key (user_id % 100 = 0), exact count
+    // vs CMS estimate and the non-negative overcount — the
+    // one-sided-error guarantee est ≥ exact is part of the
+    // hash-checked result (and property-tested in Analytics3Spec).
+    "agg_countmin_heavy" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val bucket = "CAST(conv(substring(md5(concat(CAST(r AS STRING), " +
+        "':', CAST(user_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 64"
+      val cnt = ev
+        .select(col("user_id"), explode(expr("sequence(0, 3)")).as("r"))
+        .select(col("r"), expr(bucket).as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val probes = ev.filter(col("user_id") % 100 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      probes
+        .select(col("user_id"), col("n_exact"),
+          explode(expr("sequence(0, 3)")).as("r"))
+        .select(col("user_id"), col("n_exact"), col("r"),
+          expr(bucket).as("b"))
+        .join(broadcast(cnt), Seq("r", "b"))
+        .groupBy("user_id", "n_exact")
+        .agg(min(col("c")).as("n_est"))
+        .select(col("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy("user_id")
+    }),
+
     // Robust outlier detection: median absolute deviation (MAD), the
     // outlier-resistant alternative to anomaly_zscore (a z-score's
     // mean/stddev are themselves dragged by the outliers they hunt).
@@ -221,6 +257,35 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_countmin_heavy" ->
+      """WITH rs AS (SELECT unnest(range(0, 4)) AS r),
+              hashed AS (
+                SELECT rs.r AS r,
+                       md5(CAST(rs.r AS VARCHAR) || ':'
+                           || CAST(e.user_id AS VARCHAR)) AS h,
+                       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))
+                         % 64 AS b
+                FROM events e, rs),
+              cnt AS (SELECT r, b, count(*) AS c
+                      FROM hashed GROUP BY r, b),
+              probes AS (SELECT user_id, count(*) AS n_exact
+                         FROM events WHERE user_id % 100 = 0
+                         GROUP BY user_id),
+              pb AS (SELECT p.user_id, p.n_exact, rs.r AS r,
+                            md5(CAST(rs.r AS VARCHAR) || ':'
+                                || CAST(p.user_id AS VARCHAR)) AS h,
+                            ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                               * 16
+                             + (strpos('0123456789abcdef',
+                                       substr(h, 2, 1)) - 1)) % 64 AS b
+                     FROM probes p, rs)
+         SELECT pb.user_id, pb.n_exact,
+                CAST(min(cnt.c) AS BIGINT) AS n_est,
+                CAST(min(cnt.c) - pb.n_exact AS BIGINT) AS overcount
+         FROM pb JOIN cnt ON cnt.r = pb.r AND cnt.b = pb.b
+         GROUP BY pb.user_id, pb.n_exact
+         ORDER BY pb.user_id""",
     "timeseries_interpolate_linear" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,

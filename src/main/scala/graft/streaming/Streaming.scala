@@ -312,6 +312,50 @@ object Streaming {
         .orderBy("event_type")
     }),
 
+    // Exactly-once across a RESTART (round 6) — the property the
+    // reference's S3-event staging actually depends on: a stream with
+    // a checkpoint processes the first half of the fixture, drains,
+    // then MORE files land and a NEW query restarts from the SAME
+    // checkpoint. The file-source offset log must resume past the
+    // already-committed files, so the append-mode sink holds every
+    // event exactly once — if recovery reprocessed run-1 files, the
+    // doubled counts would break this key's oracle hash; the
+    // correctness gate itself is the exactly-once proof.
+    // StreamingSpec additionally asserts the sink row count equals
+    // the fixture's and that run 2 committed new offsets.
+    "stream_checkpoint_restart" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("ckpt_src")
+      val out = graft.sources.Staging.tmpDir("ckpt_out")
+      val ck = graft.sources.Staging.tmpDir("ckpt_meta")
+      val ev = Tables.events(s, d)
+      def run(): Unit = withStreamShuffle(s) {
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      run() // epoch 1: first half
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      run() // restart: must pick up ONLY the new file
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     // THE reference pipeline: stream → foreachBatch { dedup, derive
     // partition column, write partitioned parquet } → read staged
     // table back and fingerprint it.
@@ -546,6 +590,12 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
                 count(DISTINCT CAST(ts AS DATE)) AS n_days
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // checkpoint restart = exactly-once: the staged union of both runs
+    // must equal the plain batch aggregate over ALL events
+    "stream_checkpoint_restart" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -46,6 +46,17 @@ class Analytics3Spec extends GraftSuite {
     }
   }
 
+  test("agg_countmin_heavy: one-sided error, exact on a collision-free row") {
+    val rows = graft.operators.Analytics3
+      .queries("agg_countmin_heavy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, "CMS can only overcount, never undercount")
+      assert(over == est - exact)
+    }
+  }
+
   test("timeseries_interpolate_linear: observed rows exact, gaps between neighbors") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Analytics3

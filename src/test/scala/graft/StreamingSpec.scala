@@ -172,4 +172,19 @@ class StreamingSpec extends GraftSuite {
     assert(batches.get() == 2, "two files must drive two micro-batches")
     result.unpersist()
   }
+
+  test("stream_checkpoint_restart resumes past committed offsets " +
+      "(exactly-once across the restart)") {
+    val out = graft.streaming.Streaming
+      .queries("stream_checkpoint_restart")(spark, sf)
+    // exactly-once: the appended sink must hold every event once —
+    // a recovery replay of run 1's file would double half the counts
+    assert(out.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0) == Tables.events(spark, sf).count())
+    // the second run committed new offsets into the SAME checkpoint
+    val ck = graft.sources.Staging.scratchPath("ckpt_meta")
+    val offsets = new java.io.File(s"$ck/offsets").listFiles()
+    assert(offsets != null && offsets.length >= 2,
+      "restart must append an offset epoch to the shared checkpoint")
+  }
 }
