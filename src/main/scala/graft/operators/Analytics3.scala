@@ -133,6 +133,34 @@ object Analytics3 {
         .orderBy("event_type", "h")
     }),
 
+    // Last-touch attribution (round 6) — the revenue-credit primitive
+    // beside funnel/retention/RFM: each purchase credits the LAST
+    // view-or-click by the same user within the preceding 7 days.
+    // ONE window pass over user-partitioned events (a µs RANGE frame
+    // [−7 d, −1 µs]); no purchase×event self-join, so the shape stays
+    // linear at 100 TB however long the user histories get (the
+    // ORACLE does run the self-join formulation — the window rewrite
+    // must preserve it exactly). Determinism: the credited event is
+    // max(struct(us, event_id, type)) — field-order struct compare
+    // breaks same-µs ties by event_id identically in both engines.
+    "analytics_attribution_last_touch" -> ((s, d) => {
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-sevenDaysUs, -1L)
+      ev.withColumn("src",
+          max(when(col("event_type").isin("view", "click"),
+            struct(col("us"), col("event_id"),
+              col("event_type").as("etype")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("src.etype"), lit("none")).as("channel"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("channel")
+    }),
+
     // Count–min sketch, ORACLE-CHECKED (round 6) — unlike the
     // DataSketches families (HLL / approx top-k / KLL), whose
     // internals are categorically not SQL-mirrorable, a CMS built on
@@ -257,6 +285,23 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "analytics_attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(ts) AS us
+                    FROM events),
+              p AS (SELECT user_id, event_id AS pid, us AS pus
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT p.pid, e.event_type,
+                           row_number() OVER (PARTITION BY p.pid
+                             ORDER BY e.us DESC, e.event_id DESC) AS rn
+                    FROM p JOIN e ON e.user_id = p.user_id
+                     AND e.event_type IN ('view', 'click')
+                     AND e.us >= p.pus - 604800000000
+                     AND e.us <= p.pus - 1),
+              a AS (SELECT p.pid, coalesce(c.event_type, 'none') AS channel
+                    FROM p LEFT JOIN c ON c.pid = p.pid AND c.rn = 1)
+         SELECT channel, count(*) AS n_purchases
+         FROM a GROUP BY channel ORDER BY channel""",
     "agg_countmin_heavy" ->
       """WITH rs AS (SELECT unnest(range(0, 4)) AS r),
               hashed AS (

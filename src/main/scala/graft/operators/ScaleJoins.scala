@@ -123,6 +123,47 @@ object ScaleJoins {
       runtimeBloomPlan(s, d).localCheckpoint(true)
     }),
 
+    // Dynamic partition pruning (round 6) — the partition-level
+    // counterpart of the runtime bloom filter: the fact table is
+    // STAGED PARTITIONED on the join key, the dim side carries a
+    // selective filter, and Catalyst injects a DynamicPruningSubquery
+    // into the fact scan's PartitionFilters, so only the dim-matching
+    // partitions are LISTED AND READ (here 2 of 5; at 100 TB, e.g.
+    // date-partitioned facts ⋈ filtered date dim, this skips whole
+    // directory trees — I/O the static pruning of
+    // `scan_partition_pruned` can't express because the values are
+    // only known at run time). Works with Spark defaults (broadcast
+    // dim → the pruning subquery reuses the broadcast); no conf
+    // scoping needed. ScaleJoinsSpec asserts dynamicpruningexpression
+    // in the fact scan. Oracle: the plain join over the same VALUES
+    // dim — pruning must not change results.
+    "join_dpp_partition_pruned" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("dpp_events")
+      val dimDir = graft.sources.Staging.tmpDir("dpp_dim")
+      Tables.events(s, d).withColumn("etype", col("event_type"))
+        .write.mode("overwrite").partitionBy("etype").parquet(out)
+      import s.implicits._
+      // Two traps the pruning rule (correctly) rejects: a pre-filtered
+      // in-memory Seq constant-folds to a LocalTableScan with no
+      // Filter node, and a bare BOOLEAN-column predicate is not
+      // "likely selective" (isLikelySelective wants a comparison / IN
+      // / LIKE). So the dim is a real parquet source and the runtime
+      // filter an explicit equality on a category column.
+      Seq(("view", "browse"), ("click", "browse"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "noise")).toDF("t", "category")
+        .write.mode("overwrite").parquet(dimDir)
+      s.read.parquet(out)
+        .join(s.read.parquet(dimDir).filter(col("category") === "conversion"),
+          col("etype") === col("t"))
+        .groupBy("etype")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .orderBy("etype")
+    }),
+
     // Interval join as a pure equi-join: bucket event time into
     // interval-width cells; a row b with b_ts ∈ (a_ts, a_ts + W] can
     // only sit in a's cell or the next one, so replicating the probe
@@ -175,6 +216,17 @@ object ScaleJoins {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_dpp_partition_pruned" ->
+      """WITH dim AS (SELECT * FROM (VALUES
+                        ('view', 'browse'), ('click', 'browse'),
+                        ('purchase', 'conversion'), ('signup', 'conversion'),
+                        ('error', 'noise')) v(t, category))
+         SELECT event_type AS etype, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events JOIN dim ON event_type = t
+         WHERE category = 'conversion'
+         GROUP BY event_type ORDER BY etype""",
     "join_interval_bucketed" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
                     FROM events)

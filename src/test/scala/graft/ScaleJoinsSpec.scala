@@ -51,6 +51,18 @@ class ScaleJoinsSpec extends GraftSuite {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("join_dpp_partition_pruned injects a dynamic pruning subquery " +
+      "into the fact scan") {
+    val df = ScaleJoins.queries("join_dpp_partition_pruned")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+    // only the 2 conversion types may survive the pruned join
+    val types = df.collect().map(_.getString(0)).toSet
+    assert(types == Set("purchase", "signup"))
+  }
+
   test("join_interval_bucketed pair counts equal the plain interval join") {
     // the cell rewrite must be a pure plan transformation: same pairs,
     // same groups, as the declared range-join key
