@@ -252,6 +252,40 @@ object Similarity {
             .as("max_cos"))
     }),
 
+    // Coarse-to-fine prefix-dimension retrieval (round 6) — the
+    // matryoshka-embedding trick: stage 1 ranks the WHOLE corpus by
+    // cosine over only the first 16 of 64 dims (4× less bandwidth per
+    // candidate; with int8 quantization 16×) and keeps top-32 per
+    // query; stage 2 re-scores just those 32 with the full-width
+    // kernel. At 100 TB the 16-dim prefix column lives in its own
+    // (much smaller) parquet column chunk, so the coarse pass reads a
+    // fraction of the bytes LSH/IVF still shuffle — this is the third
+    // ANN family beside them, not a variant. Determinism: both stages
+    // rank on round(cos, 4) DESC with a vec_id tiebreak; slice() of a
+    // float array keeps float elements, so the 16-dim kernel folds the
+    // same double-widened bits the oracle's index folds do.
+    "sim_matryoshka_truncate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 5)
+      val coarse = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos16",
+          expr("cosine_sim(slice(qe, 1, 16), slice(embedding, 1, 16))"))
+      val wc = Window.partitionBy("qid")
+        .orderBy(round(col("cos16"), 4).desc, col("vec_id"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      coarse.withColumn("rc", row_number().over(wc))
+        .filter(col("rc") <= 32)
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos"), 4).as("cos"), round(col("cos16"), 4).as("cos16"))
+        .orderBy("qid", "rank")
+    }),
+
     // ANN quality evaluation (round 6): recall@10 of the MirroredLsh
     // candidate set against brute-force cosine truth, per query
     // vector. THIS is the tuning harness for the LSH knobs (NTables ×
@@ -427,6 +461,42 @@ object Similarity {
                       / count(*) * 10000) / 10000 AS avg_cos,
                 floor(max(cos) * 10000) / 10000 AS max_cos
          FROM sc""",
+    "sim_matryoshka_truncate" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              co AS (SELECT q.qid, e.vec_id, q.qv, e.v,
+                            list_aggregate(list_transform(range(1, 17),
+                              i -> q.qv[i] * e.v[i]), 'sum')
+                              / (sqrt(list_aggregate(list_transform(
+                                   range(1, 17), i -> q.qv[i] * q.qv[i]),
+                                   'sum'))
+                                 * sqrt(list_aggregate(list_transform(
+                                     range(1, 17), i -> e.v[i] * e.v[i]),
+                                     'sum'))) AS cos16
+                     FROM q JOIN e ON e.vec_id <> q.qid),
+              cand AS (SELECT qid, vec_id, qv, v, cos16 FROM (
+                         SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY round(cos16, 4) DESC, vec_id) AS rc
+                         FROM co) WHERE rc <= 32),
+              fine AS (SELECT qid, vec_id, cos16,
+                              list_aggregate(list_transform(range(1, 65),
+                                i -> qv[i] * v[i]), 'sum')
+                                / (sqrt(list_aggregate(list_transform(
+                                     range(1, 65), i -> qv[i] * qv[i]),
+                                     'sum'))
+                                   * sqrt(list_aggregate(list_transform(
+                                       range(1, 65), i -> v[i] * v[i]),
+                                       'sum'))) AS cos
+                       FROM cand),
+              rk AS (SELECT qid, vec_id, cos, cos16,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                     FROM fine)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
+                round(cos, 4) AS cos, round(cos16, 4) AS cos16
+         FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
     "sim_ann_recall_eval" ->
       s"""WITH ${MirroredLsh.candidateSqlCtes("TRUE")},
               n AS (SELECT vec_id, v,

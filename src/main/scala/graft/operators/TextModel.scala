@@ -59,6 +59,41 @@ object TextModel {
             .as("nll_tok"))
         .orderBy("doc_id")
     }),
+
+    // Bigram-LM surprise (round 6): the next rung above the unigram
+    // score — P(w2|w1) = c(w1,w2)/c(w1·) fitted on the corpus, per-doc
+    // mean −ln P over consecutive token pairs. Same scale shape as the
+    // unigram key: the bigram frame is derived ONCE (index explode
+    // over the split array — no token self-join), both count tables
+    // are vocabulary-sized aggregations (broadcastable), scoring is
+    // two joins + one per-doc aggregate. Context counts come from the
+    // SAME bigram frame, so probabilities per context sum to exactly 1
+    // and every scored bigram was seen in fit (no OOV smoothing
+    // needed). Determinism: identical-double ln, DECIMAL(28,10)
+    // per-term quantization, floor-scaled mean (unigram precedent).
+    "text_bigram_logprob" -> ((s, d) => {
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      big.filter(col("doc_id") % 11 === 0)
+        .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .select(col("doc_id"), col("lang"),
+          (-log(col("cb").cast("double") / col("cu").cast("double")))
+            .cast("decimal(28,10)").as("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          trunc4(sum(col("nll")).cast("double") / count(lit(1)))
+            .as("nll_bg"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,6 +112,27 @@ object TextModel {
          SELECT doc_id, lang, count(*) AS n_tok,
                 CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
                      AS DOUBLE) / 10000 AS nll_tok
+         FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
+    "text_bigram_logprob" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                     FROM documents WHERE len(string_split(text, ' ')) >= 2),
+              big AS (SELECT doc_id, lang,
+                             ws[i] AS w1, ws[i + 1] AS w2
+                      FROM (SELECT doc_id, lang, ws,
+                                   unnest(range(1, len(ws))) AS i
+                            FROM ws)),
+              cb AS (SELECT w1, w2, count(*) AS cb
+                     FROM big GROUP BY w1, w2),
+              cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+              sc AS (SELECT doc_id, lang,
+                            CAST(-ln(CAST(cb AS DOUBLE)
+                                     / CAST(cu AS DOUBLE))
+                                 AS DECIMAL(28,10)) AS nll
+                     FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                     WHERE doc_id % 11 = 0)
+         SELECT doc_id, lang, count(*) AS n_bigrams,
+                CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
+                     AS DOUBLE) / 10000 AS nll_bg
          FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
   )
 }

@@ -20,6 +20,22 @@ class SimilaritySpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("sim_matryoshka_truncate: 3 refined hits per query, ranked by full cosine") {
+    val rows = Similarity.queries("sim_matryoshka_truncate")(spark, sf).collect()
+    assert(rows.length == 15) // 5 queries × top-3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      // final ranking is by the FULL-width cosine, descending
+      val cs = byRank.map(_.getDouble(3))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      rs.foreach { r =>
+        assert(math.abs(r.getDouble(3)) <= 1.0) // cos
+        assert(math.abs(r.getDouble(4)) <= 1.0) // cos16
+        assert(r.getLong(0) != r.getLong(2), "self-match leaked")
+      }
+    }
+  }
+
   test("sim_ann_recall_eval: full truth denominator, recall consistent") {
     val rows = Similarity.queries("sim_ann_recall_eval")(spark, sf).collect()
     assert(rows.length == 5) // one row per query vector

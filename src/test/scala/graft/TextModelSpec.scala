@@ -40,4 +40,23 @@ class TextModelSpec extends GraftSuite {
     scores.foreach(v => assert(v > 0))
     assert(scores.distinct.length > 1, "all docs scored identically")
   }
+
+  test("text_bigram_logprob: n_bigrams = tokens - 1, scores nonnegative") {
+    import org.apache.spark.sql.functions._
+    val got = TextModel.queries("text_bigram_logprob")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (nBigrams, nll)) =>
+      val nTok = docs(id).split(" ", -1).length
+      assert(nBigrams == nTok - 1, s"doc $id bigram count")
+      // P(w2|w1) = cb/cu <= 1 → every term -ln P >= 0; floor-scale can
+      // only round down, never below -1e-4
+      assert(nll >= -1e-4, s"doc $id negative mean surprise: $nll")
+    }
+  }
 }
