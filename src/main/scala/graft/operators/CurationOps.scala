@@ -173,6 +173,68 @@ object CurationOps {
     // tokenized projection would be staged once and the stage
     // aggregates would read that, leaving the join structure
     // unchanged.
+    // The flagship training-mix funnel (round 6): corpus → unigram-LM
+    // quality gate (keep docs at-or-below the corpus-mean surprise) →
+    // deterministic importance sampling (content-hash coin, longer
+    // docs up-weighted) → exact dedup (md5 keep-min) → per-shard
+    // sequence packing at a 2048-token budget. One declared key runs
+    // the whole make-training-data path over verified primitives
+    // (text_unigram_logprob, sample_importance_weighted, dedup_exact,
+    // text_sequence_pack) and emits the funnel: (stage, n_docs,
+    // n_tokens) per stage, packs counted at the end. Shapes at
+    // 100 TB: ONE token explode feeds fit and score; the vocab and
+    // the corpus-mean are vocabulary-sized / 1-row broadcasts; every
+    // later stage is a projection, a content-hash groupBy, or the
+    // shard-parallel packing window — the corpus is never shuffled by
+    // anything bigger than doc_id/hash keys. Thresholding on the
+    // corpus MEAN keeps the gate deterministic (decimal-exact mean of
+    // already-floor-scaled scores — no quantile nondeterminism).
+    "pipeline_training_mix_e2e" -> ((s, d) => {
+      val budget = 2048
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).as("tot"))
+      val nll = tok.join(vocab, "w").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (-log(col("c").cast("double") / col("tot").cast("double")))
+            .cast("decimal(28,10)").as("t"))
+        .groupBy("doc_id")
+        .agg(trunc4(sum(col("t")).cast("double") / count(lit(1)))
+          .as("nll_tok"))
+      val mean = nll.agg(
+        (sum(col("nll_tok").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("mn"))
+      val q = docs.join(nll, "doc_id").crossJoin(broadcast(mean))
+        .filter(col("nll_tok") <= col("mn"))
+        .select(col("doc_id"), col("text"), col("n_tok"))
+      val sampled = q.filter(substring(md5(col("text")), 1, 6) <
+        lpad(lower(hex(floor(least(lit(1.0), length(col("text")) / 4000.0)
+          * 16777215.0).cast("long"))), 6, "0"))
+      val dd = sampled.groupBy(md5(col("text")).as("ch"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"))
+      val wp = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packs = dd
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
+        .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(wp), lit(0L)))
+        .withColumn("pack_id", expr(s"cum_prev div $budget"))
+        .groupBy("shard", "pack_id").agg(sum(col("n_tok")).as("ptok"))
+      def stage(name: String, df: DataFrame, tokCol: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col(tokCol)), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("0_corpus", docs, "n_tok")
+        .unionAll(stage("1_quality", q, "n_tok"))
+        .unionAll(stage("2_sampled", sampled, "n_tok"))
+        .unionAll(stage("3_deduped", dd, "n_tok"))
+        .unionAll(stage("4_packed", packs, "ptok"))
+        .orderBy("stage")
+    }),
+
     "pipeline_curation_e2e" -> ((s, d) => {
       val all = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
@@ -247,6 +309,57 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_training_mix_e2e" ->
+      """WITH docs AS (SELECT doc_id, text,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                AS n_tok
+                       FROM documents),
+              tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+              vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+              tot AS (SELECT count(*) AS tot FROM tok),
+              nll AS (SELECT doc_id,
+                             CAST(floor(CAST(sum(
+                                 CAST(-ln(CAST(c AS DOUBLE)
+                                          / CAST(tot AS DOUBLE))
+                                      AS DECIMAL(28,10))) AS DOUBLE)
+                               / count(*) * 10000) AS DOUBLE) / 10000
+                               AS nll_tok
+                      FROM tok JOIN vocab USING (w), tot
+                      GROUP BY doc_id),
+              mn AS (SELECT CAST(sum(CAST(nll_tok AS DECIMAL(18,4)))
+                                 AS DOUBLE) / count(*) AS mn FROM nll),
+              q AS (SELECT docs.doc_id, docs.text, docs.n_tok
+                    FROM docs JOIN nll USING (doc_id), mn
+                    WHERE nll_tok <= mn),
+              s AS (SELECT * FROM q
+                    WHERE substr(md5(text), 1, 6)
+                          < lpad(lower(to_hex(CAST(floor(
+                              least(1.0, length(text) / 4000.0)
+                              * 16777215) AS BIGINT))), 6, '0')),
+              dd AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+                     FROM s GROUP BY md5(text)),
+              p AS (SELECT doc_id % 8 AS shard, doc_id, n_tok,
+                           CAST(coalesce(sum(n_tok) OVER (
+                             PARTITION BY doc_id % 8 ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+                    FROM dd),
+              packs AS (SELECT shard, cum_prev // 2048 AS pack_id,
+                               CAST(sum(n_tok) AS BIGINT) AS ptok
+                        FROM p GROUP BY shard, cum_prev // 2048)
+         SELECT '0_corpus' AS stage, count(*) AS n_docs,
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+         FROM docs
+         UNION ALL SELECT '1_quality', count(*),
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM q
+         UNION ALL SELECT '2_sampled', count(*),
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s
+         UNION ALL SELECT '3_deduped', count(*),
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM dd
+         UNION ALL SELECT '4_packed', count(*),
+                CAST(coalesce(sum(ptok), 0) AS BIGINT) FROM packs
+         ORDER BY stage""",
     "pipeline_curation_e2e" ->
       """WITH corpus AS (SELECT doc_id, lang, text,
                                 string_split(text, ' ') AS t

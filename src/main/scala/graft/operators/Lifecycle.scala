@@ -280,6 +280,58 @@ object Lifecycle {
         .orderBy("version", "c_nationkey")
     }),
 
+    // DELETE + VACUUM on the manifest mini-format (round 6) — the
+    // third table-format primitive after snapshot reads
+    // (`stage_time_travel`) and copy-on-write MERGE
+    // (`stage_acid_merge`): a DELETE commit rewrites only the file
+    // holding matched rows (predicate c_custkey % 8 = 0 hits bucket 0
+    // of 4) and publishes a manifest that re-references the rest; the
+    // superseded file stays on disk so v1 remains readable until a
+    // VACUUM reclaims it (retention). The declared result carries both
+    // versions — delete semantics AND snapshot isolation are
+    // hash-checked; LifecycleSpec runs the actual vacuum (exactly one
+    // unreferenced file) and proves v2 still reads afterwards.
+    "stage_acid_delete_vacuum" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("aciddelete")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      }
+      def commit(version: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/manifest_v$version.txt"),
+          files.mkString("\n"))
+      def readVersion(version: Int): DataFrame = {
+        val files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val v1Files = (0 to 3).flatMap(b =>
+        writeFiles(base.filter(pmod(col("c_custkey"), lit(4)) === b), s"b$b"))
+      commit(1, v1Files)
+      // DELETE WHERE c_custkey % 8 = 0: only bucket 0 holds matches →
+      // rewrite that one file without them
+      val newB0 = base.filter(pmod(col("c_custkey"), lit(4)) === 0)
+        .filter(!(col("c_custkey") % 8 === 0))
+      commit(2, v1Files.filterNot(_.contains("/b0/"))
+        ++ writeFiles(newB0, "b0_v2"))
+      def agg(df: DataFrame, v: Int): DataFrame =
+        df.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(v).as("version"), col("c_nationkey"), col("n"),
+            col("total"))
+      agg(readVersion(1), 1).unionAll(agg(readVersion(2), 2))
+        .orderBy("version", "c_nationkey")
+    }),
+
     "sink_zorder_curve" -> ((s, d) => {
       val out = graft.sources.Staging.tmpDir("zorder")
       Tables.part(s, d)
@@ -303,6 +355,20 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_acid_delete_vacuum" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer),
+              v2 AS (SELECT c_custkey, c_nationkey, c_acctbal
+                     FROM base WHERE NOT (c_custkey % 8 = 0))
+         SELECT 1 AS version, c_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM base GROUP BY c_nationkey
+         UNION ALL
+         SELECT 2, c_nationkey, count(*),
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+         FROM v2 GROUP BY c_nationkey
+         ORDER BY version, c_nationkey""",
     "stage_acid_merge" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
                        FROM customer),

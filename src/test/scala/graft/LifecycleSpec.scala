@@ -105,6 +105,34 @@ class LifecycleSpec extends GraftSuite {
       "v2 must hold base + inserted rows")
   }
 
+  test("stage_acid_delete_vacuum: one superseded file, v2 survives the vacuum") {
+    val out = Lifecycle.queries("stage_acid_delete_vacuum")(spark, sf).collect()
+    val base = Tables.customer(spark, sf)
+    val deleted = base.filter(col("c_custkey") % 8 === 0).count()
+    val v1n = out.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    val v2n = out.filter(_.getInt(0) == 2).map(_.getLong(2)).sum
+    assert(v1n == base.count(), "v1 must still see pre-delete rows")
+    assert(v2n == base.count() - deleted, "v2 must miss exactly the deleted rows")
+    // vacuum: exactly ONE data file (the superseded b0) is no longer
+    // referenced by the latest manifest; removing it must not affect v2
+    val root = graft.sources.Staging.scratchPath("aciddelete")
+    def manifest(v: Int): Set[String] = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/manifest_v$v.txt"))
+      .split("\n").toSet
+    val live = manifest(2)
+    val onDisk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/data"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map[String](_.toString)
+      .collect(java.util.stream.Collectors.toSet[String])
+    import scala.jdk.CollectionConverters._
+    val orphans = onDisk.asScala.toSet -- live
+    assert(orphans.size == 1, s"expected 1 vacuumable file, got $orphans")
+    orphans.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    assert(spark.read.parquet(live.toSeq: _*).count() == v2n,
+      "v2 must read identically after the vacuum")
+  }
+
   test("stage_time_travel pins the v1 snapshot while v2 sees the append") {
     // running the declared query also (re)creates the staged table +
     // both manifests under the scratch dir
