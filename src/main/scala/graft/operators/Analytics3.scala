@@ -133,6 +133,48 @@ object Analytics3 {
         .orderBy("event_type", "h")
     }),
 
+    // Deterministic Bloom filter, ORACLE-CHECKED (round 6) — the
+    // second md5-derived sketch beside `agg_countmin_heavy`, in the
+    // incremental-dedup role `dedup_incremental_ingest` plays exactly:
+    // build a k=4, m=4096-bit filter over the EXISTING corpus's
+    // content hashes, probe a new batch, and split it into
+    // definitely-new vs maybe-dup (the maybe-dups go to the exact
+    // check; definite-news skip it — at 100 TB the filter is a few MB
+    // broadcast against yesterday's billions of hashes, and the exact
+    // join runs on the maybe fraction only). Bit positions are
+    // md5-derived (seed:key, 3 hex chars mod 4096), so DuckDB rebuilds
+    // the EXACT bit set and probe verdicts. Declared output: per
+    // verdict bucket, the batch count and how many are TRULY dup —
+    // "maybe" rows contain ALL true dups (no false negatives, the
+    // Bloom guarantee) and the false-positive count is part of the
+    // hash-checked result.
+    "agg_bloom_membership" -> ((s, d) => {
+      val existing = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 =!= 0).select(md5(col("text")).as("h"))
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val posExpr = (src: String) =>
+        s"""transform(sequence(0, 3), k ->
+              CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', $src)),
+                        1, 3), 16, 10) AS BIGINT) % 4096)"""
+      val bits = existing
+        .select(explode(expr(posExpr("h"))).as("bit")).distinct()
+      val probe = batch
+        .select(col("doc_id"), col("h"),
+          explode(expr(posExpr("h"))).as("bit"))
+      val verdicts = probe
+        .join(bits.withColumn("set", lit(1)), Seq("bit"), "left")
+        .groupBy("doc_id", "h")
+        .agg((count(when(col("set").isNotNull, lit(1))) === 4).as("maybe_dup"))
+      val truth = existing.distinct().withColumn("truly_dup", lit(1))
+      verdicts.join(truth, Seq("h"), "left")
+        .groupBy("maybe_dup")
+        .agg(count(lit(1)).as("n_batch"),
+          count(col("truly_dup")).as("n_truly_dup"))
+        .orderBy("maybe_dup")
+    }),
+
     // Last-touch attribution (round 6) — the revenue-credit primitive
     // beside funnel/retention/RFM: each purchase credits the LAST
     // view-or-click by the same user within the preceding 7 days.
@@ -195,6 +237,38 @@ object Analytics3 {
         .select(col("user_id"), col("n_exact"), col("n_est"),
           (col("n_est") - col("n_exact")).as("overcount"))
         .orderBy("user_id")
+    }),
+
+    // Centered moving-average trend (round 6): the trend component of
+    // a classical decomposition — per type, each hour's trend is the
+    // mean of the 7 hourly means centered on it. The window sums
+    // INTEGERS, not doubles or decimals: each hourly mean is
+    // floor-scaled to a 10⁻⁴-units BIGINT first (floor on identical
+    // double bits — drift-free), because (a) DuckDB evaluates sliding
+    // window aggregates with a segment tree whose tree-order double
+    // addition differs from Spark's per-frame re-accumulation, and
+    // (b) CAST(double AS DECIMAL) re-quantization rounds .xxxx5
+    // boundaries differently cross-engine (measured: 10/3570 rows off
+    // by 1 ulp of the 4th decimal at sf0.1). Integer sums are
+    // order-independent, so the quotient is bit-identical by
+    // construction. One shuffle (event_type), bounded frames.
+    "timeseries_trend_ma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("hv"))
+        .withColumn("hv4i", floor(col("hv") * 10000).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-3, 3)
+      hourly
+        .withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("si", sum(col("hv4i")).over(w))
+        .filter(col("n_window") === 7)
+        .select(col("event_type"), col("h"),
+          (col("hv4i").cast("double") / 10000.0).as("hv4"),
+          trunc4(col("si").cast("double")
+            / (col("n_window") * lit(10000L))).as("trend4"))
+        .orderBy("event_type", "h")
     }),
 
     // Robust outlier detection: median absolute deviation (MAD), the
@@ -285,6 +359,40 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bloom_membership" ->
+      """WITH existing AS (SELECT md5(text) AS h FROM documents
+                           WHERE doc_id % 3 <> 0),
+              batch AS (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id % 3 = 0),
+              ks AS (SELECT unnest(range(0, 4)) AS k),
+              bits AS (SELECT DISTINCT
+                         (strpos(a, substr(hh, 1, 1)) - 1) * 256
+                         + (strpos(a, substr(hh, 2, 1)) - 1) * 16
+                         + (strpos(a, substr(hh, 3, 1)) - 1) AS bit
+                       FROM (SELECT md5(CAST(ks.k AS VARCHAR) || ':' || e.h)
+                                      AS hh,
+                                    '0123456789abcdef' AS a
+                             FROM existing e, ks)),
+              probe AS (SELECT doc_id, h,
+                               (strpos(a, substr(hh, 1, 1)) - 1) * 256
+                               + (strpos(a, substr(hh, 2, 1)) - 1) * 16
+                               + (strpos(a, substr(hh, 3, 1)) - 1) AS bit
+                        FROM (SELECT b.doc_id, b.h,
+                                     md5(CAST(ks.k AS VARCHAR) || ':' || b.h)
+                                       AS hh,
+                                     '0123456789abcdef' AS a
+                              FROM batch b, ks)),
+              verd AS (SELECT p.doc_id, p.h,
+                              count(CASE WHEN bits.bit IS NOT NULL
+                                    THEN 1 END) = 4 AS maybe_dup
+                       FROM probe p LEFT JOIN bits ON bits.bit = p.bit
+                       GROUP BY p.doc_id, p.h),
+              truth AS (SELECT DISTINCT h FROM existing)
+         SELECT maybe_dup, count(*) AS n_batch,
+                count(CASE WHEN truth.h IS NOT NULL THEN 1 END)
+                  AS n_truly_dup
+         FROM verd LEFT JOIN truth ON truth.h = verd.h
+         GROUP BY maybe_dup ORDER BY maybe_dup""",
     "analytics_attribution_last_touch" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
                            epoch_us(ts) AS us
@@ -331,6 +439,25 @@ object Analytics3 {
          FROM pb JOIN cnt ON cnt.r = pb.r AND cnt.b = pb.b
          GROUP BY pb.user_id, pb.n_exact
          ORDER BY pb.user_id""",
+    "timeseries_trend_ma" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*) * 10000) AS BIGINT)
+                    AS hv4i
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, h, hv4i,
+                  count(*) OVER w AS n_window,
+                  CAST(sum(hv4i) OVER w AS BIGINT) AS si
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         SELECT event_type, h,
+                CAST(hv4i AS DOUBLE) / 10000 AS hv4,
+                CAST(floor(CAST(si AS DOUBLE) / (n_window * 10000.0)
+                           * 10000) AS DOUBLE) / 10000 AS trend4
+         FROM t WHERE n_window = 7 ORDER BY event_type, h""",
     "timeseries_interpolate_linear" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
