@@ -95,8 +95,40 @@ object ScaleSmoke {
       },
     )
 
-    val r1 = shapes("x1", li1)
-    val rk = shapes(s"x$k", liK)
+    // round-6 shapes over the documents/embeddings fixtures: the
+    // per-shard packing window and the codegen LSH signature
+    // projection + bucket shuffle
+    def docs1 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def docsK = (1 to k).map(i => docs1.withColumn("doc_id",
+        col("doc_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+    def emb1 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def embK = (1 to k).map(i => emb1.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+    graft.functions.GraftFunctions.register(spark)
+    def shapes2(tag: String, docs: => org.apache.spark.sql.DataFrame,
+        emb: => org.apache.spark.sql.DataFrame) = Seq(
+      time(s"$tag/seq_pack") {
+        val toks = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(64)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks.withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("pack", expr("cum div 2048"))
+          .groupBy("shard", "pack").count().count()
+      },
+      time(s"$tag/lsh_sig_bucket") {
+        emb.select(col("vec_id"),
+            posexplode(expr("lsh_sigs(embedding)")).as(Seq("t", "sig")))
+          .groupBy("t", "sig").count().count()
+      },
+    )
+
+    val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1)
+    val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns

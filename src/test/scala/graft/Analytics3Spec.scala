@@ -57,6 +57,35 @@ class Analytics3Spec extends GraftSuite {
     }
   }
 
+  test("agg_bloom_membership: no false negatives, verdicts partition the batch") {
+    val rows = graft.operators.Analytics3
+      .queries("agg_bloom_membership")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    rows.foreach { r =>
+      val (maybe, n, dups) = (r.getBoolean(0), r.getLong(1), r.getLong(2))
+      if (!maybe) assert(dups == 0,
+        "a true duplicate escaped the Bloom filter (false negative)")
+      assert(dups <= n)
+    }
+    val batchTotal = rows.map(_.getLong(1)).sum
+    assert(batchTotal == Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count())
+  }
+
+  test("timeseries_trend_ma: trend stays within its window's hv range") {
+    val rows = graft.operators.Analytics3
+      .queries("timeseries_trend_ma")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val hv = rs.map(_._2)
+      rs.map(_._3).foreach { t =>
+        // a mean of 7 window values cannot leave the series' range
+        assert(t >= hv.min - 1e-4 && t <= hv.max + 1e-4)
+      }
+    }
+  }
+
   test("timeseries_interpolate_linear: observed rows exact, gaps between neighbors") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Analytics3
