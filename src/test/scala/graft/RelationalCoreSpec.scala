@@ -18,7 +18,10 @@ class RelationalCoreSpec extends GraftSuite {
   test("scan_parquet counts all lineitem rows") {
     val n = RelationalCore.queries("scan_parquet")(spark, sf)
       .collect()(0).getLong(0)
-    assert(n > 5000 && n < 7000) // sf0.001 ≈ 6000
+    // fixture-agnostic (GRAFT_TEST_SF can re-point the suite): the
+    // declared count must equal the table's own count, and be sane
+    assert(n == Tables.lineitem(spark, sf).count())
+    assert(n > 1000)
   }
 
   test("agg_pricing_summary: ≤6 groups (3 flags × 2 statuses)") {
