@@ -208,6 +208,32 @@ object Functions {
     // Map/JSON family over events.props (JSON-encoded {"k": <int>}):
     // path extraction and from_json→map access agree with the oracle's
     // ->> extraction.
+    // Spark 4 VARIANT (round 6): the engine's semi-structured path —
+    // parse_json builds the binary-encoded open type, variant_get
+    // extracts typed fields by path. At 100 TB VARIANT replaces
+    // string-JSON scans: the binary encoding skips re-parsing per
+    // access and (with shredding) pushes field extraction into the
+    // scan. Declared as a round-trip: struct → JSON text → VARIANT →
+    // typed fields; the oracle selects the ORIGINAL columns, so the
+    // whole encode/decode chain must be lossless (doubles survive via
+    // shortest-repr JSON printing, which both engines re-read
+    // bit-exactly).
+    "fn_variant" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"),
+          parse_json(to_json(struct(
+            col("c_name").as("name"),
+            col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")))).as("v"))
+        .select(col("c_custkey"),
+          expr("variant_get(v, '$.name', 'string')").as("name"),
+          // the JSON number parses to DECIMAL(p,2) inside the variant;
+          // the typed get widens to double — exact for 2-decimal data
+          expr("variant_get(v, '$.bal', 'double')").as("bal"),
+          expr("variant_get(v, '$.seg', 'string')").as("seg"))
+        .orderBy("c_custkey")),
+
     "fn_map_json" -> ((s, d) =>
       Tables.events(s, d)
         .filter(col("event_id") % 97 === 0)
@@ -331,5 +357,9 @@ object Functions {
                 CAST(props->>'$.k' AS INTEGER) AS k_map,
                 1 AS nkeys
          FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+    "fn_variant" ->
+      """SELECT c_custkey, c_name AS name,
+                CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+         FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""",
   )
 }
