@@ -133,6 +133,39 @@ object Analytics3 {
         .orderBy("event_type", "h")
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch, ORACLE-CHECKED
+    // (round 6) — the third md5-derived sketch, covering the
+    // cardinality-estimation role the HLL keys play no-oracle: map
+    // each key to a uniform in (0,1] via its md5 prefix (48 bits —
+    // exact as a double), keep the k=64 smallest per group, estimate
+    // distinct = (k−1)/u_(k). Groups with < k distinct values return
+    // the exact count (the standard KMV rule). The sketch state is k
+    // doubles per group — mergeable by keeping the k smallest of a
+    // union, same broadcast/merge story as HLL but digit-for-digit
+    // reproducible in DuckDB. Output: exact distinct vs estimate vs
+    // signed relative error, all hash-checked.
+    "agg_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val u = "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 12), " +
+        "16, 10) AS DOUBLE) / 281474976710656.0"
+      val hashed = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+        .distinct()
+        .withColumn("u", expr(u))
+      val w = Window.partitionBy("prio").orderBy(col("u"), col("o_custkey"))
+      val ranked = hashed.withColumn("rn", row_number().over(w))
+      ranked.groupBy("prio")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === k, col("u"))).as("uk"))
+        .select(col("prio"), col("n_exact"),
+          trunc4(when(col("n_exact") < k, col("n_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble) / col("uk"))).as("est"),
+          trunc4((when(col("n_exact") < k, col("n_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble) / col("uk"))
+            - col("n_exact")) / col("n_exact")).as("rel_err"))
+        .orderBy("prio")
+    }),
+
     // Deterministic Bloom filter, ORACLE-CHECKED (round 6) — the
     // second md5-derived sketch beside `agg_countmin_heavy`, in the
     // incremental-dedup role `dedup_incremental_ingest` plays exactly:
@@ -359,6 +392,35 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey
+                    FROM orders),
+              hu AS (SELECT prio, o_custkey,
+                            list_aggregate(list_transform(range(1, 13),
+                              j -> (strpos('0123456789abcdef',
+                                     substr(md5(CAST(o_custkey AS VARCHAR)),
+                                            CAST(j AS INT), 1)) - 1)
+                                   * pow(16, 12 - j)), 'sum')
+                              / 281474976710656.0 AS u
+                     FROM h),
+              rk AS (SELECT prio, o_custkey, u,
+                            row_number() OVER (PARTITION BY prio
+                              ORDER BY u, o_custkey) AS rn
+                     FROM hu),
+              g AS (SELECT prio, count(*) AS n_exact,
+                           max(CASE WHEN rn = 64 THEN u END) AS uk
+                    FROM rk GROUP BY prio)
+         SELECT prio, n_exact,
+                CAST(floor((CASE WHEN n_exact < 64
+                             THEN CAST(n_exact AS DOUBLE)
+                             ELSE 63.0 / uk END) * 10000) AS DOUBLE)
+                  / 10000 AS est,
+                CAST(floor(((CASE WHEN n_exact < 64
+                              THEN CAST(n_exact AS DOUBLE)
+                              ELSE 63.0 / uk END)
+                            - n_exact) / n_exact * 10000) AS DOUBLE)
+                  / 10000 AS rel_err
+         FROM g ORDER BY prio""",
     "agg_bloom_membership" ->
       """WITH existing AS (SELECT md5(text) AS h FROM documents
                            WHERE doc_id % 3 <> 0),

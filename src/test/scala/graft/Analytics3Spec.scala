@@ -72,6 +72,20 @@ class Analytics3Spec extends GraftSuite {
       .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count())
   }
 
+  test("agg_kmv_distinct: k=64 estimate lands within the sketch's error envelope") {
+    val rows = graft.operators.Analytics3
+      .queries("agg_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, est, rel) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      if (n < 64) assert(est == n.toDouble, "below k the estimate must be exact")
+      // KMV std error = 1/sqrt(k-2) ≈ 12.7%; 5σ is a generous
+      // deterministic-fixture bound (the 5 groups share one sample)
+      else assert(math.abs(rel) < 0.65, s"rel_err $rel out of envelope")
+      assert(est > 0)
+    }
+  }
+
   test("timeseries_trend_ma: trend stays within its window's hv range") {
     val rows = graft.operators.Analytics3
       .queries("timeseries_trend_ma")(spark, sf).collect()
