@@ -280,6 +280,50 @@ object Lifecycle {
         .orderBy("version", "c_nationkey")
     }),
 
+    // OPTIMIZE (small-file compaction) on the manifest mini-format
+    // (round 6) — the fourth table-format primitive, completing the
+    // quartet (snapshot read / CoW MERGE / DELETE+VACUUM / OPTIMIZE):
+    // v1 commits the fixture as 8 small shard files (the
+    // many-small-files state every microbatch stager degrades into);
+    // the OPTIMIZE commit rewrites them into ONE compacted file and
+    // publishes v2 — content-identical by construction, and v1 keeps
+    // reading the original files (readers never block on maintenance,
+    // the availability property compaction must preserve). Declared
+    // result: both versions' aggregates — equal rows across versions
+    // IS the losslessness proof, hash-checked. LifecycleSpec asserts
+    // the file count actually drops 8 → 1.
+    "stage_manifest_compact" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("manifestcompact")
+      def listFiles(dir: String): Seq[String] =
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      def commit(version: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/manifest_v$version.txt"),
+          files.mkString("\n"))
+      def readVersion(version: Int): DataFrame =
+        s.read.parquet(java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+          .split("\n").toSeq: _*)
+      val base = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      base.repartition(8).write.mode("overwrite").parquet(s"$out/data/small")
+      commit(1, listFiles(s"$out/data/small"))
+      readVersion(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/data/compact")
+      commit(2, listFiles(s"$out/data/compact"))
+      def agg(df: DataFrame, v: Int): DataFrame =
+        df.groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("s_acctbal").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(v).as("version"), col("s_nationkey"), col("n"),
+            col("total"))
+      agg(readVersion(1), 1).unionAll(agg(readVersion(2), 2))
+        .orderBy("version", "s_nationkey")
+    }),
+
     // DELETE + VACUUM on the manifest mini-format (round 6) — the
     // third table-format primitive after snapshot reads
     // (`stage_time_travel`) and copy-on-write MERGE
@@ -355,6 +399,15 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_manifest_compact" ->
+      """WITH v AS (SELECT s_nationkey, count(*) AS n,
+                           round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
+                                 AS DOUBLE), 4) AS total
+                    FROM supplier GROUP BY s_nationkey)
+         SELECT 1 AS version, s_nationkey, n, total FROM v
+         UNION ALL
+         SELECT 2, s_nationkey, n, total FROM v
+         ORDER BY version, s_nationkey""",
     "stage_acid_delete_vacuum" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
                        FROM customer),

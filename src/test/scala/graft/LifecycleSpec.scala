@@ -133,6 +133,21 @@ class LifecycleSpec extends GraftSuite {
       "v2 must read identically after the vacuum")
   }
 
+  test("stage_manifest_compact: 8 files become 1, both versions identical") {
+    val out = Lifecycle.queries("stage_manifest_compact")(spark, sf).collect()
+    val root = graft.sources.Staging.scratchPath("manifestcompact")
+    def manifest(v: Int): Seq[String] = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/manifest_v$v.txt"))
+      .split("\n").toSeq
+    assert(manifest(1).length == 8, "v1 must hold the 8 small shards")
+    assert(manifest(2).length == 1, "OPTIMIZE must compact to one file")
+    val v1 = out.filter(_.getInt(0) == 1)
+      .map(r => (r.getAs[Number](1).longValue(), r.getLong(2)))
+    val v2 = out.filter(_.getInt(0) == 2)
+      .map(r => (r.getAs[Number](1).longValue(), r.getLong(2)))
+    assert(v1.sorted.sameElements(v2.sorted), "compaction changed content")
+  }
+
   test("stage_time_travel pins the v1 snapshot while v2 sees the append") {
     // running the declared query also (re)creates the staged table +
     // both manifests under the scratch dir
