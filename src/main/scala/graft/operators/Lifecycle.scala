@@ -280,6 +280,47 @@ object Lifecycle {
         .orderBy("version", "c_nationkey")
     }),
 
+    // Change-data-feed between manifest snapshots (round 6) — the
+    // Delta-CDF primitive on the same scaffolding as
+    // `stage_acid_merge`: rerun that key's v1→v2 MERGE commit, then
+    // compute the ROW-LEVEL changelog by keyed full-outer join of the
+    // two snapshot reads: insert (new key), update_post (key present
+    // in both, payload changed), and the unchanged majority dropped.
+    // At 100 TB the join prunes to the files that DIFFER between the
+    // manifests (here bucket 0 + the insert file — 2 of 5; the 3
+    // shared files can't produce changes), so CDC costs O(changed
+    // files), mirroring the MERGE's own cost bound. Declared result:
+    // change_type × nation counts + summed balance delta,
+    // hash-checked against the oracle's recomputed changelog.
+    "stage_manifest_cdc" -> ((s, d) => {
+      // rebuild the merge fixture (tmpDir pre-cleans, so reruns are
+      // deterministic), then diff its two versions
+      queries("stage_acid_merge")(s, d).count()
+      val out = graft.sources.Staging.scratchPath("acidmerge")
+      def readVersion(version: Int): DataFrame =
+        s.read.parquet(java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+          .split("\n").toSeq: _*)
+      val v1 = readVersion(1).select(col("c_custkey"),
+        col("c_nationkey").as("nk1"), col("c_acctbal").as("b1"))
+      val v2 = readVersion(2).select(col("c_custkey"),
+        col("c_nationkey").as("nk2"), col("c_acctbal").as("b2"))
+      v1.join(v2, Seq("c_custkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("nk1").isNull, lit("insert"))
+            .when(col("nk2").isNull, lit("delete"))
+            .when(col("b1") =!= col("b2"), lit("update_post"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .groupBy(col("change_type"),
+          coalesce(col("nk2"), col("nk1")).as("nation"))
+        .agg(count(lit(1)).as("n"),
+          round(sum((coalesce(col("b2"), lit(0.0))
+            - coalesce(col("b1"), lit(0.0))).cast("decimal(18,2)"))
+            .cast("double"), 4).as("bal_delta"))
+        .orderBy("change_type", "nation")
+    }),
+
     // OPTIMIZE (small-file compaction) on the manifest mini-format
     // (round 6) — the fourth table-format primitive, completing the
     // quartet (snapshot read / CoW MERGE / DELETE+VACUUM / OPTIMIZE):
@@ -399,6 +440,26 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the oracle RECOMPUTES the changelog from the base table: the
+    // only v1→v2 changes are +100 updates on c_custkey % 8 = 0 and
+    // the mirrored inserts at 7.77; Spark's read-back b2−b1 double
+    // drift (≤ ulp) is absorbed by the DECIMAL(18,2) cast on both
+    // sides, so the deltas are exactly 100.00 / 7.77
+    "stage_manifest_cdc" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer),
+              ch AS (SELECT 'update_post' AS change_type,
+                            c_nationkey AS nation,
+                            CAST(100.00 AS DECIMAL(18,2)) AS delta
+                     FROM base WHERE c_custkey % 8 = 0
+                     UNION ALL
+                     SELECT 'insert', c_nationkey,
+                            CAST(7.77 AS DECIMAL(18,2))
+                     FROM base WHERE c_custkey % 8 = 3)
+         SELECT change_type, nation, count(*) AS n,
+                round(CAST(sum(delta) AS DOUBLE), 4) AS bal_delta
+         FROM ch GROUP BY change_type, nation
+         ORDER BY change_type, nation""",
     "stage_manifest_compact" ->
       """WITH v AS (SELECT s_nationkey, count(*) AS n,
                            round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
