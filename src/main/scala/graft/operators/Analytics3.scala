@@ -208,6 +208,55 @@ object Analytics3 {
         .orderBy("maybe_dup")
     }),
 
+    // First-order Markov transition matrix over user event paths
+    // (round 6) — the user-journey model beside funnel/retention/
+    // attribution: P(next = b | cur = a) estimated from consecutive
+    // event pairs per user. ONE lag window pass (shuffle on user_id)
+    // derives the transition frame; both count tables are
+    // |event_types|²-sized aggregates. Probability = count ratio —
+    // one double division of identical BIGINTs, floor-scaled.
+    "analytics_user_path_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val pair = trans.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pair.groupBy("prev").agg(sum(col("n")).as("t"))
+      pair.join(tot, "prev")
+        .select(col("prev"), col("next"), col("n"),
+          trunc4(col("n").cast("double") / col("t").cast("double"))
+            .as("p"))
+        .orderBy("prev", "next")
+    }),
+
+    // Equi-height histogram (round 6) — the quantile-bucket companion
+    // of the equi-width `agg_histogram`: ntile(8) over each segment's
+    // ordered values gives buckets holding equal ROW counts however
+    // skewed the distribution (the property equi-width loses on heavy
+    // tails). Partitioned PER PRIORITY — a global ntile would move
+    // the table to one partition; segment windows shuffle once on the
+    // segment key and sort in parallel. (Corpus-wide equi-height at
+    // 100 TB uses approx-percentile EDGES instead —
+    // `agg_percentile_approx` is that path; this key is the exact
+    // per-segment form.) ntile is deterministic under the total
+    // (value, id) order; bucket edges are exact min/max doubles.
+    "agg_histogram_equiheight" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("bucket", ntile(8).over(
+          Window.partitionBy("prio")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy("prio", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("prio", "bucket")
+    }),
+
     // Last-touch attribution (round 6) — the revenue-credit primitive
     // beside funnel/retention/RFM: each purchase credits the LAST
     // view-or-click by the same user within the preceding 7 days.
@@ -392,6 +441,33 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "analytics_user_path_markov" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(ts) AS us
+                    FROM events),
+              t AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS prev
+                    FROM e),
+              pair AS (SELECT prev, event_type AS next, count(*) AS n
+                       FROM t WHERE prev IS NOT NULL
+                       GROUP BY prev, event_type),
+              tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t
+                      FROM pair GROUP BY prev)
+         SELECT pair.prev, pair.next, pair.n,
+                CAST(floor(CAST(pair.n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                           * 10000) AS DOUBLE) / 10000 AS p
+         FROM pair JOIN tot ON tot.prev = pair.prev
+         ORDER BY pair.prev, pair.next""",
+    "agg_histogram_equiheight" ->
+      """WITH b AS (SELECT o_orderpriority AS prio, o_orderkey,
+                           o_totalprice,
+                           ntile(8) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS bucket
+                    FROM orders)
+         SELECT prio, bucket, count(*) AS n,
+                min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM b GROUP BY prio, bucket ORDER BY prio, bucket""",
     "agg_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey
                     FROM orders),
