@@ -353,6 +353,30 @@ object Analytics3 {
         .orderBy("event_type", "h")
     }),
 
+    // Moving MEDIAN trend (round 6) — the robust companion of
+    // `timeseries_trend_ma`: the centered 7-hour MEDIAN ignores a
+    // single outlier hour entirely, where the mean drags. Same
+    // integer discipline: hourly means floor-scaled to 10⁻⁴-unit
+    // BIGINTs, the window collects the 7 integers, and the median is
+    // the sorted list's middle element — exact selection on integers,
+    // no cross-engine aggregate semantics in play at all.
+    "timeseries_median_ma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("hv"))
+        .withColumn("hv4i", floor(col("hv") * 10000).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-3, 3)
+      hourly
+        .withColumn("ls", collect_list(col("hv4i")).over(w))
+        .filter(size(col("ls")) === 7)
+        .select(col("event_type"), col("h"),
+          (expr("element_at(array_sort(ls), 4)").cast("double") / 10000.0)
+            .as("med4"))
+        .orderBy("event_type", "h")
+    }),
+
     // Robust outlier detection: median absolute deviation (MAD), the
     // outlier-resistant alternative to anomaly_zscore (a z-score's
     // mean/stddev are themselves dragged by the outliers they hunt).
@@ -577,6 +601,21 @@ object Analytics3 {
          FROM pb JOIN cnt ON cnt.r = pb.r AND cnt.b = pb.b
          GROUP BY pb.user_id, pb.n_exact
          ORDER BY pb.user_id""",
+    "timeseries_median_ma" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*) * 10000) AS BIGINT)
+                    AS hv4i
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, h,
+                  list(hv4i) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ls
+           FROM hourly)
+         SELECT event_type, h,
+                CAST(list_sort(ls)[4] AS DOUBLE) / 10000 AS med4
+         FROM t WHERE len(ls) = 7 ORDER BY event_type, h""",
     "timeseries_trend_ma" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,

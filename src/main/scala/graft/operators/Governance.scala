@@ -69,6 +69,18 @@ object Governance {
     allPass
   }
 
+  /** Per-file (min, max) stats over `dir`, returning the files whose
+    * key range overlaps [qlo, qhi] — the scan-planning half of
+    * `scan_stats_pruned_files`, shared with GovernanceSpec. */
+  private[graft] def statsPrune(s: SparkSession, dir: String,
+      qlo: Long, qhi: Long): Seq[String] =
+    s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect()
+      .filter(r => r.getLong(1) <= qhi && r.getLong(2) >= qlo)
+      .map(_.getString(0)).sorted.toSeq
+
   val queries: Map[String, Q] = Map(
     // Declarative DQ expectations over the lineitem batch. The
     // fixture's real duplicate rows make the uniqueness rule FAIL —
@@ -111,6 +123,33 @@ object Governance {
         .orderBy("class")
     }),
 
+    // Stats-manifest FILE PRUNING (round 6) — the scan-planning step
+    // that makes `sink_stats_manifest`'s stats pay off (the
+    // Iceberg-style read path): stage range-partitioned files, build
+    // a per-file (min, max) stats manifest, and answer a key-band
+    // query by reading ONLY the files whose range overlaps the
+    // predicate. The manifest collect is manifest-sized (8 rows —
+    // scan planning is driver work in every table format); the
+    // declared aggregate must equal the plain filtered query (oracle)
+    // — pruning is not allowed to change results. GovernanceSpec
+    // asserts fewer than half the files are read. At 100 TB this is
+    // the difference between listing+reading a directory and opening
+    // the 2 files a point query touches.
+    "scan_stats_pruned_files" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("statspruned")
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val picked = statsPrune(s, out, 1000L, 5000L)
+      val src = if (picked.nonEmpty) s.read.parquet(picked: _*)
+                else s.read.parquet(out)
+      src.filter(col("o_orderkey").between(1000L, 5000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // File-statistics manifest of a partitioned staged table: per
     // partition, the row count + key min/max + decimal-exact measure
     // total — the stats a catalog uses for partition pruning. The
@@ -134,6 +173,12 @@ object Governance {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_stats_pruned_files" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS total
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "dq_expectations" ->
       """WITH nn AS (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) AS v
                      FROM lineitem),

@@ -74,4 +74,24 @@ class GovernanceSpec extends GraftSuite {
       .orderBy("status")
     assert(manifest.except(direct).isEmpty && direct.except(manifest).isEmpty)
   }
+
+  test("scan_stats_pruned_files reads fewer than half the staged files") {
+    // run the declared key (stages the 8 range files + answers the band
+    // query), then replan the same predicate and count selected files
+    val out = Governance.queries("scan_stats_pruned_files")(spark, sf)
+    out.collect()
+    val dir = graft.sources.Staging.scratchPath("statspruned")
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val picked = Governance.statsPrune(spark, dir, 1000L, 5000L)
+    assert(nFiles >= 8, s"expected 8 range files, found $nFiles")
+    assert(picked.nonEmpty && picked.length * 2 < nFiles,
+      s"stats pruning selected ${picked.length} of $nFiles files — not selective")
+    // and the pruned read equals the full filtered read
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(1000L, 5000L)).count()
+    val pruned = spark.read.parquet(picked: _*)
+      .filter(col("o_orderkey").between(1000L, 5000L)).count()
+    assert(full == pruned, "pruning changed the result")
+  }
 }
