@@ -208,6 +208,31 @@ object Analytics3 {
         .orderBy("maybe_dup")
     }),
 
+    // Daily growth accounting (round 6): new vs cumulative distinct
+    // users per day — THE growth metric, computed without any
+    // running-distinct state: each user's FIRST event (row_number = 1
+    // under the total (us, event_id) order per user) marks their
+    // acquisition day, dailies aggregate those marks, and the
+    // cumulative count is a running sum over the tiny per-day frame.
+    // Two bounded shuffles (user_id, then day); the distinct-tracking
+    // that naively needs a growing set is free because first-seen is
+    // a per-user property. Counts are window sums of BIGINTs (cast in
+    // the oracle — HUGEINT-proofed).
+    "analytics_daily_active_growth" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val firsts = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val daily = firsts.groupBy("day").agg(count(lit(1)).as("new_users"))
+      daily
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    }),
+
     // First-order Markov transition matrix over user event paths
     // (round 6) — the user-journey model beside funnel/retention/
     // attribution: P(next = b | cur = a) estimated from consecutive
@@ -465,6 +490,21 @@ object Analytics3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "analytics_daily_active_growth" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           CAST(ts AS DATE) AS day
+                    FROM events),
+              f AS (SELECT user_id, day,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS rn
+                    FROM e),
+              daily AS (SELECT day, count(*) AS new_users
+                        FROM f WHERE rn = 1 GROUP BY day)
+         SELECT day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM daily ORDER BY day""",
     "analytics_user_path_markov" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
                            epoch_us(ts) AS us
