@@ -208,6 +208,32 @@ object Functions {
     // Map/JSON family over events.props (JSON-encoded {"k": <int>}):
     // path extraction and from_json→map access agree with the oracle's
     // ->> extraction.
+    // URL component extraction (round 6) — the parsing companion of
+    // `dedup_url_canonical` (same synthesized URL corpus): host,
+    // path, and a query parameter via anchored regexp_extract. The
+    // regexes are shared verbatim with the DuckDB oracle, so parity
+    // is by construction (Spark's parse_url would also work but has
+    // no DuckDB twin — regexp is the cross-engine form, and both
+    // engines run RE2-class patterns here). Pure codegen'd
+    // projection, no shuffle before the aggregate.
+    "fn_url_extract" -> ((s, d) => {
+      val url = concat(lit("https://www.example"), col("doc_id") % 7,
+        lit(".com/path"), col("doc_id") % 50,
+        lit("/page?utm_source=feed&ref="), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("url", url)
+        .select(
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?&]ref=([^&]*)", 1).as("ref"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("path")).as("n_paths"),
+          min(col("ref")).as("min_ref"),
+          max(col("ref")).as("max_ref"))
+        .orderBy("host")
+    }),
+
     // Spark 4 VARIANT (round 6): the engine's semi-structured path —
     // parse_json builds the binary-encoded open type, variant_get
     // extracts typed fields by path. At 100 TB VARIANT replaces
@@ -357,6 +383,21 @@ object Functions {
                 CAST(props->>'$.k' AS INTEGER) AS k_map,
                 1 AS nkeys
          FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+    "fn_url_extract" ->
+      """WITH u AS (SELECT 'https://www.example' || (doc_id % 7)
+                           || '.com/path' || (doc_id % 50)
+                           || '/page?utm_source=feed&ref=' || doc_id AS url
+                    FROM documents),
+              x AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1)
+                             AS host,
+                           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1)
+                             AS path,
+                           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+                    FROM u)
+         SELECT host, count(*) AS n,
+                count(DISTINCT path) AS n_paths,
+                min(ref) AS min_ref, max(ref) AS max_ref
+         FROM x GROUP BY host ORDER BY host""",
     "fn_variant" ->
       """SELECT c_custkey, c_name AS name,
                 CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
