@@ -80,26 +80,34 @@ object DedupAdvanced {
     * UNROUNDED — the shared stage behind dedup_minhash_lsh (ranked
     * report) and pipeline_dedup_e2e (threshold + closure), so the two
     * keys can never diverge on band/hash structure. */
-  private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
-    val shing = shingles(s, d)
-    // ONE aggregation pass computes all 8 seed-minima as parallel
-    // min() columns (map-side partial agg carries 8 digest states per
-    // doc), then unpivots to (doc_id, i, h) for the band join. The
-    // previous crossJoin(seeds) shape multiplied the shingle shuffle
-    // 8× — at 100 TB that is 8 corpus-sized shuffles vs one. Hash
-    // strings are identical ("i:shingle"), so signatures, candidates,
-    // and the oracle are unchanged (r5 plan fix).
+  /** The (doc_id, i, h) MinHash signature frame: ONE aggregation pass
+    * computes all 8 seed-minima as parallel min() columns (map-side
+    * partial agg carries 8 digest states per doc), then unpivots for
+    * the band join. The previous crossJoin(seeds) shape multiplied
+    * the shingle shuffle 8× — at 100 TB that is 8 corpus-sized
+    * shuffles vs one. Hash strings are "i:shingle" (r5 plan fix). */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val minCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"h$i"))
-    val mh = shing.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    shingles(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .selectExpr("doc_id",
         "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
           ") AS (i, h)")
-    val cand = mh.toDF("da", "ia", "ha")
+  }
+
+  /** Distinct band-collision candidate pairs (da < db) from a
+    * signature frame — never all-pairs. */
+  private def minhashCandidates(mh: DataFrame): DataFrame =
+    mh.toDF("da", "ia", "ha")
       .join(mh.toDF("db", "ib", "hb"),
         col("ia") === col("ib") && col("ha") === col("hb") &&
           col("da") < col("db"))
       .select("da", "db").distinct()
+
+  private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
+    val shing = shingles(s, d)
+    val mh = minhashSignatures(s, d)
+    val cand = minhashCandidates(mh)
     val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shing.toDF("sda", "sha"), col("sda") === col("da"))
@@ -181,6 +189,33 @@ object DedupAdvanced {
         .limit(20)),
 
     // THE composed curation flow, end-to-end in one declared query:
+    // MinHash estimator quality (round 6) — the companion eval to
+    // `sim_ann_recall_eval`: per band candidate, compare the
+    // signature-agreement Jaccard estimate (agreeing seeds / 8 —
+    // exact eighths) against the exact shingle-set Jaccard the verify
+    // stage computes. Agreement is joined per CANDIDATE (8 rows per
+    // pair), never all-pairs; the exact leg reuses the shared
+    // minhashJaccard stage. THIS is how the band/seed counts get
+    // tuned at 100 TB: run the eval on a sample, widen seeds until
+    // the estimator error is inside the verify threshold margin.
+    "dedup_minhash_estimate_quality" -> ((s, d) => {
+      val mh = minhashSignatures(s, d)
+      val agree = minhashCandidates(mh)
+        .join(mh.toDF("xa", "i", "ha"), col("xa") === col("da"))
+        .join(mh.toDF("xb", "ib", "hb"),
+          col("xb") === col("db") && col("ib") === col("i"))
+        .groupBy("da", "db")
+        .agg(count(when(col("ha") === col("hb"), lit(1))).as("n_agree"))
+      agree.join(minhashJaccard(s, d),
+          col("da") === col("a") && col("db") === col("b"))
+        .select(col("a"), col("b"), col("n_agree"),
+          (col("n_agree").cast("double") / 8).as("est_jac"),
+          (floor(col("jac") * 10000).cast("double") / 10000.0).as("jac4"),
+          (floor(abs(col("n_agree") / lit(8.0) - col("jac")) * 10000)
+            .cast("double") / 10000.0).as("abs_err"))
+        .orderBy("a", "b")
+    }),
+
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
     // (≥ 0.5) → connected-component closure → keep the min-id doc per
     // cluster. This is what a 100 TB near-dup job actually runs; every
@@ -288,6 +323,47 @@ object DedupAdvanced {
               FROM u)
          SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_doc
          FROM c GROUP BY canon ORDER BY canon""",
+    "dedup_minhash_estimate_quality" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 5 = 0),
+              shing AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                        FROM tok WHERE len(t) >= 3),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              mh AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                     FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+              cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                       FROM mh a JOIN mh b
+                         ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+              agree AS (SELECT c.da, c.db,
+                               count(CASE WHEN x.h = y.h THEN 1 END)
+                                 AS n_agree
+                        FROM cand c
+                        JOIN mh x ON x.doc_id = c.da
+                        JOIN mh y ON y.doc_id = c.db AND y.i = x.i
+                        GROUP BY c.da, c.db),
+              sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+              inter AS (SELECT c.da, c.db, count(*) AS n
+                        FROM cand c
+                        JOIN shing sa ON sa.doc_id = c.da
+                        JOIN shing sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                        GROUP BY c.da, c.db),
+              ex AS (SELECT c.da, c.db,
+                            CAST(coalesce(i.n, 0) AS DOUBLE)
+                              / (x.n + y.n - coalesce(i.n, 0)) AS jac
+                     FROM cand c
+                     LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                     JOIN sizes x ON x.doc_id = c.da
+                     JOIN sizes y ON y.doc_id = c.db)
+         SELECT ex.da AS a, ex.db AS b, ag.n_agree,
+                CAST(ag.n_agree AS DOUBLE) / 8 AS est_jac,
+                CAST(floor(ex.jac * 10000) AS DOUBLE) / 10000 AS jac4,
+                CAST(floor(abs(ag.n_agree / 8.0 - ex.jac) * 10000)
+                     AS DOUBLE) / 10000 AS abs_err
+         FROM ex JOIN agree ag ON ag.da = ex.da AND ag.db = ex.db
+         ORDER BY a, b""",
     "dedup_minhash_lsh" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 5 = 0),
