@@ -80,8 +80,14 @@ object MirroredLsh {
     * NULL) for short or null-element embeddings instead of throwing.
     * Arithmetic is the same index-order `±1 · v(i)` double
     * accumulation as the r5 UDF and the oracle's left-fold, so the
-    * signatures — and therefore the candidate set — are bit-identical. */
-  def signatureKernel(emb: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    * signatures — and therefore the candidate set — are bit-identical.
+    * Declared return type is ArrayData (not Any): the codegen'd call
+    * site assigns the result straight into an ArrayData-typed variable,
+    * and janino has no Object→ArrayData assignment conversion — an Any
+    * return here would make every stage containing lsh_sigs silently
+    * fall back to interpreted execution. */
+  def signatureKernel(emb: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
     if (emb.numElements() < Dim) return null
     val sg = flatSigns
     val v = new Array[Double](Dim)

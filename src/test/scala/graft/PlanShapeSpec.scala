@@ -168,6 +168,33 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan.contains("lsh_sigs"), s"lsh_sigs expression missing:\n$plan")
   }
 
+  test("LshSignatures generated Java actually compiles and matches eval") {
+    // The plan-string grep above can pass even when janino rejects the
+    // generated code and the stage silently runs interpreted (the r6
+    // bug: Object→ArrayData assignment). Compile the expression
+    // DIRECTLY — GenerateUnsafeProjection throws on a janino failure,
+    // no fallback — and check the compiled path agrees with eval().
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val expr = graft.functions.LshSignatures(
+      BoundReference(0, ArrayType(FloatType, containsNull = true), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws if codegen is broken
+    val emb = new GenericArrayData(Array.tabulate(64)(i =>
+      math.sin(i * 0.7).toFloat))
+    val row = InternalRow(emb)
+    val compiled = proj(row).getArray(0).toIntArray()
+    val interpreted = expr.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(compiled.sameElements(interpreted),
+      s"compiled ${compiled.mkString(",")} != eval ${interpreted.mkString(",")}")
+    // null embedding and short embedding → SQL NULL on the compiled path
+    assert(proj(InternalRow(null)).isNullAt(0))
+    assert(proj(InternalRow(new GenericArrayData(Array(1.0f)))).isNullAt(0))
+  }
+
   test("text_unigram_logprob broadcasts the corpus total (1 row)") {
     val plan = executedPlan("text_unigram_logprob")
     assert(!plan.contains("CartesianProduct"),
