@@ -41,8 +41,24 @@ import org.apache.spark.sql.functions._
   * with 3–4 tables and a far smaller candidate set.
   */
 object MirroredLsh {
-  val NTables = 20
-  val NBits = 6
+  /** Geometry knobs. Defaults are the SHIPPED values (what the driver
+    * and oracle see); the env overrides exist only so the
+    * sim_ann_recall_eval sweep can A/B geometries without recompiling —
+    * both the Spark side and candidateSqlCtes read the same constants,
+    * so any override keeps engine and oracle in lockstep.
+    *
+    * r7 sweep, measured by sim_ann_recall_eval at sf0.1 (mean
+    * recall@10 over the 5-query batch; candidate fraction counted via
+    * the oracle CTE over C(2000,2) pairs — PLANS.md "LSH geometry
+    * sweep"): 20×6 → 0.64 @ 0.285; 24×6 → 0.76 @ ~0.32; 28×6 → 0.86
+    * @ 0.370; 32×6 → 0.88 @ 0.407 (diminishing); 20×5 → 0.82 @ ~0.47
+    * (cheapest signatures, worst fraction). Adopted 28×6: clears the
+    * §7.4 ≥ 0.70 gate with 2× margin-of-noise headroom while adding
+    * only +0.085 fraction. On clustered real corpora (intra-cluster
+    * p ≥ 0.9) the same geometry over-delivers and L can drop to 3–4
+    * tables. */
+  val NTables = sys.env.getOrElse("GRAFT_LSH_TABLES", "28").toInt
+  val NBits = sys.env.getOrElse("GRAFT_LSH_BITS", "6").toInt
   val Dim = 64
 
   /** signs(t * NBits + j)(i) ∈ {−1.0, +1.0} — from bit i of
