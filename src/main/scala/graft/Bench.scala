@@ -27,6 +27,38 @@ object Bench {
       spark.range(100L).selectExpr("id", "id % 3 AS p")
         .write.mode("overwrite").partitionBy("p").parquet(wtmp)
       spark.read.parquet(wtmp).count()
+      // warm the STRUCTURED STREAMING machinery too (state-store
+      // provider load, streaming-query planner, checkpoint FS init,
+      // ~2 s): otherwise whichever streaming key the map iterates
+      // first absorbs it — r6's key additions re-hashed the order and
+      // stream_dedup_within_watermark jumped 1.7 -> 3.7 s in the
+      // driver run with identical code (isolation-cold reproduces
+      // 3.6-4.3 s; warm, the key is ~1.5 s). A watermark + stateful
+      // dedup over a 10-row file stream exercises that exact path.
+      val stmp = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm_stream").toString
+      spark.range(10L).selectExpr("id", "timestamp_seconds(id) AS ts")
+        .write.mode("overwrite").parquet(stmp)
+      // 8 shuffle partitions = the streaming keys' own config
+      // (Streaming.withStreamShuffle) so the per-partition state-store
+      // instances this warms are the ones the real keys reuse
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val wq = spark.readStream.schema("id BIGINT, ts TIMESTAMP")
+        .parquet(stmp)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .groupBy("id").count()
+        .writeStream.format("memory").queryName("graft_warm_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      wq.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      // events.parquet footer + the nanos-timestamp read path: every
+      // streaming key scans it via Tables.events' schema probe
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet").selectExpr("count(*)")
+        .collect()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=key1,key2 benches a subset — isolation runs for
     // chasing per-key regressions without the 157-query wall time
