@@ -51,6 +51,10 @@ object Clustering {
     * the loop, the returned frame re-plans lazily). Shared by
     * dedup_cluster_cc and the composed pipeline_dedup_e2e. */
   private[graft] def components(verts: DataFrame, pairs: DataFrame): DataFrame = {
+    // GRAFT_CC_ALGO=star selects the large-star/small-star contraction
+    // A/B below (componentsStar); both produce identical min-labels
+    if (sys.env.get("GRAFT_CC_ALGO").contains("star"))
+      return componentsStar(verts, pairs)
     val s = verts.sparkSession
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -95,7 +99,17 @@ object Clustering {
         // 12→7 but ran ~40% SLOWER A/B'd under identical load — with
         // no materialization between steps, step 1's subplan is
         // re-executed ~4x inside step 2's two self-references. The
-        // eager per-step checkpoint IS the cheap configuration.)
+        // eager per-step checkpoint IS the cheap configuration.
+        // r7 THIRD negative result: alternating large-star/small-star
+        // contraction (componentsStar below, Kiveris et al. SOCC'14)
+        // converges in 6 rounds vs 12 here on the same ANN graph but
+        // benches 6.6–7.7 s vs 5.2–6.0 s at sf0.1 — each star round
+        // pays 2 materializations + 2 fingerprint aggs + 2 distinct
+        // shuffles vs ONE fused job here, and at sample scale job
+        // overhead, not propagation depth, is the budget. Star's real
+        // advantage (edge-set shrinkage: state is edges, and stars
+        // compress) only pays when edges ≫ nodes; keep it selectable
+        // via GRAFT_CC_ALGO=star for such graphs, default stays here.)
         val j = m1.select(col("n").as("jn"), col("lab").as("jlab"))
         // Materialize the round into a persisted RDD (truncating
         // lineage — each round references the prior round's frame
@@ -143,6 +157,94 @@ object Clustering {
       // returned frame reads it; it is sample-sized and released when
       // the session GCs the RDD.
       labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** A/B alternative (r7, VERDICT #3): alternating large-star /
+    * small-star contraction — the Kiveris et al. (SOCC'14) MapReduce
+    * CC formulation, the one classic variant not yet tried against
+    * the label-propagation loop (double-jump and step-batching are
+    * recorded negatives above). State is the EDGE set, not a label
+    * per node: large-star hangs every larger neighbor of u off
+    * min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighborhood;
+    * at the joint fixpoint every component is a star centered at its
+    * min node. Same materialize-per-step LogicalRDD pattern as the
+    * label loop (each star op references the prior edge frame up to
+    * 4×, so lineage would double per step and re-plan exponentially).
+    * Convergence = (count, bit_xor(xxhash64(u,v))) stable across a
+    * full round, computed as one tiny agg job on the step's persisted RDD
+    * (deterministic — no accumulator, so retry-safe on a cluster).
+    * Selected via GRAFT_CC_ALGO=star; see the A/B verdict comment at
+    * the dispatch site in [[components]]. */
+  private[graft] def componentsStar(verts: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = verts.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema2 = StructType(Seq(
+      StructField("u", LongType), StructField("v", LongType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val nNodes = verts.count()
+      val parts = math.min(2048L, math.max(2L, nNodes / 500000L + 1L))
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+
+      // one materialization per star step: persist, truncate lineage,
+      // and return (frame, count, hashsum, release)
+      def materialize(e: DataFrame): (DataFrame, Long, Long, () => Unit) = {
+        val rdd = e.rdd.map(r => Row(r.getLong(0), r.getLong(1)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        val fresh = s.createDataFrame(rdd, schema2)
+        // bit_xor, not sum: ANSI mode makes a long sum of 2^63-range
+        // hashes throw on overflow, and xor is an equally valid set
+        // fingerprint over the distinct edge set
+        val agg = fresh.select(count(lit(1)),
+          expr("bit_xor(xxhash64(u, v))")).collect()(0)
+        (fresh, agg.getLong(0), Option(agg.get(1)).fold(0L)(_ => agg.getLong(1)),
+          () => { rdd.unpersist(); () })
+      }
+
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u").as("mu"), least(col("u"), col("mv")).as("m"))
+        sym.join(m, sym("u") === col("mu"))
+          .where(sym("v") > sym("u"))
+          .select(sym("v").as("u"), col("m").as("v"))
+          .where(col("u") =!= col("v"))
+          .distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        // edges already arrive u > v (both ops emit larger→smaller)
+        val m = e.groupBy("u").agg(min(col("v")).as("m"))
+        e.join(m, "u")
+          .select(e("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v"))
+          .distinct()
+      }
+
+      var (edges, cnt, hsum, release) = materialize(
+        pairs.select(greatest(col("a"), col("b")).as("u"),
+            least(col("a"), col("b")).as("v"))
+          .where(col("u") =!= col("v")).distinct())
+      var stable = false
+      var iter = 0
+      while (!stable && iter < 16) {
+        val (e1, _, _, rel1) = materialize(largeStar(edges))
+        val (e2, c2, h2, rel2) = materialize(smallStar(e1))
+        release(); rel1()
+        stable = c2 == cnt && h2 == hsum
+        edges = e2; cnt = c2; hsum = h2; release = rel2
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[componentsStar] round=$iter n_edges=$cnt")
+      }
+      // stars: every non-center node has exactly one edge to its
+      // component min; centers and isolated nodes label themselves
+      val lab = edges.groupBy("u").agg(min(col("v")).as("clab"))
+      verts.join(lab, verts("n") === lab("u"), "left")
+        .select(verts("n"), coalesce(col("clab"), verts("n")).as("lab"))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
