@@ -58,6 +58,52 @@ object Functions {
           trim(col("p_name")).as("tm"))
         .orderBy("p_partkey")),
 
+    // Decimal family (r7): DecimalType arithmetic AS DATA — the
+    // currency path a staging engine meets constantly, and the one
+    // type-system hole SURVEY §1.2 conceded. Determinism contract:
+    // (a) decimals are constructed from INTEGER-valued columns only —
+    // casting an arbitrary double would hit the shortest-repr
+    // rounding trap recorded in SURVEY §5.4.2 (Spark rounds the
+    // decimal STRING of the double HALF_UP, DuckDB the binary value);
+    // (b) every arithmetic result is cast to an EXPLICIT (p,s), so the
+    // engines' different precision/scale inference rules never touch a
+    // value; (c) all values stay positive, so Spark's HALF_UP round
+    // and DuckDB's half-away-from-zero agree on the exact-decimal
+    // ties round() does hit (net has genuine scale-4 digits);
+    // (d) output columns are VARCHAR/DOUBLE/BIGINT because the driver's
+    // pandas compare coerces DECIMAL to object and the hash breaks on
+    // equal values (preflight rejects DECIMAL outputs by design) — the
+    // VARCHAR column carries the full-scale exact sum, so exactness is
+    // still what the hash checks. Scale: pure scan → project →
+    // 3-group agg; decimal ops are codegen'd fixed-point arithmetic.
+    "fn_decimal" -> ((s, d) => {
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        col("l_quantity").cast("bigint").cast("decimal(10,2)").as("qty_d"),
+        ((col("l_orderkey") % 10000) + col("l_linenumber")).cast("bigint")
+          .cast("decimal(12,0)").as("cents_d"),
+        (col("l_linenumber").cast("decimal(3,0)") *
+          expr("CAST('0.05' AS DECIMAL(3,2))")).cast("decimal(6,2)").as("disc_d"))
+      val priced = base.withColumn("price_d",
+        (col("cents_d") * expr("CAST('0.01' AS DECIMAL(3,2))"))
+          .cast("decimal(14,2)"))
+      val net = priced.withColumn("net_x",
+        ((col("qty_d") * col("price_d")).cast("decimal(20,4)") *
+          (expr("CAST('1.00' AS DECIMAL(5,2))") - col("disc_d")))
+          .cast("decimal(26,6)"))
+      val r = net.withColumn("net_r",
+        round(col("net_x"), 2).cast("decimal(22,2)"))
+      r.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("net_r")).cast("decimal(38,2)").cast("string")
+            .as("sum_net_str"),
+          sum(col("net_r")).cast("double").as("sum_net_dbl"),
+          min(col("net_r")).cast("string").as("min_net_str"),
+          max(col("net_r")).cast("string").as("max_net_str"),
+          sum(col("qty_d")).cast("bigint").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Regex family (beyond fn_string's single extract/replace):
     // extract-all to array, non-overlapping match count, boolean
     // match. Patterns stay in the Java↔RE2 shared subset (character
@@ -278,6 +324,39 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_decimal" ->
+      """WITH base AS (
+           SELECT l_returnflag,
+                  CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(10,2)) AS qty_d,
+                  CAST(CAST((l_orderkey % 10000) + l_linenumber AS BIGINT)
+                       AS DECIMAL(12,0)) AS cents_d,
+                  CAST(CAST(l_linenumber AS DECIMAL(3,0))
+                       * CAST('0.05' AS DECIMAL(3,2)) AS DECIMAL(6,2)) AS disc_d
+           FROM lineitem),
+         priced AS (
+           SELECT l_returnflag, qty_d, disc_d,
+                  CAST(cents_d * CAST('0.01' AS DECIMAL(3,2))
+                       AS DECIMAL(14,2)) AS price_d
+           FROM base),
+         net AS (
+           SELECT l_returnflag, qty_d,
+                  CAST(CAST(qty_d * price_d AS DECIMAL(20,4))
+                       * (CAST('1.00' AS DECIMAL(5,2)) - disc_d)
+                       AS DECIMAL(26,6)) AS net_x
+           FROM priced),
+         r AS (
+           SELECT l_returnflag, qty_d,
+                  CAST(round(net_x, 2) AS DECIMAL(22,2)) AS net_r
+           FROM net)
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(CAST(sum(net_r) AS DECIMAL(38,2)) AS VARCHAR)
+                  AS sum_net_str,
+                CAST(sum(net_r) AS DOUBLE) AS sum_net_dbl,
+                CAST(min(net_r) AS VARCHAR) AS min_net_str,
+                CAST(max(net_r) AS VARCHAR) AS max_net_str,
+                CAST(sum(qty_d) AS BIGINT) AS sum_qty
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     "fn_regex" ->
       """SELECT p_partkey,
                 array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',')
