@@ -168,6 +168,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan.contains("lsh_sigs"), s"lsh_sigs expression missing:\n$plan")
   }
 
+  test("multimodal_features pushes doc_id % 50 through the join to BOTH scans") {
+    // the filter is written AFTER the join; Catalyst must (a) push it
+    // below the join onto the documents scan and (b) INFER the
+    // equivalent vec_id % 50 predicate onto the embeddings scan via
+    // the join-key constraint — without (b) the embeddings side scans
+    // 50x the rows it needs (driver r6 watch item; isolation-bench
+    // 0.87 s flat, the 1.22 s driver sample was ordering noise)
+    val plan = executedPlan("multimodal_features")
+      .split("== Initial Plan ==")(0)
+    assert("""\(doc_id#\d+L? % 50\) = 0""".r.findFirstIn(plan).isDefined,
+      s"doc_id % 50 not pushed below the join:\n$plan")
+    assert("""\(vec_id#\d+L? % 50\) = 0""".r.findFirstIn(plan).isDefined,
+      s"vec_id % 50 not inferred onto the embeddings scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered dim side should broadcast:\n$plan")
+  }
+
   test("LshSignatures generated Java actually compiles and matches eval") {
     // The plan-string grep above can pass even when janino rejects the
     // generated code and the stage silently runs interpreted (the r6
