@@ -280,6 +280,55 @@ object Lifecycle {
         .orderBy("version", "c_nationkey")
     }),
 
+    // RESTORE / rollback-to-version (r7) — the recovery primitive
+    // completing the manifest mini-format's set (snapshot read / CoW
+    // MERGE / DELETE+VACUUM / OPTIMIZE / CDC / RESTORE): after a bad
+    // commit lands as v2, RESTORE publishes manifest v3 whose file
+    // list IS v1's — metadata-only, zero data files copied or
+    // rewritten (O(manifest), not O(table) — the Delta RESTORE
+    // semantics), and v2 stays readable for forensics until a vacuum
+    // reclaims it. The declared result reads v3 AND v2, so "v3 equals
+    // v1 while the bad file still exists and v2 still sees it" is
+    // hash-checked semantics, not a side assertion.
+    "stage_manifest_restore" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("restore")
+      val dataDir = s"$out/data"
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$dataDir/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      def commit(version: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/manifest_v$version.txt"),
+          files.mkString("\n"))
+      def readVersion(version: Int): DataFrame = {
+        val files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      val base = Tables.orders(s, d)
+      val v1Files = writeFiles(base.filter(col("o_orderkey") % 3 === 0), "good")
+      commit(1, v1Files)
+      // the bad commit: a miscomputed batch lands as v2
+      commit(2, v1Files ++ writeFiles(
+        base.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * -1), "bad"))
+      commit(3, v1Files) // RESTORE to v1: republish v1's file list
+      def agg(df: DataFrame, v: Int): DataFrame =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(v).as("version"), col("o_orderstatus"), col("n"),
+            col("total"))
+      agg(readVersion(2), 2).unionAll(agg(readVersion(3), 3))
+        .orderBy("version", "o_orderstatus")
+    }),
+
     // Change-data-feed between manifest snapshots (round 6) — the
     // Delta-CDF primitive on the same scaffolding as
     // `stage_acid_merge`: rerun that key's v1→v2 MERGE commit, then
@@ -440,6 +489,28 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // v2 = good ∪ negated bad batch; v3 (the RESTORE) = good only —
+    // the oracle recomputes both snapshots straight from orders
+    "stage_manifest_restore" ->
+      """WITH v2 AS (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice * -1 FROM orders
+           WHERE o_orderkey % 3 = 1),
+         a2 AS (
+           SELECT 2 AS version, o_orderstatus, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 4) AS total
+           FROM v2 GROUP BY o_orderstatus),
+         a3 AS (
+           SELECT 3 AS version, o_orderstatus, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 4) AS total
+           FROM orders WHERE o_orderkey % 3 = 0
+           GROUP BY o_orderstatus)
+         SELECT * FROM a2 UNION ALL SELECT * FROM a3
+         ORDER BY version, o_orderstatus""",
     // the oracle RECOMPUTES the changelog from the base table: the
     // only v1→v2 changes are +100 updates on c_custkey % 8 = 0 and
     // the mirrored inserts at 7.77; Spark's read-back b2−b1 double

@@ -128,6 +128,50 @@ object TextPipeline {
           min(when(col("fp").startsWith("0"), col("fp"))).as("min_fp"))
         .orderBy("doc_id")),
 
+    // Span-level internal dedup (r7): which WORD-8-GRAM spans appear
+    // in MORE THAN ONE document — the span-granularity member of the
+    // dedup family (exact doc / paragraph / near-dup pair / span),
+    // i.e. the shape of suffix-array substring dedup (the
+    // "deduplicate long repeated substrings" training-data op)
+    // re-expressed as a shingle inverted index: explode 8-word
+    // spans, md5 BEFORE the shuffle (16-byte keys move, never text),
+    // count DISTINCT docs per hash, join the duplication marks back
+    // per doc. Output per doc: total spans, spans shared with ≥1
+    // other doc, floor-scaled dup ratio. Scale notes: the span
+    // explode runs ONCE and there is NO join — the frame reduces to
+    // distinct (h, doc_id) pairs with a multiplicity (intra-doc
+    // repeats never shuffle twice), the per-hash doc count is a
+    // window row count over h (order-independent, so no sort-order
+    // hazard), and the whole key is one linear pipeline of three
+    // keyed shuffles: (h, doc_id) agg → h window → doc_id agg.
+    // PlanShapeSpec pins the single Generate and the join-free shape;
+    // no all-pairs doc×doc stage exists at any size.
+    "text_span_dedup" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 7), k -> concat_ws(' ',
+               element_at(t, k), element_at(t, k+1), element_at(t, k+2),
+               element_at(t, k+3), element_at(t, k+4), element_at(t, k+5),
+               element_at(t, k+6), element_at(t, k+7)))"""
+        )).as("sp"))
+        .select(col("doc_id"), md5(col("sp")).as("h"))
+        .groupBy("h", "doc_id")
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .withColumn("nd",
+          count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_spans"),
+          coalesce(sum(when(col("nd") > 1, col("c"))), lit(0L))
+            .as("n_dup_spans"),
+          (floor(coalesce(sum(when(col("nd") > 1, col("c"))), lit(0L)) *
+            lit(10000.0) / sum(col("c"))) / 10000).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal feature extraction plumbing: opaque binary column +
     // typed metadata + per-row "decode" (STUB: deterministic
     // arithmetic over the bytes — real decoders are not in this
@@ -380,6 +424,24 @@ object TextPipeline {
                 round(100.0 * len(string_split(text, ' ')) / length(text), 4)
                   AS tok_per_100
          FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "text_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT doc_id,
+                            md5(unnest(list_transform(range(1, len(t) - 6),
+                              k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2]
+                                   || ' ' || t[k+3] || ' ' || t[k+4]
+                                   || ' ' || t[k+5] || ' ' || t[k+6]
+                                   || ' ' || t[k+7]))) AS h
+                     FROM tok WHERE len(t) >= 8),
+           marks AS (SELECT h, count(DISTINCT doc_id) AS nd
+                     FROM sh GROUP BY h)
+         SELECT sh.doc_id, count(*) AS n_spans,
+                count(*) FILTER (WHERE nd > 1) AS n_dup_spans,
+                floor(count(*) FILTER (WHERE nd > 1) * 10000.0
+                      / count(*)) / 10000 AS dup_ratio
+         FROM sh JOIN marks ON sh.h = marks.h
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
     "text_fingerprint_rolling" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 = 0),

@@ -288,6 +288,42 @@ object Staging {
         .orderBy("s_nationkey")
     }),
 
+    // Binary-file source (r7): Spark's `binaryFile` format — how
+    // image/audio corpora actually land (one opaque file per asset,
+    // schema = path/modificationTime/length/content). The engine
+    // stages a sampled asset store executor-side (one .bin file per
+    // doc, bytes = the doc's UTF-8 text payload standing in for
+    // image bytes), reads it back through format("binaryFile"), and
+    // fingerprints each payload. PROVENANCE oracle: the bytes came
+    // from documents.text, so DuckDB recomputes octet_length/md5
+    // from the table — the round-trip through the file store is
+    // checked without the oracle touching files. Scale notes: the
+    // per-asset write is foreachPartition (executor-side, no driver
+    // loop — on a cluster this targets the shared FS), and binaryFile
+    // scans parallelize per file with only (path, length, md5) ever
+    // leaving the scan — payload bytes never shuffle.
+    "scan_binary_files" -> ((s, d) => {
+      val out = tmpDir("graft_bin_assets")
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$out/asset_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(out)
+        .select(
+          regexp_extract(col("path"), "asset_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Microbatch file source: the fixture directory processed as a
     // bounded stream (AvailableNow), aggregated and drained to a
     // memory sink — equals the batch aggregate (also oracle-checked).
@@ -350,6 +386,11 @@ object Staging {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_binary_files" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""",
     "stage_idempotent_rewrite" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)

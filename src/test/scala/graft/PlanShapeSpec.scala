@@ -185,6 +185,17 @@ class PlanShapeSpec extends GraftSuite {
       s"filtered dim side should broadcast:\n$plan")
   }
 
+  test("text_span_dedup explodes spans ONCE and runs join-free") {
+    // the naive shape (span frame joined with its own per-hash marks)
+    // re-ran the 1M-span explode+md5 on both sides of the join — the
+    // window formulation must keep exactly one Generate and no join
+    val plan = executedPlan("text_span_dedup")
+      .split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      s"span explode duplicated:\n$plan")
+    assert(!plan.contains("Join"), s"join crept back into span dedup:\n$plan")
+  }
+
   test("LshSignatures generated Java actually compiles and matches eval") {
     // The plan-string grep above can pass even when janino rejects the
     // generated code and the stage silently runs interpreted (the r6
