@@ -329,6 +329,64 @@ object Lifecycle {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // Write-Audit-Publish (r7) — the staging WORKFLOW the manifest
+    // primitives exist for (the Iceberg/Netflix WAP pattern): each
+    // batch lands as unpublished data files + a staged manifest, a DQ
+    // audit runs AGAINST THE STAGED FILES (never the live table), and
+    // only a passing batch's manifest is promoted to the published
+    // pointer. A failing batch leaves the published version untouched
+    // — its files stay on disk for forensics, exactly like a write to
+    // a staging branch that never merges. Batch A (clean) audits
+    // green and publishes; batch B (corrupted balances injected)
+    // audits red and must NOT publish. The declared result carries
+    // the per-batch audit verdicts AND the published table's final
+    // per-nation fingerprint, so "B's rows are absent because its
+    // audit failed" is hash-checked semantics. At 100 TB the audit
+    // costs one scan of the NEW files only (the staged manifest lists
+    // just the batch), and publish/rollback are manifest pointer
+    // swaps — O(1) in table size.
+    "stage_write_audit_publish" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("wap")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      var published: Seq[String] = writeFiles(
+        Tables.customer(s, d).filter(col("c_custkey") % 3 === 0), "base")
+      // audit = zero balance-range violations over the STAGED batch
+      def audit(files: Seq[String]): Long =
+        s.read.parquet(files: _*)
+          .filter(col("c_acctbal") < -1000 || col("c_acctbal") > 100000)
+          .count()
+      def stage(df: DataFrame, sub: String): (Seq[String], Long) = {
+        val files = writeFiles(df, sub)
+        (files, audit(files))
+      }
+      val base = Tables.customer(s, d)
+      val (aFiles, aViol) = stage(base.filter(col("c_custkey") % 3 === 1), "batch_a")
+      if (aViol == 0) published = published ++ aFiles // publish A
+      val (bFiles, bViol) = stage(
+        base.filter(col("c_custkey") % 3 === 2)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 6 === 2, lit(-99999.0))
+              .otherwise(col("c_acctbal"))), "batch_b")
+      if (bViol == 0) published = published ++ bFiles // B must NOT pass
+      val audits = {
+        import s.implicits._
+        Seq(("audit_batch_a", aViol, 0.0), ("audit_batch_b", bViol, 0.0))
+          .toDF("item", "n", "total")
+      }
+      val pub = s.read.parquet(published: _*)
+        .groupBy(concat(lit("pub_nation_"), col("c_nationkey")).as("item"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+      audits.unionByName(pub).orderBy("item")
+    }),
+
     // Change-data-feed between manifest snapshots (round 6) — the
     // Delta-CDF primitive on the same scaffolding as
     // `stage_acid_merge`: rerun that key's v1→v2 MERGE commit, then
@@ -489,6 +547,34 @@ object Lifecycle {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // batch A is clean by fixture construction (acctbal ∈ [-999.99,
+    // 9999.99]) so audit_batch_a = 0 and A publishes; batch B's
+    // violations are the injected -99999 rows (c_custkey % 6 = 2 ∩
+    // % 3 = 2); published = base ∪ A, never B
+    "stage_write_audit_publish" ->
+      """WITH audits AS (
+           SELECT 'audit_batch_a' AS item,
+                  (SELECT count(*) FROM customer
+                   WHERE c_custkey % 3 = 1
+                     AND (c_acctbal < -1000 OR c_acctbal > 100000))
+                    AS n, 0.0 AS total
+           UNION ALL
+           SELECT 'audit_batch_b',
+                  (SELECT count(*) FROM customer
+                   WHERE c_custkey % 3 = 2 AND c_custkey % 6 = 2),
+                  0.0),
+         pub AS (
+           SELECT 'pub_nation_' || CAST(c_nationkey AS VARCHAR) AS item,
+                  count(*) AS n,
+                  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE), 4) AS total
+           FROM customer
+           WHERE c_custkey % 3 IN (0, 1)
+           GROUP BY c_nationkey)
+         SELECT item, CAST(n AS BIGINT) AS n, total FROM audits
+         UNION ALL
+         SELECT item, n, total FROM pub
+         ORDER BY item""",
     // v2 = good ∪ negated bad batch; v3 (the RESTORE) = good only —
     // the oracle recomputes both snapshots straight from orders
     "stage_manifest_restore" ->
