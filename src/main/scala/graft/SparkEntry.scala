@@ -36,6 +36,9 @@ object SparkEntry {
     (operators.Governance.queries, operators.Governance.oracles),
     (operators.TextModel.queries, operators.TextModel.oracles),
     (operators.GraphOps.queries, operators.GraphOps.oracles),
+    (operators.Features.queries, operators.Features.oracles),
+    (operators.Analytics4.queries, operators.Analytics4.oracles),
+    (operators.Spatial.queries, operators.Spatial.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

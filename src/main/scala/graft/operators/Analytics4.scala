@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 analytics widening: series diagnostics (autocorrelation,
+  * seasonal-naive residuals), the join-key skew profiler you run
+  * before choosing a join strategy, and exact weighted median.
+  *
+  * Determinism (SURVEY §5.4): daily revenues come from exact
+  * DECIMAL(18,2) sums (order-independent), so the lag/residual
+  * arithmetic runs on identical doubles in both engines; corr is
+  * round(…,4) with the agg_stats precedent; weighted-median
+  * comparisons stay in DECIMAL (2·cumw ≥ tot, no decimal division).
+  */
+object Analytics4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Daily revenue per order priority — exact decimal sum → double. */
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+
+  private val dailySql =
+    """daily AS (SELECT o_orderpriority AS pri,
+                        CAST(o_orderdate AS DATE) AS day,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS rev
+                 FROM orders GROUP BY 1, 2)"""
+
+  val queries: Map[String, Q] = Map(
+    // Lag-1 / lag-7 autocorrelation of the daily-revenue series per
+    // priority. The series table is an aggregate (days × priorities),
+    // so the per-series window sorts a FEW THOUSAND rows per
+    // partition regardless of raw-order volume — the window runs
+    // after the reduction, never over raw rows. At 100 TB this is
+    // the partition-per-series embarrassingly-parallel shape.
+    "timeseries_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+      dailyRevenue(s, d)
+        .withColumn("l1", lag("rev", 1).over(w))
+        .withColumn("l7", lag("rev", 7).over(w))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_days"),
+          round(corr(col("rev"), col("l1")), 4).as("ac1"),
+          round(corr(col("rev"), col("l7")), 4).as("ac7"))
+        .orderBy("pri")
+    }),
+
+    // Seasonal-naive residual anomalies: forecast(day) = rev(day-7);
+    // a day is anomalous when |residual| > 2σ of its series'
+    // residuals. Two-pass like feature_scale_standardize: the σ side
+    // is a 5-row exact-decimal aggregate broadcast back onto the
+    // series — no full-table window for the threshold.
+    "timeseries_seasonal_residual" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+      val resid = dailyRevenue(s, d)
+        .withColumn("resid", col("rev") - lag("rev", 7).over(w))
+        .filter(col("resid").isNotNull)
+      val stats = resid.groupBy(col("pri").as("sp"))
+        .agg(sum(col("resid").cast("decimal(18,2)")).as("s1"),
+          sum((col("resid") * col("resid")).cast("decimal(28,4)")).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("sp"),
+          sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("sd"))
+      resid.join(broadcast(stats), col("pri") === col("sp"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_days"),
+          count(when(abs(col("resid")) > lit(2.0) * col("sd"), 1))
+            .as("n_anom"),
+          round(max(abs(col("resid"))), 2).as("max_abs_resid"))
+        .orderBy("pri")
+    }),
+
+    // Join-key skew profile — the planning query behind
+    // join_skew_salted: per candidate key, group-size count / max /
+    // top-1 share / coefficient of variation. Each branch is one
+    // partial-aggregated groupBy (the shuffle carries one row per
+    // key), then a second 1-row reduction; the three branches union.
+    // This is how a 100 TB job decides broadcast vs salt vs AQE per
+    // key BEFORE launching the join.
+    "profile_skew_report" -> ((s, d) => {
+      def branch(df: DataFrame, key: String, name: String): DataFrame = {
+        val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("gn"))
+        sizes.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("gn")).as("n_rows"),
+          max(col("gn")).as("max_group"),
+          sum((col("gn") * col("gn")).cast("decimal(28,0)")).as("s2"))
+          .select(lit(name).as("key_name"),
+            col("n_keys"), col("n_rows"), col("max_group"),
+            round(col("max_group") / (col("n_rows").cast("double")
+              / col("n_keys")), 4).as("max_over_avg"),
+            round(sqrt((col("s2").cast("double")
+              - col("n_rows").cast("double") * col("n_rows") / col("n_keys"))
+              / (col("n_keys") - 1))
+              / (col("n_rows").cast("double") / col("n_keys")), 4).as("cv"))
+      }
+      branch(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+        .union(branch(Tables.lineitem(s, d), "l_suppkey",
+          "lineitem.l_suppkey"))
+        .union(branch(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .orderBy("key_name")
+    }),
+
+    // Exact weighted median of quantity weighted by extended price:
+    // pre-aggregate weight per (group, value) — the shuffle carries
+    // one row per distinct value, never raw rows (the agg_mode_exact
+    // shape) — then a cumulative-weight window over ≤50 rows per
+    // group picks the first value with 2·cumw ≥ total. All
+    // comparisons stay in DECIMAL: no division, no float ties.
+    "agg_weighted_median" -> ((s, d) => {
+      val wv = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("w"))
+      val win = Window.partitionBy("rf").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("rf")
+      wv.withColumn("cumw", sum("w").over(win))
+        .withColumn("totw", sum("w").over(tot))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("rf")
+        .agg(min("qty").as("wmedian"),
+          round(max(col("totw")).cast("double"), 2).as("total_weight"))
+        .orderBy("rf")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "timeseries_autocorr" ->
+      s"""WITH $dailySql,
+              lagd AS (SELECT pri, rev,
+                              lag(rev, 1) OVER w AS l1,
+                              lag(rev, 7) OVER w AS l7
+                       FROM daily
+                       WINDOW w AS (PARTITION BY pri ORDER BY day))
+         SELECT pri, count(*) AS n_days,
+                round(corr(rev, l1), 4) AS ac1,
+                round(corr(rev, l7), 4) AS ac7
+         FROM lagd GROUP BY pri ORDER BY pri""",
+    "timeseries_seasonal_residual" ->
+      s"""WITH $dailySql,
+              r AS (SELECT pri,
+                           rev - lag(rev, 7) OVER
+                             (PARTITION BY pri ORDER BY day) AS resid
+                    FROM daily),
+              resid AS (SELECT * FROM r WHERE resid IS NOT NULL),
+              stats AS (SELECT pri AS sp,
+                               sqrt((CAST(sum(CAST(resid * resid
+                                        AS DECIMAL(28,4))) AS DOUBLE)
+                                     - CAST(sum(CAST(resid AS DECIMAL(18,2)))
+                                         AS DOUBLE)
+                                       * CAST(sum(CAST(resid AS DECIMAL(18,2)))
+                                           AS DOUBLE) / count(*))
+                                    / (count(*) - 1)) AS sd
+                        FROM resid GROUP BY 1)
+         SELECT pri, count(*) AS n_days,
+                count(*) FILTER (WHERE abs(resid) > 2.0 * sd) AS n_anom,
+                round(max(abs(resid)), 2) AS max_abs_resid
+         FROM resid JOIN stats ON pri = sp
+         GROUP BY pri ORDER BY pri""",
+    "profile_skew_report" -> {
+      def b(tbl: String, key: String): String =
+        s"""SELECT 'tblkey' AS key_name, count(*) AS n_keys,
+                   CAST(sum(gn) AS BIGINT) AS n_rows,
+                   max(gn) AS max_group,
+                   round(max(gn) / (CAST(sum(gn) AS DOUBLE) / count(*)), 4)
+                     AS max_over_avg,
+                   round(sqrt((CAST(sum(CAST(gn * gn AS DECIMAL(28,0)))
+                                 AS DOUBLE)
+                               - CAST(sum(gn) AS DOUBLE) * CAST(sum(gn)
+                                   AS DOUBLE) / count(*))
+                              / (count(*) - 1))
+                         / (CAST(sum(gn) AS DOUBLE) / count(*)), 4) AS cv
+            FROM (SELECT $key, count(*) AS gn FROM $tbl GROUP BY 1)"""
+          .replace("'tblkey'", s"'$tbl.$key'")
+      s"""${b("lineitem", "l_partkey")}
+          UNION ALL ${b("lineitem", "l_suppkey")}
+          UNION ALL ${b("orders", "o_custkey")}
+          ORDER BY key_name"""
+    },
+    "agg_weighted_median" ->
+      """WITH wv AS (SELECT l_returnflag AS rf,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+                     FROM lineitem GROUP BY 1, 2),
+              c AS (SELECT rf, qty,
+                           sum(w) OVER (PARTITION BY rf ORDER BY qty
+                                        ROWS UNBOUNDED PRECEDING) AS cumw,
+                           sum(w) OVER (PARTITION BY rf) AS totw
+                    FROM wv)
+         SELECT rf, min(qty) AS wmedian,
+                round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
+         FROM c WHERE cumw * 2 >= totw
+         GROUP BY rf ORDER BY rf""",
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Feature-engineering operators (SURVEY.md §2.11, round 7) — the
+  * tabular-feature prep stage of a training-data pipeline (scaling,
+  * encoding), built as the two-pass stats-then-broadcast shapes that
+  * survive 100 TB.
+  *
+  * Determinism (SURVEY §5.4): every mean/variance that feeds a
+  * division is computed from exact DECIMAL sums (c_acctbal /
+  * o_totalprice carry 2 decimal digits, so DECIMAL(18,2) and the
+  * (18,4) square are exact), then converted to double with an
+  * identical arithmetic order in both engines; outputs are
+  * round(…, 4–6) with orders of magnitude of margin.
+  */
+object Features {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Min-max + z-score scaling of c_acctbal per market segment — the
+    // canonical two-pass scaler: pass 1 is a 5-row stats aggregate
+    // (min/max exact; mean/var from exact decimal sums so the result
+    // is independent of partial-agg merge order), pass 2 re-reads the
+    // table and BROADCASTS the stats row back on the segment key. At
+    // 100 TB the stats side stays bytes-sized no matter the table —
+    // no window over the full table, no second shuffle of data rows.
+    "feature_scale_standardize" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val stats = c.groupBy(col("c_mktsegment").as("seg"))
+        .agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("s1"),
+          sum((col("c_acctbal") * col("c_acctbal"))
+            .cast("decimal(24,4)")).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("seg"), col("lo"), col("hi"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("sd"))
+      c.filter(col("c_custkey") % 97 === 0)
+        .join(broadcast(stats), col("c_mktsegment") === col("seg"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round((col("c_acctbal") - col("lo")) / (col("hi") - col("lo")), 6)
+            .as("minmax"),
+          round((col("c_acctbal") - col("mu")) / col("sd"), 4).as("zscore"))
+        .orderBy("c_custkey")
+    }),
+
+    // Row-level one-hot encoding of the segment categorical into a
+    // fixed indicator vector (the inference-time contract: column set
+    // is FIXED by the vocabulary, never data-dependent). Pure
+    // projection — no shuffle at all except the output sample's sort;
+    // at 100 TB this fuses into whatever scan feeds the trainer.
+    "feature_onehot_encode" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 199 === 0)
+      segs.foldLeft(c) { (df, v) =>
+        df.withColumn(s"seg_${v.toLowerCase}",
+          when(col("c_mktsegment") === v, 1L).otherwise(0L))
+      }.select(col("c_custkey") +: col("c_mktsegment") +:
+          segs.map(v => col(s"seg_${v.toLowerCase}")): _*)
+        .orderBy("c_custkey")
+    }),
+
+    // Smoothed (m-estimate) target encoding: category → blend of the
+    // category's target mean and the global prior, enc =
+    // (sum + m·prior) / (n + m), m = 50. The leakage-safe fit is a
+    // per-category aggregate (5 rows) plus ONE global scalar — both
+    // exact decimal sums; the 1-row prior rides a broadcast nested
+    // loop (a true scalar, not a data-sized cross). The customer⋈
+    // orders join is the only data shuffle.
+    "feature_target_encode" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val per = j.groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("n"))
+      val prior = j.agg(
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("prior"))
+      per.crossJoin(broadcast(prior))
+        .select(col("seg"), col("n"),
+          round(col("s").cast("double") / col("n"), 4).as("raw_mean"),
+          round((col("s").cast("double") + lit(50.0) * col("prior"))
+            / (col("n") + 50), 4).as("smoothed"))
+        .orderBy("seg")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "feature_scale_standardize" ->
+      """WITH stats AS (
+           SELECT c_mktsegment AS seg,
+                  min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+                  count(*) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS s1d,
+                  CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4)))
+                    AS DOUBLE) AS s2d
+           FROM customer GROUP BY 1)
+         SELECT c_custkey, c_mktsegment,
+                round((c_acctbal - lo) / (hi - lo), 6) AS minmax,
+                round((c_acctbal - s1d / n)
+                      / sqrt((s2d - s1d * s1d / n) / (n - 1)), 4)
+                  AS zscore
+         FROM customer JOIN stats ON c_mktsegment = seg
+         WHERE c_custkey % 97 = 0 ORDER BY c_custkey""",
+    "feature_onehot_encode" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS seg_automobile,
+                CAST(c_mktsegment = 'BUILDING'   AS BIGINT) AS seg_building,
+                CAST(c_mktsegment = 'FURNITURE'  AS BIGINT) AS seg_furniture,
+                CAST(c_mktsegment = 'HOUSEHOLD'  AS BIGINT) AS seg_household,
+                CAST(c_mktsegment = 'MACHINERY'  AS BIGINT) AS seg_machinery
+         FROM customer WHERE c_custkey % 199 = 0 ORDER BY c_custkey""",
+    "feature_target_encode" ->
+      """WITH j AS (SELECT c_mktsegment, o_totalprice
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+              per AS (SELECT c_mktsegment AS seg,
+                             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                             count(*) AS n
+                      FROM j GROUP BY 1),
+              pri AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*) AS prior FROM j)
+         SELECT seg, n,
+                round(CAST(s AS DOUBLE) / n, 4) AS raw_mean,
+                round((CAST(s AS DOUBLE) + 50.0 * prior) / (n + 50), 4)
+                  AS smoothed
+         FROM per, pri ORDER BY seg""",
+  )
+}

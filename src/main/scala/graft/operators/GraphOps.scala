@@ -54,6 +54,37 @@ object GraphOps {
     pr
   }
 
+  /** Unipartite co-supply graph: undirected edge (p1, p2) when two
+    * sampled parts share a supplier. Edges are oriented p1 < p2 (each
+    * undirected edge stored once) — the orientation is what keeps the
+    * triangle join linear-ish in wedge count instead of 6× redundant.
+    *
+    * Scale notes (100 TB): the supplier-projection self-join is keyed
+    * on suppkey (an equi-join, never all-pairs); its output is bounded
+    * by sum-over-suppliers C(parts_per_supplier, 2), which the `mod`
+    * sample keeps subquadratic. On a real graph you'd cap heavy
+    * suppliers (degree ceiling) the same way dedup's LSH caps hot
+    * buckets — the shape is identical.
+    */
+  private[graft] def coSupplyEdges(s: SparkSession, d: String,
+                                   mod: Int): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % mod === 0)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    ps.as("a").join(ps.as("b"),
+        col("a.sk") === col("b.sk") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  private def coSupplyEdgesSql(mod: Int): String =
+    s"""ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+               FROM lineitem WHERE l_partkey % $mod = 0),
+        ed AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+               FROM ps a JOIN ps b
+                 ON a.sk = b.sk AND a.pk < b.pk)"""
+
   val queries: Map[String, Q] = Map(
     // Authority top-20 over the sampled part↔supplier graph. Node ids
     // disambiguate the two key spaces (part → 2k, supplier → 2k+1).
@@ -72,6 +103,49 @@ object GraphOps {
           (floor(col("pr") * 10000).cast("double") / 10000.0).as("pr4"))
         .orderBy(col("pr4").desc, col("node"))
         .limit(20)
+    }),
+
+    // Exact triangle count + global clustering coefficient over the
+    // co-supply graph. The u<v orientation means each triangle
+    // (a<b<c) is produced exactly once by the wedge join
+    // e1=(a,b) ⋈ e2=(b,c) closed by e3=(a,c) — two hash equi-joins,
+    // never a cartesian; wedge fan-out is the quadratic term and the
+    // sample modulus bounds it (100 TB: orient by degree instead of id
+    // — same plan, provably O(m^1.5) wedges). Wedge total for the
+    // coefficient is Σ C(deg,2) over the symmetric degree — one cheap
+    // aggregate, no second pass over pairs.
+    "graph_triangle_count" -> ((s, d) => {
+      val e = coSupplyEdges(s, d, 200).cache()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wed = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(wed).crossJoin(ne)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (floor(lit(3.0) * col("n_triangles") / col("n_wedges") * 1e6)
+            .cast("double") / 1e6).as("global_cc"))
+    }),
+
+    // Degree distribution of the (denser, mod=50) co-supply graph —
+    // the profiling query you run BEFORE choosing a triangle/CC
+    // strategy at scale: one symmetric-degree aggregate, bucketed.
+    "graph_degree_distribution" -> ((s, d) => {
+      val e = coSupplyEdges(s, d, 50)
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy((floor(col("deg") / 8) * 8).cast("bigint").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("deg_min"), max(col("deg")).as("deg_max"))
+        .orderBy("deg_bucket")
     }),
   )
 
@@ -111,5 +185,33 @@ object GraphOps {
                   AS kind,
                 CAST(floor(pr * 10000) AS DOUBLE) / 10000 AS pr4
          FROM p3 ORDER BY pr4 DESC, node LIMIT 20""",
+    "graph_triangle_count" ->
+      s"""WITH ${coSupplyEdgesSql(200)},
+              tri AS (SELECT count(*) AS n_triangles
+                      FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+                           JOIN ed e3 ON e1.u = e3.u AND e2.v = e3.v),
+              deg AS (SELECT node, count(*) AS deg
+                      FROM (SELECT u AS node FROM ed
+                            UNION ALL SELECT v FROM ed)
+                      GROUP BY node),
+              wed AS (SELECT count(*) AS n_nodes,
+                             CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                               AS n_wedges
+                      FROM deg),
+              ne AS (SELECT count(*) AS n_edges FROM ed)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CAST(floor(3.0 * n_triangles / n_wedges * 1e6) AS DOUBLE)
+                  / 1e6 AS global_cc
+         FROM tri, wed, ne""",
+    "graph_degree_distribution" ->
+      s"""WITH ${coSupplyEdgesSql(50)},
+              deg AS (SELECT node, count(*) AS deg
+                      FROM (SELECT u AS node FROM ed
+                            UNION ALL SELECT v FROM ed)
+                      GROUP BY node)
+         SELECT CAST(floor(deg / 8) * 8 AS BIGINT) AS deg_bucket,
+                count(*) AS n_nodes,
+                min(deg) AS deg_min, max(deg) AS deg_max
+         FROM deg GROUP BY 1 ORDER BY deg_bucket""",
   )
 }

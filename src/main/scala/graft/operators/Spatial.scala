@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Spatial grid operators (SURVEY.md §2.11, round 7) — geo joins as a
+  * training-data pipeline meets them (geotagged corpora, POI
+  * enrichment). No geometry library exists in this container (and
+  * none is needed): the engine expresses proximity as the GRID-BUCKET
+  * equi-join that every distributed spatial engine (Sedona, BigQuery
+  * GIS) lowers to anyway — hash-partitionable, never all-pairs.
+  *
+  * Coordinates are synthesized deterministically from integer keys
+  * (pure integer modular arithmetic — bit-identical in Spark and
+  * DuckDB); cell size 10° vs radius 5° guarantees the 3×3 neighbor
+  * expansion covers every candidate (no false negatives by
+  * construction).
+  *
+  * Scale notes (100 TB): the left side explodes ×9 (a constant), the
+  * join is a plain equi-join on (cell_x, cell_y) — Catalyst
+  * hash-partitions both sides; the exact-distance refine runs only on
+  * cell-collided candidates. Skewed cells (urban density) salt the
+  * same way join_skew_salted does.
+  */
+object Spatial {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic synthetic points: lon ∈ [−180, 180), lat ∈
+    * [−85, 85), one per customer key. */
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("pid"),
+      ((col("c_custkey") * 7919 % 3600) / lit(10.0) - 180.0).as("lon"),
+      ((col("c_custkey") * 104729 % 1700) / lit(10.0) - 85.0).as("lat"))
+      .withColumn("cx", floor(col("lon") / 10).cast("int"))
+      .withColumn("cy", floor(col("lat") / 10).cast("int"))
+
+  private val pointsSql =
+    """pts AS (SELECT c_custkey AS pid,
+                      (c_custkey * 7919 % 3600) / 10.0 - 180.0 AS lon,
+                      (c_custkey * 104729 % 1700) / 10.0 - 85.0 AS lat
+               FROM customer),
+        cells AS (SELECT pid, lon, lat,
+                         CAST(floor(lon / 10) AS INT) AS cx,
+                         CAST(floor(lat / 10) AS INT) AS cy
+                  FROM pts)"""
+
+  val queries: Map[String, Q] = Map(
+    // k-nearest-neighbors via grid buckets: each query point probes
+    // its 3×3 neighbor cells, refines with exact Euclidean distance,
+    // keeps the 5 nearest. The only join is the (cx, cy) equi-join.
+    "spatial_knn_grid" -> ((s, d) => {
+      val pts = points(s, d)
+      val q = pts.filter(col("pid") % 500 === 0)
+        .select(col("pid").as("qid"), col("lon").as("qlon"),
+          col("lat").as("qlat"), col("cx").as("qcx"), col("cy").as("qcy"))
+        .crossJoin(broadcast(
+          s.range(-1, 2).select(col("id").cast("int").as("dx"))
+            .crossJoin(s.range(-1, 2).select(col("id").cast("int").as("dy")))))
+      val cand = q.join(pts,
+          col("qcx") + col("dx") === col("cx")
+            && col("qcy") + col("dy") === col("cy")
+            && col("qid") =!= col("pid"))
+        .withColumn("dist",
+          sqrt((col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+            + (col("lat") - col("qlat")) * (col("lat") - col("qlat"))))
+        .filter(col("dist") < 5.0)
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("pid"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("pid").as("neighbor"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Cell-density heatmap + per-cell extent — the profiling
+    // aggregate that sizes the grid (and decides which cells need
+    // salting) before the join above runs. One groupBy, no join.
+    "spatial_cell_density" -> ((s, d) =>
+      points(s, d)
+        .groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n_points"),
+          round(min("lon"), 6).as("lon_min"),
+          round(max("lat"), 6).as("lat_max"))
+        .orderBy(col("n_points").desc, col("cx"), col("cy"))
+        .limit(25)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "spatial_knn_grid" ->
+      s"""WITH $pointsSql,
+              offs AS (SELECT dx, dy
+                       FROM (VALUES (-1), (0), (1)) o1(dx),
+                            (VALUES (-1), (0), (1)) o2(dy)),
+              q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat,
+                           cx + dx AS pcx, cy + dy AS pcy
+                    FROM cells, offs WHERE pid % 500 = 0),
+              cand AS (SELECT qid, pid,
+                              sqrt((lon - qlon) * (lon - qlon)
+                                   + (lat - qlat) * (lat - qlat)) AS dist
+                       FROM q JOIN cells
+                         ON pcx = cx AND pcy = cy AND qid <> pid),
+              rk AS (SELECT qid, pid, dist,
+                            row_number() OVER
+                              (PARTITION BY qid ORDER BY dist, pid) AS rn
+                     FROM cand WHERE dist < 5.0)
+         SELECT qid, rn, pid AS neighbor, round(dist, 6) AS dist
+         FROM rk WHERE rn <= 5 ORDER BY qid, rn""",
+    "spatial_cell_density" ->
+      s"""WITH $pointsSql
+         SELECT cx, cy, count(*) AS n_points,
+                round(min(lon), 6) AS lon_min,
+                round(max(lat), 6) AS lat_max
+         FROM cells GROUP BY cx, cy
+         ORDER BY n_points DESC, cx, cy LIMIT 25""",
+  )
+}

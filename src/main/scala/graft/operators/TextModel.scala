@@ -94,6 +94,51 @@ object TextModel {
             .as("nll_bg"))
         .orderBy("doc_id")
     }),
+
+    // Zipf rank-frequency slope per language: regr_slope(ln f, ln r)
+    // over the top-200 ranked tokens — the corpus-health diagnostic
+    // (natural text ≈ −1; templated/boilerplate corpora diverge). The
+    // regression input is the vocabulary aggregate (never raw
+    // tokens), ranked by a deterministic (count DESC, token ASC)
+    // window over ≤ vocab rows per language.
+    "text_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val rk = Window.partitionBy("lang").orderBy(col("c").desc, col("w"))
+      cnt.withColumn("r", row_number().over(rk))
+        .filter(col("r") <= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_ranks"),
+          round(regr_slope(log(col("c")), log(col("r"))), 4)
+            .as("zipf_slope"))
+        .orderBy("lang")
+    }),
+
+    // Out-of-vocabulary rate per (lang, source) against the global
+    // top-500 vocabulary — the tokenizer-coverage check run before
+    // committing a vocab. The vocab is aggregate-sized and BROADCAST
+    // into the token join; tokens never shuffle for the membership
+    // test, only the final (lang, source) reduction moves data.
+    "text_vocab_oov_rate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .filter(col("r") <= 500)
+        .select(col("w").as("vw"))
+      tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("vw").isNull, 1)).as("n_oov"),
+          round(count(when(col("vw").isNull, 1))
+            / count(lit(1)).cast("double"), 6).as("oov_rate"))
+        .orderBy("lang", "source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,5 +179,34 @@ object TextModel {
                 CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
                      AS DOUBLE) / 10000 AS nll_bg
          FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
+    "text_zipf_slope" ->
+      """WITH cnt AS (SELECT lang, w, count(*) AS c
+                      FROM (SELECT lang,
+                                   unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY lang, w),
+              rk AS (SELECT lang, c,
+                            row_number() OVER
+                              (PARTITION BY lang ORDER BY c DESC, w) AS r
+                     FROM cnt)
+         SELECT lang, count(*) AS n_ranks,
+                round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope
+         FROM rk WHERE r <= 200 GROUP BY lang ORDER BY lang""",
+    "text_vocab_oov_rate" ->
+      """WITH tok AS (SELECT lang, source,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+              vc AS (SELECT w AS vw FROM
+                       (SELECT w, count(*) AS c,
+                               row_number() OVER (ORDER BY count(*) DESC, w)
+                                 AS r
+                        FROM tok GROUP BY w)
+                     WHERE r <= 500)
+         SELECT lang, source, count(*) AS n_tokens,
+                count(*) FILTER (WHERE vw IS NULL) AS n_oov,
+                round(CAST(count(*) FILTER (WHERE vw IS NULL) AS DOUBLE)
+                      / count(*), 6) AS oov_rate
+         FROM tok LEFT JOIN vc ON w = vw
+         GROUP BY lang, source ORDER BY lang, source""",
   )
 }
