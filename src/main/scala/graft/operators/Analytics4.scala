@@ -132,6 +132,86 @@ object Analytics4 {
           round(max(col("totw")).cast("double"), 2).as("total_weight"))
         .orderBy("rf")
     }),
+
+    // Welch two-sample t-test between experiment arms (user_id
+    // parity): the A/B readout every event pipeline ends in. ONE
+    // conditional-aggregation pass computes both arms' n / Σx / Σx²
+    // (exact decimals → identical doubles), then t and the
+    // Welch–Satterthwaite df are scalar arithmetic on a 1-row frame.
+    // No join, no second scan, no per-arm subqueries.
+    "analytics_ab_ttest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      def armAgg(a: Int, p: String): Seq[Column] = Seq(
+        count(when(col("arm") === a, 1)).as(s"n$p"),
+        sum(when(col("arm") === a, col("value").cast("decimal(18,6)")))
+          .as(s"s1$p"),
+        sum(when(col("arm") === a,
+          (col("value") * col("value")).cast("decimal(28,12)"))).as(s"s2$p"))
+      val cols = armAgg(0, "a") ++ armAgg(1, "b")
+      val agg = e.agg(cols.head, cols.tail: _*)
+      agg.select(col("na"), col("nb"),
+          (col("s1a").cast("double") / col("na")).as("ma"),
+          (col("s1b").cast("double") / col("nb")).as("mb"),
+          ((col("s2a").cast("double")
+            - col("s1a").cast("double") * col("s1a").cast("double") / col("na"))
+            / (col("na") - 1) / col("na")).as("va_n"),
+          ((col("s2b").cast("double")
+            - col("s1b").cast("double") * col("s1b").cast("double") / col("nb"))
+            / (col("nb") - 1) / col("nb")).as("vb_n"))
+        .select(col("na"), col("nb"),
+          round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+          round((col("ma") - col("mb"))
+            / sqrt(col("va_n") + col("vb_n")), 4).as("t_stat"),
+          round((col("va_n") + col("vb_n")) * (col("va_n") + col("vb_n"))
+            / (col("va_n") * col("va_n") / (col("na") - 1)
+              + col("vb_n") * col("vb_n") / (col("nb") - 1)), 2).as("df"))
+    }),
+
+    // Cohort LTV curve: customers cohorted by first-order month
+    // (integer month index — no cross-engine interval semantics),
+    // cumulative revenue per cohort over account age. The cohort
+    // assignment is one groupBy(custkey) + a custkey-keyed join; the
+    // LTV window runs over the (cohort × age) AGGREGATE — tiny at any
+    // scale — never over raw orders.
+    "analytics_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("my"),
+        col("o_totalprice"))
+      val cohort = o.groupBy("o_custkey").agg(min("my").as("cmy"))
+        .withColumnRenamed("o_custkey", "ck")
+      val cell = o.join(cohort, col("o_custkey") === col("ck"))
+        .groupBy(col("cmy").as("cohort_month"), (col("my") - col("cmy")).as("age"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy("cohort_month").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.withColumn("cum", sum("rev").over(w))
+        .select(col("cohort_month"), col("age"), col("n_orders"),
+          round(col("rev").cast("double"), 2).as("rev"),
+          round(col("cum").cast("double"), 2).as("cum_rev"))
+        .orderBy("cohort_month", "age")
+    }),
+
+    // Class-balanced downsampling: cap each (lang, source) class at
+    // 200 documents, chosen by a deterministic content-independent
+    // hash order (md5 of the id — the sample_hash_split coin). The
+    // per-class window sorts only within classes; selection is
+    // reproducible under any partitioning, and the declared result
+    // fingerprints the selected set so the exact membership is
+    // hash-checked.
+    "sample_balanced_class" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).cast("bigint").as("id_fingerprint"),
+          sum(col("n_chars")).cast("bigint").as("chars_total"))
+        .orderBy("lang", "source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +281,60 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    "analytics_ab_ttest" ->
+      """WITH e AS (SELECT user_id % 2 AS arm, value FROM events),
+              a AS (SELECT
+                      count(*) FILTER (WHERE arm = 0) AS na,
+                      count(*) FILTER (WHERE arm = 1) AS nb,
+                      CAST(sum(CAST(value AS DECIMAL(18,6)))
+                           FILTER (WHERE arm = 0) AS DOUBLE) AS s1a,
+                      CAST(sum(CAST(value AS DECIMAL(18,6)))
+                           FILTER (WHERE arm = 1) AS DOUBLE) AS s1b,
+                      CAST(sum(CAST(value * value AS DECIMAL(28,12)))
+                           FILTER (WHERE arm = 0) AS DOUBLE) AS s2a,
+                      CAST(sum(CAST(value * value AS DECIMAL(28,12)))
+                           FILTER (WHERE arm = 1) AS DOUBLE) AS s2b
+                    FROM e),
+              m AS (SELECT na, nb, s1a / na AS ma, s1b / nb AS mb,
+                           (s2a - s1a * s1a / na) / (na - 1) / na AS va_n,
+                           (s2b - s1b * s1b / nb) / (nb - 1) / nb AS vb_n
+                    FROM a)
+         SELECT na, nb,
+                round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+                round((ma - mb) / sqrt(va_n + vb_n), 4) AS t_stat,
+                round((va_n + vb_n) * (va_n + vb_n)
+                      / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 2)
+                  AS df
+         FROM m""",
+    "analytics_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+                           year(o_orderdate) * 12 + month(o_orderdate) AS my,
+                           o_totalprice
+                    FROM orders),
+              coh AS (SELECT o_custkey AS ck, min(my) AS cmy
+                      FROM o GROUP BY 1),
+              cell AS (SELECT cmy AS cohort_month, my - cmy AS age,
+                              count(*) AS n_orders,
+                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                       FROM o JOIN coh ON o_custkey = ck
+                       GROUP BY 1, 2)
+         SELECT cohort_month, age, n_orders,
+                round(CAST(rev AS DOUBLE), 2) AS rev,
+                round(CAST(sum(rev) OVER
+                  (PARTITION BY cohort_month ORDER BY age
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_rev
+         FROM cell ORDER BY cohort_month, age""",
+    "sample_balanced_class" ->
+      """WITH rk AS (SELECT lang, source, doc_id, n_chars,
+                            row_number() OVER
+                              (PARTITION BY lang, source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                        doc_id) AS rn
+                     FROM documents)
+         SELECT lang, source, count(*) AS n_selected,
+                CAST(sum(doc_id) AS BIGINT) AS id_fingerprint,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total
+         FROM rk WHERE rn <= 200
+         GROUP BY lang, source ORDER BY lang, source""",
   )
 }

@@ -286,6 +286,57 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // Reciprocal-rank fusion of two retrievers (full-dim cosine and
+    // the 16-dim matryoshka prefix): score = Σ 1/(60 + rank) over the
+    // rankers that returned the candidate — the standard ensemble
+    // merge for hybrid retrieval. Each ranker's top-20 is a bounded
+    // window over the SAME single broadcast-join scan (one pass
+    // computes both kernels); fusion is a full-outer join of two
+    // 20-row-per-query lists — ranker-output-sized, independent of
+    // corpus size. Determinism: both rank on round(cos,4) with
+    // vec_id tiebreak; 1/(60+r) is exact-input double arithmetic and
+    // the two-term sum has a fixed order (full-rank term first).
+    "sim_reciprocal_rank_fusion" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 5)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosf", expr("cosine_sim(qe, embedding)"))
+        .withColumn("cos16",
+          expr("cosine_sim(slice(qe, 1, 16), slice(embedding, 1, 16))"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(round(col("cosf"), 4).desc, col("vec_id"))
+      val wc = Window.partitionBy("qid")
+        .orderBy(round(col("cos16"), 4).desc, col("vec_id"))
+      val ranked = scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rc", row_number().over(wc))
+      val a = ranked.filter(col("rf") <= 20)
+        .select(col("qid").as("aq"), col("vec_id").as("av"), col("rf"))
+      val b = ranked.filter(col("rc") <= 20)
+        .select(col("qid").as("bq"), col("vec_id").as("bv"), col("rc"))
+      val fused = a.join(b,
+          col("aq") === col("bq") && col("av") === col("bv"), "full")
+        .select(
+          coalesce(col("aq"), col("bq")).as("qid"),
+          coalesce(col("av"), col("bv")).as("vec_id"),
+          coalesce(col("rf"), lit(0)).as("rank_full"),
+          coalesce(col("rc"), lit(0)).as("rank_coarse"),
+          (when(col("rf").isNotNull, lit(1.0) / (lit(60) + col("rf")))
+            .otherwise(lit(0.0))
+            + when(col("rc").isNotNull, lit(1.0) / (lit(60) + col("rc")))
+              .otherwise(lit(0.0))).as("rrf"))
+      val wr = Window.partitionBy("qid")
+        .orderBy(round(col("rrf"), 6).desc, col("vec_id"))
+      fused.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("rrf"), 6).as("rrf"),
+          col("rank_full"), col("rank_coarse"))
+        .orderBy("qid", "rank")
+    }),
+
     // ANN quality evaluation (round 6): recall@10 of the MirroredLsh
     // candidate set against brute-force cosine truth, per query
     // vector. THIS is the tuning harness for the LSH knobs (NTables ×
@@ -497,6 +548,59 @@ object Similarity {
          SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
                 round(cos, 4) AS cos, round(cos16, 4) AS cos16
          FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "sim_reciprocal_rank_fusion" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              s AS (SELECT q.qid, e.vec_id,
+                           list_aggregate(list_transform(range(1, 65),
+                             i -> q.qv[i] * e.v[i]), 'sum')
+                             / (sqrt(list_aggregate(list_transform(
+                                  range(1, 65), i -> q.qv[i] * q.qv[i]),
+                                  'sum'))
+                                * sqrt(list_aggregate(list_transform(
+                                    range(1, 65), i -> e.v[i] * e.v[i]),
+                                    'sum'))) AS cosf,
+                           list_aggregate(list_transform(range(1, 17),
+                             i -> q.qv[i] * e.v[i]), 'sum')
+                             / (sqrt(list_aggregate(list_transform(
+                                  range(1, 17), i -> q.qv[i] * q.qv[i]),
+                                  'sum'))
+                                * sqrt(list_aggregate(list_transform(
+                                    range(1, 17), i -> e.v[i] * e.v[i]),
+                                    'sum'))) AS cos16
+                    FROM q JOIN e ON e.vec_id <> q.qid),
+              rk AS (SELECT qid, vec_id,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cosf, 4) DESC, vec_id) AS rf,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos16, 4) DESC, vec_id) AS rc
+                     FROM s),
+              a AS (SELECT qid AS aq, vec_id AS av, rf FROM rk
+                    WHERE rf <= 20),
+              b AS (SELECT qid AS bq, vec_id AS bv, rc FROM rk
+                    WHERE rc <= 20),
+              f AS (SELECT coalesce(aq, bq) AS qid,
+                           coalesce(av, bv) AS vec_id,
+                           coalesce(rf, 0) AS rank_full,
+                           coalesce(rc, 0) AS rank_coarse,
+                           (CASE WHEN rf IS NOT NULL
+                                 THEN CAST(1 AS DOUBLE) / (60 + rf)
+                                 ELSE CAST(0 AS DOUBLE) END
+                            + CASE WHEN rc IS NOT NULL
+                                   THEN CAST(1 AS DOUBLE) / (60 + rc)
+                                   ELSE CAST(0 AS DOUBLE) END) AS rrf
+                    FROM a FULL OUTER JOIN b
+                      ON aq = bq AND av = bv),
+              fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY round(rrf, 6) DESC, vec_id) AS rnk
+                     FROM f)
+         SELECT qid, CAST(rnk AS INTEGER) AS rank, vec_id,
+                round(rrf, 6) AS rrf,
+                CAST(rank_full AS INTEGER) AS rank_full,
+                CAST(rank_coarse AS INTEGER) AS rank_coarse
+         FROM fr WHERE rnk <= 10 ORDER BY qid, rank""",
     "sim_ann_recall_eval" ->
       s"""WITH ${MirroredLsh.candidateSqlCtes("TRUE")},
               n AS (SELECT vec_id, v,
