@@ -1,0 +1,99 @@
+package graft
+
+/** Round-7 family specs: plan-shape pins for the new graph / feature /
+  * spatial / fusion keys (SURVEY §5.3.5 — prove the scale claims in
+  * the EXECUTED plan) plus determinism/property checks the oracles
+  * can't express. */
+class Round7Spec extends GraftSuite {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    // AQE's toString echoes "== Initial Plan ==" after the final plan;
+    // keep only the final section or node counts double
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("graph_triangle_count wedge stage is equi-joins, no cartesian") {
+    // sf0.01: the mod=200 sample is empty at sf0.001 and AQE collapses
+    // every join to EmptyRelation — the shape only exists with edges
+    val df = SparkEntry.queries("graph_triangle_count")(spark,
+      SparkTestBase.sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the 1-row synopsis crossJoins at the end are BNLJ by design;
+    // what must NOT appear is an unkeyed pair enumeration
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle join fell back to cartesian:\n$plan")
+    assert(("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size
+      + "BroadcastHashJoin".r.findAllIn(plan).size) >= 2,
+      s"expected >=2 keyed joins for the wedge+closure stages:\n$plan")
+  }
+
+  test("spatial_knn_grid candidates come from a keyed join, no cartesian") {
+    val plan = executedPlan("spatial_knn_grid")
+    assert(!plan.contains("CartesianProduct"),
+      s"grid join fell back to cartesian:\n$plan")
+    assert(("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size
+      + "BroadcastHashJoin".r.findAllIn(plan).size) >= 1,
+      s"expected the (cell_x, cell_y) equi-join:\n$plan")
+  }
+
+  test("feature_scale_standardize broadcasts the stats side") {
+    val plan = executedPlan("feature_scale_standardize")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join is not broadcast — two-pass shape lost:\n$plan")
+  }
+
+  test("text_vocab_oov_rate broadcasts the vocabulary membership join") {
+    val plan = executedPlan("text_vocab_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join is not broadcast:\n$plan")
+  }
+
+  test("analytics_ab_ttest reads events exactly once (one-pass arms)") {
+    val plan = executedPlan("analytics_ab_ttest")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected a single events scan for both arms:\n$plan")
+  }
+
+  test("sample_balanced_class is reproducible and respects the cap") {
+    val r1 = SparkEntry.queries("sample_balanced_class")(spark, sf).collect()
+    val r2 = SparkEntry.queries("sample_balanced_class")(spark, sf).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted),
+      "selection changed between runs")
+    assert(r1.forall(_.getLong(2) <= 200), "class cap violated")
+  }
+
+  test("sim_reciprocal_rank_fusion scores are bounded by the two-ranker max") {
+    val rows = SparkEntry.queries("sim_reciprocal_rank_fusion")(spark, sf)
+      .collect()
+    val maxRrf = 1.0 / 61 + 1.0 / 61
+    assert(rows.nonEmpty, "no fused results")
+    assert(rows.forall(_.getDouble(3) <= maxRrf + 1e-9),
+      "rrf exceeds the theoretical two-ranker maximum")
+    // a doc ranked by both rankers must outscore one ranked by only
+    // one at the same rank position
+    assert(rows.forall(r => r.getDouble(3) > 0.0), "non-positive rrf")
+  }
+
+  test("timeseries_autocorr output is one row per priority with n_days") {
+    val rows = SparkEntry.queries("timeseries_autocorr")(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 priority series, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) > 0), "empty series")
+  }
+
+  test("graph_degree_distribution buckets partition all nodes") {
+    val rows = SparkEntry.queries("graph_degree_distribution")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no degree buckets")
+    // bucket invariant: min/max inside [bucket, bucket+8)
+    assert(rows.forall { r =>
+      val b = r.getLong(0); val lo = r.getLong(2); val hi = r.getLong(3)
+      lo >= b && hi < b + 8 && lo <= hi
+    }, "degree bucket bounds violated")
+  }
+}
