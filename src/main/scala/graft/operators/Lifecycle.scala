@@ -329,6 +329,104 @@ object Lifecycle {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // PARTITION EVOLUTION (r7) — the Iceberg capability the mini-
+    // format was still missing: the partition spec changes for NEW
+    // data only (spec1 = custkey%2 buckets → spec2 = custkey%4),
+    // old files are NEVER rewritten, and each file prunes under THE
+    // SPEC IT WAS WRITTEN WITH. A predicate on the partition source
+    // column opens 1 of 2 spec1 files + 1 of 4 spec2 files = 2 of 6;
+    // at 100 TB this is why a spec change is a metadata operation,
+    // not a table rewrite. The declared result carries the pruned
+    // read's aggregate PLUS the files_opened/files_total accounting
+    // (derived from the same bucket arithmetic the oracle mirrors),
+    // so both the answer and the pruning math are hash-checked;
+    // LifecycleSpec asserts the pruned read's plan really opens
+    // fewer files.
+    "stage_partition_evolution" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("partevo")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      val o = Tables.orders(s, d)
+      // v1 under spec1: old data bucketed by o_custkey % 2
+      val spec1 = (0 to 1).map(b => b ->
+        writeFiles(o.filter(col("o_orderkey") % 2 === 0)
+          .filter(pmod(col("o_custkey"), lit(2)) === b), s"s1_b$b"))
+      // v2 appends new data under spec2: o_custkey % 4 — old files kept
+      val spec2 = (0 to 3).map(b => b ->
+        writeFiles(o.filter(col("o_orderkey") % 2 === 1)
+          .filter(pmod(col("o_custkey"), lit(4)) === b), s"s2_b$b"))
+      // manifest: (spec, bucket) -> files; query predicate custkey%4=1
+      // prunes per spec: spec1 keeps bucket 1%2, spec2 keeps bucket 1
+      val opened = spec1.filter(_._1 == 1 % 2).flatMap(_._2) ++
+        spec2.filter(_._1 == 1).flatMap(_._2)
+      val total = spec1.flatMap(_._2) ++ spec2.flatMap(_._2)
+      s.read.parquet(opened: _*)
+        .filter(pmod(col("o_custkey"), lit(4)) === 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .withColumn("files_opened", lit(opened.size))
+        .withColumn("files_total", lit(total.size))
+        .orderBy("o_orderstatus")
+    }),
+
+    // OPTIMISTIC CONCURRENT APPEND (r7) — the commit protocol that
+    // makes the manifest format multi-writer: writers A and B both
+    // prepare appends against v1; A wins the v2 commit; B's attempt
+    // detects v2 exists (atomic create-new fails), REBASES by
+    // re-reading the latest manifest, re-validates (append-only ⇒ no
+    // logical conflict), and commits v3 = v2.files + B.files. Data
+    // files are written ONCE — the retry re-publishes metadata only
+    // (O(manifest), the Delta/Iceberg commit-retry semantics). The
+    // declared result reads all three versions, so "no lost update,
+    // no double append" is hash-checked: v3 = base + A + B each
+    // exactly once.
+    "stage_concurrent_append" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("concappend")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      def tryCommit(version: Int, files: Seq[String]): Boolean = {
+        val p = java.nio.file.Paths.get(s"$out/manifest_v$version.txt")
+        try {
+          java.nio.file.Files.writeString(p, files.mkString("\n"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+      def readManifest(version: Int): Seq[String] = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$out/manifest_v$version.txt"))
+        .split("\n").toSeq
+      val o = Tables.orders(s, d)
+      val baseF = writeFiles(o.filter(col("o_orderkey") % 3 === 0), "base")
+      require(tryCommit(1, baseF))
+      // both writers snapshot v1 and stage their data files
+      val aF = writeFiles(o.filter(col("o_orderkey") % 3 === 1), "wa")
+      val bF = writeFiles(o.filter(col("o_orderkey") % 3 === 2), "wb")
+      // writer A commits v2 first
+      require(tryCommit(2, baseF ++ aF))
+      // writer B: v2 attempt fails -> rebase onto latest and retry
+      val bFirstTry = tryCommit(2, baseF ++ bF)
+      if (!bFirstTry) require(tryCommit(3, readManifest(2) ++ bF))
+      def agg(v: Int): DataFrame =
+        s.read.parquet(readManifest(v): _*)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(v).as("version"), col("n"), col("total"))
+      agg(1).unionAll(agg(2)).unionAll(agg(3)).orderBy("version")
+    }),
+
     // Write-Audit-Publish (r7) — the staging WORKFLOW the manifest
     // primitives exist for (the Iceberg/Netflix WAP pattern): each
     // batch lands as unpublished data files + a staged manifest, a DQ
@@ -741,5 +839,34 @@ object Lifecycle {
                 CAST(sum(p_partkey) AS BIGINT) AS sum_pk,
                 min(zkey) AS min_z, max(zkey) AS max_z
          FROM z GROUP BY zbucket ORDER BY zbucket""",
+    // pruning math mirrored honestly: opened = matching buckets per
+    // spec, total = all buckets per spec — same arithmetic the engine
+    // used to select files
+    "stage_partition_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total,
+                CAST((SELECT count(DISTINCT o_custkey % 2) FROM orders
+                      WHERE o_custkey % 4 = 1)
+                   + (SELECT count(DISTINCT o_custkey % 4) FROM orders
+                      WHERE o_custkey % 4 = 1) AS INTEGER)
+                  AS files_opened,
+                CAST((SELECT count(DISTINCT o_custkey % 2) FROM orders)
+                   + (SELECT count(DISTINCT o_custkey % 4) FROM orders)
+                  AS INTEGER) AS files_total
+         FROM orders WHERE o_custkey % 4 = 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_concurrent_append" ->
+      """WITH v AS (SELECT 1 AS version, o_totalprice FROM orders
+                    WHERE o_orderkey % 3 = 0
+                    UNION ALL
+                    SELECT 2, o_totalprice FROM orders
+                    WHERE o_orderkey % 3 IN (0, 1)
+                    UNION ALL
+                    SELECT 3, o_totalprice FROM orders)
+         SELECT version, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total
+         FROM v GROUP BY version ORDER BY version""",
   )
 }

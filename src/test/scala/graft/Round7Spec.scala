@@ -80,6 +80,30 @@ class Round7Spec extends GraftSuite {
     assert(rows.forall(r => r.getDouble(3) > 0.0), "non-positive rrf")
   }
 
+  test("stage_partition_evolution pruning loses no rows and opens fewer files") {
+    val rows = SparkEntry.queries("stage_partition_evolution")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val opened = rows.head.getInt(3); val total = rows.head.getInt(4)
+    assert(opened < total, s"pruning opened $opened of $total files")
+    // pruned read must equal the full filtered scan
+    import org.apache.spark.sql.functions._
+    val expect = graft.Tables.orders(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(4)) === 1)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expect,
+      "pruned read diverges from the full filtered scan")
+  }
+
+  test("stage_concurrent_append rebase keeps both appends exactly once") {
+    val rows = SparkEntry.queries("stage_concurrent_append")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val all = graft.Tables.orders(spark, sf).count()
+    assert(rows(3) == all, "v3 must contain base + A + B exactly once")
+    assert(rows(1) < rows(2) && rows(2) < rows(3), "versions must grow")
+  }
+
   test("timeseries_autocorr output is one row per priority with n_days") {
     val rows = SparkEntry.queries("timeseries_autocorr")(spark, sf).collect()
     assert(rows.length == 5, s"expected 5 priority series, got ${rows.length}")
