@@ -133,6 +133,26 @@ object Analytics4 {
         .orderBy("rf")
     }),
 
+    // Bitmap-index exact distinct — the roaring-bitmap pattern as
+    // pure SQL: user ids pack into 64-bit words (word = id div 64,
+    // bit = id mod 64), the per-(group, word) partial is a bit_or of
+    // single-bit masks, and the final distinct count is Σ bit_count.
+    // The shuffle carries one BIGINT PER 64 IDS per group instead of
+    // one row per distinct id — between count_distinct's exact
+    // shuffle and HLL's approximation: exact AND mergeable AND
+    // fixed-width. The oracle proves exactness by cross-formulation
+    // (plain COUNT DISTINCT).
+    "agg_bitmap_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), expr("user_id div 64").as("w"),
+          expr("CAST(user_id % 64 AS INT)").as("b"))
+        .groupBy("event_type", "w")
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), b)")).as("mask"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("mask"))).cast("bigint").as("n_distinct"),
+          count(lit(1)).as("n_words"))
+        .orderBy("event_type")),
+
     // Welch two-sample t-test between experiment arms (user_id
     // parity): the A/B readout every event pipeline ends in. ONE
     // conditional-aggregation pass computes both arms' n / Σx / Σx²
@@ -281,6 +301,13 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    // cross-formulation oracle: the bitmap Σ bit_count must equal the
+    // plain exact COUNT DISTINCT (and word count = distinct id//64)
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "analytics_ab_ttest" ->
       """WITH e AS (SELECT user_id % 2 AS arm, value FROM events),
               a AS (SELECT

@@ -427,6 +427,49 @@ object Lifecycle {
       agg(1).unionAll(agg(2)).unionAll(agg(3)).orderBy("version")
     }),
 
+    // SHALLOW CLONE (r7) — Delta's zero-copy table fork: the clone's
+    // v1 manifest IS the source's file list (no data copied — a
+    // metadata write, O(manifest) at any table size); subsequent
+    // clone commits append files the source never sees. The declared
+    // result reads source, clone@v1, clone@v2: equal-then-diverged
+    // is hash-checked, proving both the zero-copy share and the
+    // isolation of the fork. This is how a 100 TB experiment branch
+    // is created in milliseconds.
+    "stage_clone_shallow" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("shallowclone")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      def commit(name: String, files: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/$name.txt"), files.mkString("\n"))
+      def readTable(name: String): DataFrame = {
+        val files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/$name.txt"))
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      val c = Tables.customer(s, d)
+      val srcFiles = writeFiles(c.filter(col("c_custkey") % 2 === 0), "src")
+      commit("src_v1", srcFiles)
+      commit("clone_v1", srcFiles) // shallow clone: same files, new ref
+      // the clone diverges: an experiment append lands only on the fork
+      commit("clone_v2", srcFiles ++
+        writeFiles(c.filter(col("c_custkey") % 2 === 1), "cloneadd"))
+      def agg(name: String, label: String): DataFrame =
+        readTable(name).agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+          .select(lit(label).as("table_ref"), col("n"), col("total"))
+      agg("src_v1", "source_v1").unionAll(agg("clone_v1", "clone_v1"))
+        .unionAll(agg("clone_v2", "clone_v2"))
+        .orderBy("table_ref")
+    }),
+
     // Write-Audit-Publish (r7) — the staging WORKFLOW the manifest
     // primitives exist for (the Iceberg/Netflix WAP pattern): each
     // batch lands as unpublished data files + a staged manifest, a DQ
@@ -856,6 +899,18 @@ object Lifecycle {
                   AS INTEGER) AS files_total
          FROM orders WHERE o_custkey % 4 = 1
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_clone_shallow" ->
+      """WITH v AS (SELECT 'source_v1' AS table_ref, c_acctbal
+                    FROM customer WHERE c_custkey % 2 = 0
+                    UNION ALL
+                    SELECT 'clone_v1', c_acctbal FROM customer
+                    WHERE c_custkey % 2 = 0
+                    UNION ALL
+                    SELECT 'clone_v2', c_acctbal FROM customer)
+         SELECT table_ref, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total
+         FROM v GROUP BY table_ref ORDER BY table_ref""",
     "stage_concurrent_append" ->
       """WITH v AS (SELECT 1 AS version, o_totalprice FROM orders
                     WHERE o_orderkey % 3 = 0

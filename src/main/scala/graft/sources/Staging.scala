@@ -111,6 +111,38 @@ object Staging {
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
     // fingerprint. Types survive exactly (no text re-parse).
+    // Nested-struct parquet round-trip with NESTED SCHEMA PRUNING —
+    // the columnar payoff of nesting: the engine writes a two-level
+    // struct + an array-of-structs, then reads back projecting ONE
+    // deep leaf (meta.detail.prio). Catalyst's nestedSchemaPruning
+    // rewrites the scan schema to just that leaf — at 100 TB the
+    // untouched struct legs (status, price) are never decoded or
+    // read off disk (Round7Spec pins ReadSchema). The array leg is
+    // exploded and aggregated; PROVENANCE oracle — every nested value
+    // derives from orders, so DuckDB recomputes the fingerprint from
+    // the base table without touching the nested file.
+    "scan_nested_struct_flatten" -> ((s, d) => {
+      val out = tmpDir("graft_nested_")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderpriority").as("prio")).as("detail")).as("meta"),
+        array(
+          struct(col("o_custkey").as("k"), lit(1L).as("q")),
+          struct((col("o_custkey") + 1).as("k"), lit(2L).as("q")))
+          .as("items"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("meta.detail.prio").as("prio"),
+          explode(col("items")).as("it"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          sum(col("it.q")).as("q_total"),
+          sum(col("it.k")).cast("bigint").as("k_total"))
+        .orderBy("prio")
+    }),
+
     "scan_orc_roundtrip" -> ((s, d) => {
       val out = tmpDir("graft_orc_")
       Tables.supplier(s, d).write.mode("overwrite").orc(out)
@@ -396,6 +428,13 @@ object Staging {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // provenance oracle: the nested file's values derive from orders —
+    // n doubles per row (2 items), q = 1+2, k = custkey + (custkey+1)
+    "scan_nested_struct_flatten" ->
+      """SELECT o_orderpriority AS prio, 2 * count(*) AS n,
+                CAST(3 * count(*) AS BIGINT) AS q_total,
+                CAST(sum(2 * o_custkey + 1) AS BIGINT) AS k_total
+         FROM orders GROUP BY 1 ORDER BY prio""",
     "scan_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
                 round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -104,6 +104,26 @@ class Round7Spec extends GraftSuite {
     assert(rows(1) < rows(2) && rows(2) < rows(3), "versions must grow")
   }
 
+  test("scan_nested_struct_flatten prunes the nested schema to one leaf") {
+    val plan = executedPlan("scan_nested_struct_flatten")
+    // the struct scan must carry only meta.detail.prio — the price
+    // and status legs must not be decoded
+    val read = plan.split("ReadSchema:").last
+    assert(read.contains("prio"), s"pruned leaf missing from scan:\n$plan")
+    assert(!read.contains("price") && !read.contains("status"),
+      s"nested schema pruning failed — sibling legs read:\n$plan")
+  }
+
+  test("agg_bitmap_distinct equals exact countDistinct") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"bitmap distinct diverged: $got vs $exact")
+  }
+
   test("timeseries_autocorr output is one row per priority with n_days") {
     val rows = SparkEntry.queries("timeseries_autocorr")(spark, sf).collect()
     assert(rows.length == 5, s"expected 5 priority series, got ${rows.length}")
