@@ -133,6 +133,91 @@ object Analytics4 {
         .orderBy("rf")
     }),
 
+    // STRICT sequential funnel (view → click ≤30 min → purchase
+    // ≤30 min) — the ordered-with-deadline semantics the loose
+    // analytics_funnel (first-occurrence ordering) cannot express.
+    // ONE window pass per user: a running max carries the last view
+    // time, clicks within the deadline become qualified and a second
+    // running max carries them, purchases check the deadline against
+    // that — the MATCH_RECOGNIZE-class pattern as linear scans, no
+    // per-user pair joins (the view×click band join is quadratic per
+    // user; this is O(events)). Total (ts, event_id) order makes the
+    // carried state deterministic.
+    "analytics_funnel_strict" -> ((s, d) => {
+      val W = 30L * 60 * 1000000 // 30 min in µs
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val staged = e
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("qual_click_us",
+          max(when(col("event_type") === "click"
+            && col("last_view").isNotNull
+            && col("us") - col("last_view") <= W, col("us"))).over(w))
+        .withColumn("conv",
+          col("event_type") === "purchase"
+            && col("qual_click_us").isNotNull
+            && col("us") - col("qual_click_us") <= W)
+      staged.agg(
+        countDistinct(when(col("conv"), col("user_id"))).as("n_conv_users"),
+        count(when(col("conv"), 1)).as("n_conv_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Pareto concentration per event type: how many top users
+    // produce 80 % of the events. The ranking window runs over the
+    // per-user AGGREGATE (one row per user, not per event), and the
+    // 80 % threshold stays in integer arithmetic (5·cum ≥ 4·total) —
+    // no float boundary. This is the heavy-hitter profile that
+    // decides salting strategy for user-keyed work.
+    "analytics_power_users_pareto" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id"))
+      val wc = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      per.withColumn("rk", row_number().over(wr))
+        .withColumn("cum", sum("n").over(wc))
+        .withColumn("total", sum("n").over(tot))
+        .withColumn("n_users", count(lit(1)).over(tot))
+        .filter(col("cum") * 5 >= col("total") * 4)
+        .groupBy("event_type")
+        .agg(min("rk").as("users_for_80pct"),
+          max("n_users").as("n_users"),
+          max("total").cast("bigint").as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM drift detection on the daily-revenue series: cumulative
+    // sum of (rev − series mean) flags sustained level shifts that
+    // per-day z-scores miss. Mean from exact decimal sums; each
+    // deviation is quantized to DECIMAL(18,4) before the running sum
+    // so the cusum is order-independent; extremes are the declared
+    // fingerprint.
+    "timeseries_cusum_drift" -> ((s, d) => {
+      val daily = dailyRevenue(s, d)
+      val stats = daily.groupBy(col("pri").as("sp"))
+        .agg((sum(col("rev").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("mu"))
+      val w = Window.partitionBy("pri").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(stats), col("pri") === col("sp"))
+        .withColumn("cusum",
+          sum((col("rev") - col("mu")).cast("decimal(18,4)")).over(w))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("cusum")).cast("double"), 2).as("max_cusum"),
+          round(min(col("cusum")).cast("double"), 2).as("min_cusum"))
+        .orderBy("pri")
+    }),
+
     // Bitmap-index exact distinct — the roaring-bitmap pattern as
     // pure SQL: user ids pack into 64-bit words (word = id div 64,
     // bit = id mod 64), the per-(group, word) partial is a bit_or of
@@ -301,6 +386,72 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    "analytics_funnel_strict" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+              st AS (SELECT user_id, event_id, event_type, us,
+                            max(CASE WHEN event_type = 'view' THEN us END)
+                              OVER w AS last_view
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING)),
+              q AS (SELECT user_id, event_type, us,
+                           max(CASE WHEN event_type = 'click'
+                                     AND last_view IS NOT NULL
+                                     AND us - last_view <= 1800000000
+                                    THEN us END)
+                             OVER w2 AS qual_click_us
+                    FROM st
+                    WINDOW w2 AS (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING))
+         SELECT count(DISTINCT CASE WHEN event_type = 'purchase'
+                  AND qual_click_us IS NOT NULL
+                  AND us - qual_click_us <= 1800000000
+                  THEN user_id END) AS n_conv_users,
+                count(CASE WHEN event_type = 'purchase'
+                  AND qual_click_us IS NOT NULL
+                  AND us - qual_click_us <= 1800000000
+                  THEN 1 END) AS n_conv_purchases,
+                count(DISTINCT user_id) AS n_users
+         FROM q""",
+    "analytics_power_users_pareto" ->
+      """WITH per AS (SELECT event_type, user_id, count(*) AS n
+                      FROM events GROUP BY 1, 2),
+              rk AS (SELECT event_type, n,
+                            row_number() OVER
+                              (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS rk,
+                            sum(n) OVER
+                              (PARTITION BY event_type
+                               ORDER BY n DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                            sum(n) OVER (PARTITION BY event_type) AS total,
+                            count(*) OVER (PARTITION BY event_type)
+                              AS n_users
+                     FROM per)
+         SELECT event_type,
+                CAST(min(rk) AS INTEGER) AS users_for_80pct,
+                CAST(max(n_users) AS BIGINT) AS n_users,
+                CAST(max(total) AS BIGINT) AS n_events
+         FROM rk WHERE cum * 5 >= total * 4
+         GROUP BY event_type ORDER BY event_type""",
+    "timeseries_cusum_drift" ->
+      s"""WITH $dailySql,
+              stats AS (SELECT pri AS sp,
+                               CAST(sum(CAST(rev AS DECIMAL(18,2)))
+                                 AS DOUBLE) / count(*) AS mu
+                        FROM daily GROUP BY 1),
+              c AS (SELECT pri, day,
+                           sum(CAST(rev - mu AS DECIMAL(18,4))) OVER
+                             (PARTITION BY pri ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cusum
+                    FROM daily JOIN stats ON pri = sp)
+         SELECT pri, count(*) AS n_days,
+                round(CAST(max(cusum) AS DOUBLE), 2) AS max_cusum,
+                round(CAST(min(cusum) AS DOUBLE), 2) AS min_cusum
+         FROM c GROUP BY pri ORDER BY pri""",
     // cross-formulation oracle: the bitmap Σ bit_count must equal the
     // plain exact COUNT DISTINCT (and word count = distinct id//64)
     "agg_bitmap_distinct" ->

@@ -152,6 +152,22 @@ object DedupAdvanced {
     // canonicalizer above, then dedup on the canonical form. URLs are
     // synthesized deterministically from doc_id (host %7 × path %50 →
     // real collisions); no UDF, no shuffle before the dedup aggregate.
+    // Token-sort (bag-of-words) dedup — catches reordered duplicates
+    // exact hashing misses: the canonical form is the SORTED token
+    // multiset, hashed BEFORE the shuffle (one md5 per doc moves, not
+    // text). Between dedup_exact (order-sensitive) and MinHash
+    // (approximate): exact under permutation, one keyed aggregate.
+    "dedup_token_sort" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(concat_ws(" ", array_sort(split(col("text"), " "))))
+            .as("bag_key"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bag_key")).as("n_bags"),
+          (count(lit(1)) - countDistinct(col("bag_key"))).as("n_dup_docs"))
+        .orderBy("lang")),
+
     "dedup_url_canonical" -> ((s, d) => {
       val url = concat(lit("https://WWW.Example"), col("doc_id") % 7,
         lit(".COM/Path"), col("doc_id") % 50,
@@ -304,6 +320,16 @@ object DedupAdvanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_token_sort" ->
+      """WITH k AS (SELECT lang,
+                           md5(array_to_string(
+                             list_sort(string_split(text, ' ')), ' '))
+                             AS bag_key
+                    FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                count(DISTINCT bag_key) AS n_bags,
+                count(*) - count(DISTINCT bag_key) AS n_dup_docs
+         FROM k GROUP BY lang ORDER BY lang""",
     "dedup_url_canonical" ->
       """WITH u AS (SELECT doc_id,
                 'https://WWW.Example' || (doc_id % 7) || '.COM/Path'

@@ -139,6 +139,25 @@ object Lifecycle {
     // single Window operator — one shuffle, one sort, no join-back;
     // sampling never changes stratum proportions however skewed the
     // strata.
+    // Systematic (every-k-th) sampling per stratum: rank docs inside
+    // each language by id and keep rank ≡ 1 (mod 10) — the
+    // classic survey-sampling design beside the hash split
+    // (deterministic, evenly spread over the key range, exactly ⌈n/10⌉
+    // per stratum). The rank window sorts within strata only; the
+    // declared result fingerprints the selected membership.
+    "sample_systematic_every_k" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn"), lit(10)) === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).cast("bigint").as("id_fingerprint"),
+          max("rn").as("max_rank"))
+        .orderBy("lang")
+    }),
+
     "sample_stratified_exact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
@@ -845,6 +864,16 @@ object Lifecycle {
          SELECT 'c_name', count(*) - count(c_name),
                 count(DISTINCT c_name) FROM customer
          ORDER BY col_name""",
+    "sample_systematic_every_k" ->
+      """WITH r AS (SELECT lang, doc_id,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY doc_id) AS rn
+                    FROM documents)
+         SELECT lang, count(*) AS n_selected,
+                CAST(sum(doc_id) AS BIGINT) AS id_fingerprint,
+                CAST(max(rn) AS INTEGER) AS max_rank
+         FROM r WHERE rn % 10 = 1
+         GROUP BY lang ORDER BY lang""",
     "sample_stratified_exact" ->
       """WITH r AS (
            SELECT o_orderstatus, o_totalprice,
