@@ -133,6 +133,27 @@ object Analytics4 {
         .orderBy("rf")
     }),
 
+    // Trailing-7-day rolling DISTINCT users — the distinct-over-frame
+    // op plain windows can't express (sums aren't enough: users
+    // repeat across days). Day-grain sets are collected FIRST (one
+    // keyed aggregate; per-day sets are user-base-bounded), then the
+    // 7-row frame flattens and re-distincts set-of-sets — the window
+    // runs over ~tens of DAY rows, never raw events. Set order from
+    // collect_set is nondeterministic but only the distinct SIZE is
+    // declared (order-independent).
+    "window_rolling_distinct" -> ((s, d) => {
+      val perDay = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(collect_set("user_id").as("us"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      perDay
+        .withColumn("users_7d",
+          size(array_distinct(flatten(collect_list(col("us")).over(w)))))
+        .select(col("day"), size(col("us")).as("users_1d"), col("users_7d"))
+        .orderBy("day")
+    }),
+
     // STRICT sequential funnel (view → click ≤30 min → purchase
     // ≤30 min) — the ordered-with-deadline semantics the loose
     // analytics_funnel (first-occurrence ordering) cannot express.
@@ -386,6 +407,19 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    "window_rolling_distinct" ->
+      """WITH pd AS (SELECT CAST(ts AS DATE) AS day,
+                            list(DISTINCT user_id) AS us
+                     FROM events GROUP BY 1),
+              r AS (SELECT day, len(us) AS users_1d,
+                           len(list_distinct(flatten(list(us) OVER
+                             (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+                             AS users_7d
+                    FROM pd)
+         SELECT day, CAST(users_1d AS INTEGER) AS users_1d,
+                CAST(users_7d AS INTEGER) AS users_7d
+         FROM r ORDER BY day""",
     "analytics_funnel_strict" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                            epoch_us(ts) AS us FROM events),

@@ -111,6 +111,55 @@ object Staging {
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
     // fingerprint. Types survive exactly (no text re-parse).
+    // Hidden _metadata columns (r7) — file provenance without a
+    // lineage system: Spark's metadata struct surfaces the physical
+    // file each row came from. The fixture is staged one file per
+    // bucket directory, read back selecting _metadata.file_path, and
+    // the bucket is recovered FROM THE PATH — per-file row counts
+    // then equal per-bucket counts, which is the provenance oracle
+    // (file names carry task UUIDs, so the path itself can never be
+    // declared — only what it proves). At 100 TB this is how a
+    // quarantine job maps bad rows back to the exact object to
+    // re-ingest.
+    "scan_file_metadata" -> ((s, d) => {
+      val out = tmpDir("graft_meta_")
+      Tables.events(s, d)
+        .withColumn("bucket", (col("event_id") % 4).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      s.read.parquet(out)
+        .select(col("event_id"),
+          col("_metadata.file_path").as("fp"))
+        .withColumn("bucket",
+          regexp_extract(col("fp"), "bucket=(\\d+)", 1).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_files"))
+        .orderBy("bucket")
+    }),
+
+    // maxRecordsPerFile governance (r7) — the file-size knob that
+    // keeps 100 TB sinks object-store-friendly: a single writer task
+    // rolls a new file every 10k records, so file count =
+    // ⌈rows / 10k⌉ BY CONTRACT (declared in the result and mirrored
+    // by the oracle as ceil(count/10000)); read-back fingerprint
+    // proves the roll is lossless.
+    "sink_max_records_per_file" -> ((s, d) => {
+      val out = tmpDir("graft_maxrec_")
+      Tables.orders(s, d).coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10000).parquet(out)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .withColumn("n_files", lit(nFiles))
+        .orderBy("o_orderstatus")
+    }),
+
     // Nested-struct parquet round-trip with NESTED SCHEMA PRUNING —
     // the columnar payoff of nesting: the engine writes a two-level
     // struct + an array-of-structs, then reads back projecting ONE
@@ -428,6 +477,19 @@ object Staging {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // provenance: per-file counts = per-bucket counts (1 file/bucket)
+    "scan_file_metadata" ->
+      """SELECT CAST(event_id % 4 AS INTEGER) AS bucket,
+                count(*) AS n_rows,
+                CAST(1 AS BIGINT) AS n_files
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "sink_max_records_per_file" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total,
+                CAST((SELECT ceil(count(*) / 10000.0) FROM orders)
+                  AS INTEGER) AS n_files
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // provenance oracle: the nested file's values derive from orders —
     // n doubles per row (2 items), q = 1+2, k = custkey + (custkey+1)
     "scan_nested_struct_flatten" ->

@@ -284,6 +284,64 @@ object Streaming {
     // where every arriving object is its own micro-batch). The
     // fingerprint is batch-boundary-invariant, so the oracle is the
     // plain batch SQL; StreamingSpec asserts >1 batch actually ran.
+    // CDC APPLY (r7) — the streaming upsert-merge pattern: each
+    // micro-batch is a changelog chunk; foreachBatch folds it into a
+    // keyed snapshot via full-outer merge of ASSOCIATIVE partials
+    // (count-sum / decimal-sum / max), writing a new snapshot version
+    // per batch (CoW — the reader never sees a torn state). Because
+    // the merge algebra is associative+commutative, the final
+    // snapshot equals the one-shot batch aggregate NO MATTER how the
+    // files were chunked into batches — which is exactly what the
+    // oracle checks (the incremental-view-maintenance correctness
+    // statement). At 100 TB each merge shuffles only (changed keys ∪
+    // snapshot), and the snapshot side would be a keyed table format
+    // (stage_acid_merge) rather than a full rewrite.
+    "stream_upsert_apply" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("cdc_src")
+      val snapRoot = graft.sources.Staging.tmpDir("cdc_snap")
+      Tables.events(s, d).filter(col("user_id") % 5 === 0)
+        .repartition(3).write.mode("overwrite").parquet(src)
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(src).schema
+        var version = 0 // driver-held head pointer (the manifest role)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast("decimal(18,2)")).as("total"),
+                max(unix_micros(col("ts"))).as("last_us"))
+            val merged = if (version == 0) part else {
+              val cur = s.read.parquet(s"$snapRoot/v$version")
+                .withColumnRenamed("user_id", "cu")
+                .withColumnRenamed("n", "cn")
+                .withColumnRenamed("total", "ctotal")
+                .withColumnRenamed("last_us", "clast")
+              cur.join(part, col("cu") === col("user_id"), "full")
+                .select(
+                  coalesce(col("user_id"), col("cu")).as("user_id"),
+                  (coalesce(col("cn"), lit(0L))
+                    + coalesce(col("n"), lit(0L))).as("n"),
+                  (coalesce(col("ctotal"), lit(0).cast("decimal(18,2)"))
+                    + coalesce(col("total"), lit(0).cast("decimal(18,2)")))
+                    .cast("decimal(28,2)").as("total"),
+                  greatest(col("clast"), col("last_us")).as("last_us"))
+            }
+            version += 1
+            merged.write.mode("overwrite").parquet(s"$snapRoot/v$version")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$snapRoot/v$version")
+          .select(col("user_id"), col("n"),
+            round(col("total").cast("double"), 4).as("total"),
+            col("last_us"))
+          .orderBy("user_id")
+      }
+    }),
+
     "stream_multi_microbatch_stage" -> ((s, d) => {
       val src = graft.sources.Staging.tmpDir("mb_src")
       val out = graft.sources.Staging.tmpDir("mb_stage")
@@ -593,6 +651,15 @@ object Streaming {
          WHERE vts IS NOT NULL
             OR pts <= mx - INTERVAL 2 HOUR - INTERVAL 1 SECOND
          GROUP BY pu % 8 ORDER BY bucket""",
+    // incremental-view-maintenance correctness: the folded snapshot
+    // must equal the one-shot batch aggregate regardless of chunking
+    "stream_upsert_apply" ->
+      """SELECT user_id, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total,
+                max(epoch_us(ts)) AS last_us
+         FROM events WHERE user_id % 5 = 0
+         GROUP BY user_id ORDER BY user_id""",
     "stream_multi_microbatch_stage" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
