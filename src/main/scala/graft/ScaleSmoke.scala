@@ -127,8 +127,59 @@ object ScaleSmoke {
       },
     )
 
-    val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1)
-    val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK)
+    // round-7 shapes: the triangle wedge join over the co-supply graph
+    // (replicas get disjoint key spaces → disjoint subgraphs, the way
+    // real graph data grows) and the spatial grid kNN candidate join
+    // (replicas get disjoint cell spaces — growth covers more area,
+    // it does not densify one cell; a DENSIFYING 16× would be ×256
+    // candidates and needs a finer grid, which is the documented knob)
+    def cust1 = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    def shapes3(tag: String, mult: Int) = Seq(
+      time(s"$tag/triangle_wedge") {
+        val ps = (1 to mult).map(i =>
+          Tables.lineitem(spark, sfDir)
+            .filter(col("l_partkey") % 50 === 0)
+            .select((col("l_partkey") + lit(i.toLong * 10000000L)).as("pk"),
+              (col("l_suppkey") + lit(i.toLong * 10000000L)).as("sk")))
+          .reduce(_ unionByName _).distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.sk") === col("b.sk") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .count()
+      },
+      time(s"$tag/spatial_grid_knn") {
+        val pts = (1 to mult).map(i =>
+          cust1.select((col("c_custkey") + lit(i.toLong * 10000000L)).as("pid"),
+            ((col("c_custkey") * 7919 % 3600) / lit(10.0) - 180.0).as("lon"),
+            ((col("c_custkey") * 104729 % 1700) / lit(10.0) - 85.0).as("lat"),
+            lit(i * 1000).as("space")))
+          .reduce(_ unionByName _)
+          .withColumn("cx",
+            (floor(col("lon") / 10) + col("space")).cast("int"))
+          .withColumn("cy", floor(col("lat") / 10).cast("int"))
+        val q = pts.filter(col("pid") % 500 === 0)
+          .select(col("pid").as("qid"), col("lon").as("qlon"),
+            col("lat").as("qlat"), col("cx").as("qcx"), col("cy").as("qcy"))
+          .crossJoin(broadcast(
+            spark.range(-1, 2).select(col("id").cast("int").as("dx"))
+              .crossJoin(spark.range(-1, 2)
+                .select(col("id").cast("int").as("dy")))))
+        q.join(pts,
+            col("qcx") + col("dx") === col("cx")
+              && col("qcy") + col("dy") === col("cy")
+              && col("qid") =!= col("pid"))
+          .filter(sqrt((col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+            + (col("lat") - col("qlat")) * (col("lat") - col("qlat"))) < 5.0)
+          .count()
+      },
+    )
+
+    val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++ shapes3("x1", 1)
+    val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK) ++
+      shapes3(s"x$k", k)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns
