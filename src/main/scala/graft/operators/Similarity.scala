@@ -286,6 +286,38 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // Nearest-class-mean classifier (Rocchio) — fit + apply in one
+    // declared plan: per-label per-dim centroids from exact
+    // DECIMAL(18,12) sums (order-independent ⇒ identical doubles in
+    // both engines), then each sampled vector is assigned to the
+    // label with the smallest squared distance, each term quantized
+    // to DECIMAL(28,16) before the sum so the argmin comparison has
+    // NO float-order ambiguity; (dist, label) tiebreak. Declared
+    // result = the confusion matrix. The dims formulation keeps
+    // every step SQL-mirrorable; the 100 TB path broadcasts the k×dim
+    // centroid table and folds the argmin per row with zero shuffle —
+    // udaf_typed (mergeable centroid partials) + sim_ivf_ann
+    // (broadcast argmin fold) demonstrate exactly that machinery.
+    "sim_centroid_classifier" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(dbl("embedding"))).as(Seq("i", "x")))
+      val cent = dims.groupBy(col("label").as("cl"), col("i").as("ci"))
+        .agg((sum(col("x").cast("decimal(18,12)")).cast("double")
+          / count(lit(1))).as("c"))
+      val test = dims.filter(col("vec_id") % 3 === 0)
+      val dist = test.join(cent, col("i") === col("ci"))
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast("decimal(28,16)")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("cl").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+
     // Reciprocal-rank fusion of two retrievers (full-dim cosine and
     // the 16-dim matryoshka prefix): score = Σ 1/(60 + rank) over the
     // rankers that returned the candidate — the standard ensemble
@@ -548,6 +580,29 @@ object Similarity {
          SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
                 round(cos, 4) AS cos, round(cos16, 4) AS cos16
          FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "sim_centroid_classifier" ->
+      """WITH dims AS (SELECT vec_id, label,
+                              unnest(generate_series(1, 64)) AS i,
+                              unnest(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE))) AS x
+                       FROM embeddings),
+              cent AS (SELECT label AS cl, i AS ci,
+                              CAST(sum(CAST(x AS DECIMAL(18,12)))
+                                AS DOUBLE) / count(*) AS c
+                       FROM dims GROUP BY 1, 2),
+              dist AS (SELECT vec_id, label, cl,
+                              sum(CAST((x - c) * (x - c)
+                                AS DECIMAL(28,16))) AS d2
+                       FROM dims JOIN cent ON i = ci
+                       WHERE vec_id % 3 = 0
+                       GROUP BY 1, 2, 3),
+              rk AS (SELECT vec_id, label, cl,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cl) AS rn
+                     FROM dist)
+         SELECT label, cl AS pred_label, count(*) AS n
+         FROM rk WHERE rn = 1
+         GROUP BY label, cl ORDER BY label, pred_label""",
     "sim_reciprocal_rank_fusion" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
