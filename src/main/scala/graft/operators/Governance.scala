@@ -90,6 +90,60 @@ object Governance {
     // is exercised by GovernanceSpec, not by the declared key.
     "dq_expectations" -> ((s, d) => dqAudit(s, d).orderBy("rule")),
 
+    // Referential-integrity audit (r7): orphan counts + parent
+    // coverage for the three FK edges of the star. Each branch is one
+    // LEFT ANTI join (orphans) plus one distinct-count (coverage) —
+    // at 100 TB the parent side is the broadcast/bloom side exactly
+    // as in join_runtime_bloom; nothing here scans a fact table
+    // twice (orphans and referenced-parent counts share the child
+    // aggregate). The fixture is FK-clean by construction, so
+    // non-zero orphans would themselves be the alarm — the declared
+    // zeros are load-bearing.
+    "dq_referential_integrity" -> ((s, d) => {
+      def edge(child: DataFrame, ck: String, parent: DataFrame,
+               pk: String, name: String): DataFrame = {
+        val refs = child.groupBy(col(ck).as("k"))
+          .agg(count(lit(1)).as("n_child"))
+        val par = parent.select(col(pk).as("pkk"))
+        val joined = refs.join(broadcast(par), col("k") === col("pkk"),
+          "left")
+        joined.agg(
+          sum(col("n_child")).cast("bigint").as("n_child_rows"),
+          count(when(col("pkk").isNull, 1)).as("n_orphan_keys"),
+          coalesce(sum(when(col("pkk").isNull, col("n_child"))), lit(0L))
+            .cast("bigint").as("n_orphan_rows"),
+          count(when(col("pkk").isNotNull, 1)).as("n_parents_referenced"))
+          .select(lit(name).as("fk"), col("n_child_rows"),
+            col("n_orphan_keys"), col("n_orphan_rows"),
+            col("n_parents_referenced"))
+      }
+      edge(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .union(edge(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer"))
+        .union(edge(Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem->part"))
+        .orderBy("fk")
+    }),
+
+    // Freshness-lag audit (r7): how many days each event stream lags
+    // the freshest partition — the SLO check every scheduled pipeline
+    // runs before publishing. Deterministic by construction: the
+    // reference point is the CORPUS max day (no wall clock). One
+    // aggregate + a 1-row broadcast.
+    "dq_freshness_lag" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("n"))
+      val global = perType.agg(max(col("last_day")).as("gmax"))
+      perType.crossJoin(broadcast(global))
+        .select(col("event_type"),
+          col("last_day").cast("string").as("last_day"),
+          datediff(col("gmax"), col("last_day")).as("lag_days"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // Snapshot diff between two staged versions: v2 is a deterministic
     // mutation of v1 (keys %10==0 changed, %10==3 removed, negated
     // keys added). Rows are content-hashed; one full-outer join on the
@@ -179,6 +233,45 @@ object Governance {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "dq_referential_integrity" ->
+      """WITH e1 AS (SELECT 'lineitem->orders' AS fk,
+                            CAST(count(*) AS BIGINT) AS n_child_rows,
+                            count(DISTINCT CASE WHEN o_orderkey IS NULL
+                              THEN l_orderkey END) AS n_orphan_keys,
+                            CAST(count(*) FILTER (WHERE o_orderkey IS NULL)
+                              AS BIGINT) AS n_orphan_rows,
+                            count(DISTINCT o_orderkey)
+                              AS n_parents_referenced
+                     FROM lineitem LEFT JOIN orders
+                       ON l_orderkey = o_orderkey),
+              e2 AS (SELECT 'orders->customer',
+                            CAST(count(*) AS BIGINT),
+                            count(DISTINCT CASE WHEN c_custkey IS NULL
+                              THEN o_custkey END),
+                            CAST(count(*) FILTER (WHERE c_custkey IS NULL)
+                              AS BIGINT),
+                            count(DISTINCT c_custkey)
+                     FROM orders LEFT JOIN customer
+                       ON o_custkey = c_custkey),
+              e3 AS (SELECT 'lineitem->part',
+                            CAST(count(*) AS BIGINT),
+                            count(DISTINCT CASE WHEN p_partkey IS NULL
+                              THEN l_partkey END),
+                            CAST(count(*) FILTER (WHERE p_partkey IS NULL)
+                              AS BIGINT),
+                            count(DISTINCT p_partkey)
+                     FROM lineitem LEFT JOIN part ON l_partkey = p_partkey)
+         SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         UNION ALL SELECT * FROM e3 ORDER BY fk""",
+    "dq_freshness_lag" ->
+      """WITH pt AS (SELECT event_type, max(CAST(ts AS DATE)) AS last_day,
+                            count(*) AS n
+                     FROM events GROUP BY 1),
+              g AS (SELECT max(last_day) AS gmax FROM pt)
+         SELECT event_type, CAST(last_day AS VARCHAR) AS last_day,
+                CAST(date_diff('day', last_day, gmax) AS INTEGER)
+                  AS lag_days, n
+         FROM pt, g ORDER BY event_type""",
     "dq_expectations" ->
       """WITH nn AS (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) AS v
                      FROM lineitem),

@@ -181,6 +181,35 @@ object Joins {
           sum(col("p_us") - col("m_us")).as("sum_gap_us"))
     }),
 
+    // As-of with TOLERANCE (r7, the pandas merge_asof `tolerance`
+    // semantics): the latest prior click still matches only if it is
+    // within 10 minutes — staler matches are rejected as if absent.
+    // Same groupBy-max shape as join_asof_last_event (the tolerance
+    // is a post-max filter, NOT a different join), so the plan cost
+    // is identical; the declared fingerprint splits matches into
+    // within / beyond tolerance so both sides of the cut are
+    // hash-checked.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 10L * 60 * 1000000
+      val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      p.join(c, col("user_id") === col("c_user")
+          && col("c_us") <= col("p_us"), "left")
+        .groupBy("p_id", "p_us")
+        .agg(max(col("c_us")).as("m_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("m_us")).as("n_matched_any"),
+          count(when(col("p_us") - col("m_us") <= tolUs, 1))
+            .as("n_within_tol"),
+          coalesce(sum(when(col("p_us") - col("m_us") <= tolUs,
+            col("p_us") - col("m_us"))), lit(0L)).cast("bigint")
+            .as("gap_us_within"))
+    }),
+
     // As-of: each purchase matched to the user's latest PRIOR click
     // (join + groupBy-max formulation — identical semantics declared
     // in the oracle so both engines agree; see SURVEY §2.3).
@@ -273,6 +302,27 @@ object Joins {
            ON a.user_id = b.user_id
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
          GROUP BY a.event_type ORDER BY a_type""",
+    // DuckDB replays the same groupBy-max + tolerance cut; ASOF JOIN
+    // with a tolerance is not native there either, which is the point:
+    // the rewrite IS the portable formulation
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+              p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, us AS c_us
+                    FROM e WHERE event_type = 'click'),
+              m AS (SELECT p_id, p_us, max(c_us) AS m_us
+                    FROM p LEFT JOIN c
+                      ON user_id = c_user AND c_us <= p_us
+                    GROUP BY p_id, p_us)
+         SELECT count(*) AS n_purchases,
+                count(m_us) AS n_matched_any,
+                count(CASE WHEN p_us - m_us <= 600000000 THEN 1 END)
+                  AS n_within_tol,
+                CAST(coalesce(sum(CASE WHEN p_us - m_us <= 600000000
+                  THEN p_us - m_us END), 0) AS BIGINT) AS gap_us_within
+         FROM m""",
     "join_asof_native" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
                     FROM events),
