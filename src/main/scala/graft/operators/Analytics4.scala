@@ -133,6 +133,37 @@ object Analytics4 {
         .orderBy("rf")
     }),
 
+    // LINEAR multi-touch attribution (r7) — the credit-sharing model
+    // beside analytics_attribution_last_touch: every view/click in
+    // the 7-day window before a purchase shares the conversion credit
+    // equally (1/n each). NO pair join: per purchase, the window
+    // RANGE frame counts view and click touches in one pass, and the
+    // per-channel credit is cv/n / cc/n — quantized to
+    // DECIMAL(18,12) before summation so channel totals are
+    // order-independent. Linear in events, like the strict funnel.
+    "analytics_attribution_linear" -> ((s, d) => {
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-sevenDaysUs, -1L)
+      val p = ev
+        .withColumn("cv",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("cc",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("n", col("cv") + col("cc"))
+        .filter(col("n") > 0)
+      p.agg(
+        count(lit(1)).as("n_attributed"),
+        round(sum((col("cv") / col("n")).cast("decimal(18,12)"))
+          .cast("double"), 4).as("credit_view"),
+        round(sum((col("cc") / col("n")).cast("decimal(18,12)"))
+          .cast("double"), 4).as("credit_click"))
+    }),
+
     // Trailing-7-day rolling DISTINCT users — the distinct-over-frame
     // op plain windows can't express (sums aren't enough: users
     // repeat across days). Day-grain sets are collected FIRST (one
@@ -407,6 +438,26 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    "analytics_attribution_linear" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+              t AS (SELECT event_type,
+                           count(CASE WHEN event_type = 'view' THEN 1 END)
+                             OVER w AS cv,
+                           count(CASE WHEN event_type = 'click' THEN 1 END)
+                             OVER w AS cc
+                    FROM ev
+                    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                                 RANGE BETWEEN 604800000000 PRECEDING
+                                           AND 1 PRECEDING)),
+              p AS (SELECT cv, cc, cv + cc AS n FROM t
+                    WHERE event_type = 'purchase' AND cv + cc > 0)
+         SELECT count(*) AS n_attributed,
+                round(CAST(sum(CAST(cv / n AS DECIMAL(18,12)))
+                  AS DOUBLE), 4) AS credit_view,
+                round(CAST(sum(CAST(cc / n AS DECIMAL(18,12)))
+                  AS DOUBLE), 4) AS credit_click
+         FROM p""",
     "window_rolling_distinct" ->
       """WITH pd AS (SELECT CAST(ts AS DATE) AS day,
                             list(DISTINCT user_id) AS us

@@ -111,6 +111,71 @@ object Staging {
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
     // fingerprint. Types survive exactly (no text re-parse).
+    // DYNAMIC partition overwrite (r7) — the staging-engine write
+    // mode that makes partitioned re-runs safe: mode("overwrite")
+    // with partitionOverwriteMode=dynamic replaces ONLY the
+    // partitions present in the incoming batch; every untouched
+    // partition survives byte-identical. Static overwrite (the
+    // default) would truncate the whole table — the difference IS
+    // the declared result: even-year partitions are rewritten to
+    // urgent-only, odd years keep full content. At 100 TB this is
+    // how a daily job idempotently replaces its own day without
+    // locking or rewriting the other 3,649.
+    "sink_overwrite_dynamic_partitions" -> ((s, d) => {
+      val out = tmpDir("graft_dynpart_")
+      val o = Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+      o.write.mode("overwrite").partitionBy("yr").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try o.filter(col("yr") % 2 === 0
+          && col("o_orderpriority") === "1-URGENT")
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      s.read.parquet(out)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .orderBy("yr")
+    }),
+
+    // Multiline quoted CSV (r7) — the ingestion edge case that breaks
+    // naive line-split readers: fields containing the delimiter AND
+    // embedded newlines. The engine writes fields built to contain
+    // both, reads them back with multiLine=true, and the per-language
+    // length fingerprint must survive the round trip (provenance
+    // oracle recomputes it from documents — the oracle never parses
+    // CSV). Scale note: multiLine forces whole-file parsing (no line
+    // splits), so at 100 TB you ingest quoted CSV as MANY files —
+    // which is exactly how this key stages it (one per partition).
+    "scan_csv_multiline" -> ((s, d) => {
+      val out = tmpDir("graft_mlcsv_")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          concat(lit("x,\""), lit("\n"),
+            substring(col("text"), 1, 20)).as("v"))
+        .write.mode("overwrite").option("header", "true")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("ignoreLeadingWhiteSpace", "false").csv(out)
+      // ignoreTrailing/LeadingWhiteSpace default TRUE on BOTH the
+      // writer and the reader and silently trim field edges — caught
+      // by the provenance oracle (every field whose prefix ends in a
+      // space came back exactly 1 char short)
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("inferSchema", "false").csv(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("v"))).cast("bigint").as("len_total"))
+        .orderBy("lang")
+    }),
+
     // Hidden _metadata columns (r7) — file provenance without a
     // lineage system: Spark's metadata struct surfaces the physical
     // file each row came from. The fixture is staged one file per
@@ -477,6 +542,22 @@ object Staging {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // dynamic overwrite contract: odd years full, even years urgent-only
+    "sink_overwrite_dynamic_partitions" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total
+         FROM orders
+         WHERE year(o_orderdate) % 2 = 1
+            OR o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY yr""",
+    // provenance: the fingerprint is recomputed from documents — the
+    // oracle never parses CSV; the engine's round trip must agree
+    "scan_csv_multiline" ->
+      """SELECT lang, count(*) AS n,
+                CAST(sum(length('x,"' || chr(10)
+                  || substr(text, 1, 20))) AS BIGINT) AS len_total
+         FROM documents GROUP BY lang ORDER BY lang""",
     // provenance: per-file counts = per-bucket counts (1 file/bucket)
     "scan_file_metadata" ->
       """SELECT CAST(event_id % 4 AS INTEGER) AS bucket,
