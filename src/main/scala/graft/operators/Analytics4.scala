@@ -247,6 +247,63 @@ object Analytics4 {
         .orderBy("event_type")
     }),
 
+    // Local-maximum peak detection on the daily series: a day is a
+    // peak when strictly above BOTH neighbors (lag/lead, one window
+    // pass over the day-grain aggregate). The top peak per series is
+    // picked by a deterministic (rev DESC, day DESC) rank — no
+    // engine-defined argmax semantics.
+    "timeseries_peak_detect" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+      val peaks = dailyRevenue(s, d)
+        .withColumn("pv", lag("rev", 1).over(w))
+        .withColumn("nx", lead("rev", 1).over(w))
+        .filter(col("pv").isNotNull && col("nx").isNotNull
+          && col("rev") > col("pv") && col("rev") > col("nx"))
+      val top = Window.partitionBy("pri")
+        .orderBy(col("rev").desc, col("day").desc)
+      peaks.withColumn("rk", row_number().over(top))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_peaks"),
+          round(max(col("rev")), 2).as("max_peak"),
+          max(when(col("rk") === 1, col("day")).cast("string"))
+            .as("top_peak_day"))
+        .orderBy("pri")
+    }),
+
+    // Session DURATION statistics — the wall-clock companion of
+    // window_lag_lead_sessionize's event-count histogram: sessionize
+    // (same 30-min gap rule), then exact order statistics over the
+    // SESSION aggregate (median/p90 = the ⌈n/2⌉-th / ⌈0.9n⌉-th
+    // duration under a total (dur, user, sess) order — percentile_disc
+    // semantics, integer-exact, no interpolation ambiguity). The
+    // global sort runs over sessions, not events.
+    "analytics_session_stats" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull
+            || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg((max("us") - min("us")).as("dur_us"),
+          count(lit(1)).as("n_ev"))
+      val ord = Window.orderBy(col("dur_us"), col("user_id"), col("sess_id"))
+      val ranked = sess.withColumn("rk", row_number().over(ord))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      ranked.agg(
+        max(col("n")).as("n_sessions"),
+        max(when(col("rk") === ceil(col("n") / 2), col("dur_us")))
+          .as("median_dur_us"),
+        max(when(col("rk") === ceil(col("n") * 9 / lit(10.0)), col("dur_us")))
+          .as("p90_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+    }),
+
     // CUSUM drift detection on the daily-revenue series: cumulative
     // sum of (rev − series mean) flags sustained level shifts that
     // per-day z-scores miss. Mean from exact decimal sums; each
@@ -522,6 +579,53 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "timeseries_peak_detect" ->
+      s"""WITH $dailySql,
+              l AS (SELECT pri, day, rev,
+                           lag(rev) OVER w AS pv, lead(rev) OVER w AS nx
+                    FROM daily
+                    WINDOW w AS (PARTITION BY pri ORDER BY day)),
+              pk AS (SELECT pri, day, rev,
+                            row_number() OVER (PARTITION BY pri
+                              ORDER BY rev DESC, day DESC) AS rk
+                     FROM l
+                     WHERE pv IS NOT NULL AND nx IS NOT NULL
+                       AND rev > pv AND rev > nx)
+         SELECT pri, count(*) AS n_peaks,
+                round(max(rev), 2) AS max_peak,
+                max(CASE WHEN rk = 1 THEN CAST(day AS VARCHAR) END)
+                  AS top_peak_day
+         FROM pk GROUP BY pri ORDER BY pri""",
+    "analytics_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                    FROM events),
+              f AS (SELECT user_id, event_id, us,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY us, event_id)),
+              sg AS (SELECT user_id, us,
+                            sum(new_sess) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+                     FROM f),
+              sess AS (SELECT user_id, sess_id,
+                              max(us) - min(us) AS dur_us
+                       FROM sg GROUP BY 1, 2),
+              rkd AS (SELECT dur_us,
+                             row_number() OVER (ORDER BY dur_us, user_id,
+                                                sess_id) AS rk,
+                             count(*) OVER () AS n
+                      FROM sess)
+         SELECT max(n) AS n_sessions,
+                max(CASE WHEN rk = ceil(n / 2) THEN dur_us END)
+                  AS median_dur_us,
+                max(CASE WHEN rk = ceil(n * 9 / 10.0) THEN dur_us END)
+                  AS p90_dur_us,
+                max(dur_us) AS max_dur_us
+         FROM rkd""",
     "timeseries_cusum_drift" ->
       s"""WITH $dailySql,
               stats AS (SELECT pri AS sp,

@@ -205,6 +205,26 @@ object Functions {
     // Encoding family: base64, hex, byte length, md5/sha2 digests —
     // all over utf8 bytes of string columns (byte-identical in both
     // engines, SURVEY §5.4.5).
+    // Deterministic ID minting (r7) — the UUIDv5 pattern (name-based,
+    // md5) a pipeline uses so re-runs mint the SAME id for the same
+    // record (content-addressed identity; random UUIDs would break
+    // idempotent re-ingestion): namespace-prefixed md5, formatted as
+    // 8-4-4-4-12 with the version nibble forced to 5. Pure codegen
+    // projection; the nibble histogram in fn-level keys proves
+    // hash-bucket uniformity is preserved by the formatting.
+    "fn_deterministic_id" -> ((s, d) => {
+      val h = md5(concat(lit("graft:doc:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 199 === 0)
+        .select(col("doc_id"),
+          concat_ws("-",
+            substring(h, 1, 8), substring(h, 9, 4),
+            concat(lit("5"), substring(h, 14, 3)),
+            substring(h, 17, 4), substring(h, 21, 12)).as("uuid5"),
+          substring(h, 1, 1).as("bucket_nibble"))
+        .orderBy("doc_id")
+    }),
+
     "fn_encoding" -> ((s, d) =>
       Tables.part(s, d)
         .filter(col("p_partkey") % 37 === 0)
@@ -434,6 +454,16 @@ object Functions {
                 round(CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE), 4) AS e2,
                 CAST(len(list_distinct(embedding)) AS INTEGER) AS ndist
          FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""",
+    "fn_deterministic_id" ->
+      """WITH h AS (SELECT doc_id,
+                           md5('graft:doc:' || CAST(doc_id AS VARCHAR)) AS m
+                    FROM documents WHERE doc_id % 199 = 0)
+         SELECT doc_id,
+                substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-'
+                  || '5' || substr(m, 14, 3) || '-' || substr(m, 17, 4)
+                  || '-' || substr(m, 21, 12) AS uuid5,
+                substr(m, 1, 1) AS bucket_nibble
+         FROM h ORDER BY doc_id""",
     "fn_encoding" ->
       """SELECT p_partkey,
                 base64(encode(p_brand)) AS b64,

@@ -286,6 +286,44 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // MIPS → cosine reduction (r7, the Shrivastava asymmetric
+    // transform): append sqrt(M² − ‖x‖²) to every corpus vector
+    // (M = max corpus norm) and 0 to the query — augmented cosine is
+    // then MONOTONE in raw inner product, so any cosine-ANN index
+    // (LSH / IVF / matryoshka above) answers max-inner-product
+    // queries unchanged. The declared result ranks by raw IP and
+    // carries BOTH scores; the augmented-cosine column descending in
+    // lockstep is the hash-checked witness of the reduction. M is a
+    // 1-row broadcast; everything else is one scan.
+    "sim_mips_transform" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr(fsum(s"transform(${dbl("embedding")}, x -> x * x)")))
+            .as("nrm"))
+      val m = e.agg(max(col("nrm")).as("bigm"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm")).filter(col("qid") < 5)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .crossJoin(broadcast(m))
+        .withColumn("ip",
+          expr(fsum(s"zip_with(${dbl("qe")}, ${dbl("embedding")}, (a, b) -> a * b)")))
+        .withColumn("aug",
+          sqrt(greatest(lit(0.0),
+            col("bigm") * col("bigm") - col("nrm") * col("nrm"))))
+        // augmented corpus vector = [x, aug]; query = [q, 0] ⇒
+        // dot = ip, |corpus_aug| = M ⇒ cos_aug = ip / (|q|·M)
+        .withColumn("cos_aug", col("ip") / (col("qnrm") * col("bigm")))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("ip"), 4).desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("ip"), 4).as("ip"),
+          round(col("cos_aug"), 6).as("cos_aug"))
+        .orderBy("qid", "rank")
+    }),
+
     // Nearest-class-mean classifier (Rocchio) — fit + apply in one
     // declared plan: per-label per-dim centroids from exact
     // DECIMAL(18,12) sums (order-independent ⇒ identical doubles in
@@ -580,6 +618,30 @@ object Similarity {
          SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
                 round(cos, 4) AS cos, round(cos16, 4) AS cos16
          FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "sim_mips_transform" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              m AS (SELECT max(nrm) AS bigm FROM n),
+              q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+                    FROM n WHERE vec_id < 5),
+              s AS (SELECT qid, vec_id,
+                           list_aggregate(list_transform(range(1, len(qv) + 1),
+                                          i -> qv[i] * v[i]), 'sum') AS ip,
+                           qnrm, bigm
+                    FROM q JOIN n ON vec_id <> qid, m),
+              rk AS (SELECT qid, vec_id, ip,
+                            ip / (qnrm * bigm) AS cos_aug,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(ip, 4) DESC, vec_id) AS rn
+                     FROM s)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
+                round(ip, 4) AS ip, round(cos_aug, 6) AS cos_aug
+         FROM rk WHERE rn <= 5 ORDER BY qid, rank""",
     "sim_centroid_classifier" ->
       """WITH dims AS (SELECT vec_id, label,
                               unnest(generate_series(1, 64)) AS i,
