@@ -133,6 +133,40 @@ object Analytics4 {
         .orderBy("rf")
     }),
 
+    // Market-basket co-purchase pairs with LIFT — the recommendation
+    // primitive: parts bought together in one order, scored by
+    // lift = P(ab) / (P(a)·P(b)). The pair join is keyed on the
+    // ORDER (baskets are small — C(items,2) per order, linear in
+    // orders), never across orders; supports are aggregates joined
+    // back by part. Lift arithmetic: BIGINT counts → one double
+    // division chain in a fixed order, round(,4).
+    "analytics_basket_copurchase" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = Tables.lineitem(s, d)
+        .select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("pk").as("sp")).agg(count(lit(1)).as("s"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(supp.withColumnRenamed("sp", "s1p")
+          .withColumnRenamed("s", "s1"), col("p1") === col("s1p"))
+        .join(supp.withColumnRenamed("sp", "s2p")
+          .withColumnRenamed("s", "s2"), col("p2") === col("s2p"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("c"),
+          round(col("c") * col("n_orders")
+            / (col("s1") * col("s2")).cast("double"), 4).as("lift"))
+        .orderBy(col("c").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
     // LINEAR multi-touch attribution (r7) — the credit-sharing model
     // beside analytics_attribution_last_touch: every view/click in
     // the 7-day window before a purchase shares the conversion credit
@@ -245,6 +279,35 @@ object Analytics4 {
           max("n_users").as("n_users"),
           max("total").cast("bigint").as("n_events"))
         .orderBy("event_type")
+    }),
+
+    // Rolling z-score over the TRAILING 7-day frame (excluding the
+    // current day — the leak-free online formulation): mean and σ are
+    // rebuilt per-row from exact DECIMAL window sums (Σx, Σx², n)
+    // rather than a windowed stddev aggregate, because windowed
+    // Welford merge order is engine-internal — the explicit sums make
+    // every per-row σ bit-identical cross-engine. Day flagged when
+    // |z| > 2 with ≥3 prior days.
+    "window_zscore_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+        .rowsBetween(-7, -1)
+      val z = dailyRevenue(s, d)
+        .withColumn("s1",
+          sum(col("rev").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("s2",
+          sum((col("rev") * col("rev")).cast("decimal(28,4)")).over(w)
+            .cast("double"))
+        .withColumn("nw", count(lit(1)).over(w))
+        .filter(col("nw") >= 3)
+        .withColumn("mu", col("s1") / col("nw"))
+        .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("nw"))
+          / (col("nw") - 1)))
+        .withColumn("z", (col("rev") - col("mu")) / col("sd"))
+      z.groupBy("pri")
+        .agg(count(lit(1)).as("n_scored"),
+          count(when(abs(col("z")) > 2.0, 1)).as("n_flagged"),
+          round(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy("pri")
     }),
 
     // Local-maximum peak detection on the daily series: a day is a
@@ -495,6 +558,23 @@ object Analytics4 {
                 round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
          FROM c WHERE cumw * 2 >= totw
          GROUP BY rf ORDER BY rf""",
+    "analytics_basket_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem WHERE l_partkey % 10 = 0),
+              no AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+                     FROM lineitem),
+              supp AS (SELECT pk AS sp, count(*) AS s FROM items
+                       GROUP BY 1),
+              pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c
+                        FROM items a JOIN items b
+                          ON a.ok = b.ok AND a.pk < b.pk
+                        GROUP BY 1, 2)
+         SELECT p1, p2, c,
+                round(c * n_orders
+                      / CAST(s1.s * s2.s AS DOUBLE), 4) AS lift
+         FROM pairs JOIN supp s1 ON p1 = s1.sp
+                    JOIN supp s2 ON p2 = s2.sp, no
+         ORDER BY c DESC, p1, p2 LIMIT 20""",
     "analytics_attribution_linear" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
                      FROM events),
@@ -579,6 +659,26 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "window_zscore_rolling" ->
+      s"""WITH $dailySql,
+              s AS (SELECT pri, day, rev,
+                           CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER w
+                             AS DOUBLE) AS s1,
+                           CAST(sum(CAST(rev * rev AS DECIMAL(28,4))) OVER w
+                             AS DOUBLE) AS s2,
+                           count(*) OVER w AS nw
+                    FROM daily
+                    WINDOW w AS (PARTITION BY pri ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING
+                                          AND 1 PRECEDING)),
+              z AS (SELECT pri,
+                           (rev - s1 / nw)
+                             / sqrt((s2 - s1 * s1 / nw) / (nw - 1)) AS z
+                    FROM s WHERE nw >= 3)
+         SELECT pri, count(*) AS n_scored,
+                count(*) FILTER (WHERE abs(z) > 2.0) AS n_flagged,
+                round(max(abs(z)), 4) AS max_abs_z
+         FROM z GROUP BY pri ORDER BY pri""",
     "timeseries_peak_detect" ->
       s"""WITH $dailySql,
               l AS (SELECT pri, day, rev,

@@ -135,6 +135,36 @@ object GraphOps {
             .cast("double") / 1e6).as("global_cc"))
     }),
 
+    // Link prediction by neighbor-set Jaccard (r7) — the classic
+    // common-neighbors recommender over the co-supply graph: for
+    // non-adjacent pairs at distance 2, score = |N(u)∩N(v)| /
+    // |N(u)∪N(v)|. Common neighbors come from the SAME wedge
+    // equi-join as triangle counting (u<w orientation dedups pairs);
+    // existing edges are removed with a LEFT ANTI join; the union
+    // size is inclusion-exclusion over the degree aggregate — all
+    // integer arithmetic until one final division.
+    "graph_link_prediction" -> ((s, d) => {
+      val e = coSupplyEdges(s, d, 200).cache()
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = adj.groupBy(col("u").as("dn")).agg(count(lit(1)).as("deg"))
+      val cn = adj.as("a").join(adj.as("b"), col("a.v") === col("b.u"))
+        .filter(col("a.u") < col("b.v"))
+        .groupBy(col("a.u").as("x"), col("b.v").as("y"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = cn.join(e,
+          col("x") === col("u") && col("y") === col("v"), "left_anti")
+      cand
+        .join(deg.withColumnRenamed("dn", "xd").withColumnRenamed("deg", "dx"),
+          col("x") === col("xd"))
+        .join(deg.withColumnRenamed("dn", "yd").withColumnRenamed("deg", "dy"),
+          col("y") === col("yd"))
+        .select(col("x"), col("y"), col("cn"),
+          round(col("cn") / (col("dx") + col("dy") - col("cn"))
+            .cast("double"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // Degree distribution of the (denser, mod=50) co-supply graph —
     // the profiling query you run BEFORE choosing a triangle/CC
     // strategy at scale: one symmetric-degree aggregate, bucketed.
@@ -203,6 +233,24 @@ object GraphOps {
                 CAST(floor(3.0 * n_triangles / n_wedges * 1e6) AS DOUBLE)
                   / 1e6 AS global_cc
          FROM tri, wed, ne""",
+    "graph_link_prediction" ->
+      s"""WITH ${coSupplyEdgesSql(200)},
+              adj AS (SELECT u, v FROM ed
+                      UNION ALL SELECT v, u FROM ed),
+              deg AS (SELECT u AS dn, count(*) AS deg FROM adj
+                      GROUP BY 1),
+              cn AS (SELECT a.u AS x, b.v AS y, count(*) AS cn
+                     FROM adj a JOIN adj b ON a.v = b.u
+                     WHERE a.u < b.v GROUP BY 1, 2),
+              cand AS (SELECT cn.* FROM cn
+                       LEFT JOIN ed ON x = u AND y = v
+                       WHERE ed.u IS NULL)
+         SELECT x, y, cn,
+                round(cn / CAST(dx.deg + dy.deg - cn AS DOUBLE), 6)
+                  AS jaccard
+         FROM cand JOIN deg dx ON x = dx.dn
+                   JOIN deg dy ON y = dy.dn
+         ORDER BY jaccard DESC, x, y LIMIT 20""",
     "graph_degree_distribution" ->
       s"""WITH ${coSupplyEdgesSql(50)},
               deg AS (SELECT node, count(*) AS deg
