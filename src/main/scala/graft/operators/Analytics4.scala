@@ -281,6 +281,42 @@ object Analytics4 {
         .orderBy("event_type")
     }),
 
+    // IQR (Tukey-fence) outliers — the quartile-based robust
+    // companion of anomaly_zscore/anomaly_mad: per group, Q1/Q3 are
+    // EXACT discrete order statistics (the ⌈n/4⌉-th / ⌈3n/4⌉-th value
+    // under a total order — no interpolation, no float percentile
+    // semantics to reconcile), fence = 1.5·IQR. The rank window runs
+    // per group; the fence comparison is on raw doubles both engines
+    // hold identically.
+    "anomaly_iqr" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"), col("o_totalprice"))
+      val w = Window.partitionBy("pri")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w2 = Window.partitionBy("pri")
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+          col("o_orderkey"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(w2))
+      val q = ranked
+        .groupBy("pri")
+        .agg(max(when(col("rk") === ceil(col("n") / 4), col("o_totalprice")))
+          .as("q1"),
+          max(when(col("rk") === ceil(col("n") * 3 / lit(4.0)),
+            col("o_totalprice"))).as("q3"))
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      o.join(broadcast(q.withColumnRenamed("pri", "qp")),
+          col("pri") === col("qp"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_totalprice") > col("hi")
+            || col("o_totalprice") < col("lo"), 1)).as("n_outliers"),
+          round(max(col("hi")), 4).as("hi_fence"))
+        .orderBy("pri")
+    }),
+
     // Rolling z-score over the TRAILING 7-day frame (excluding the
     // current day — the leak-free online formulation): mean and σ are
     // rebuilt per-row from exact DECIMAL window sums (Σx, Σx², n)
@@ -659,6 +695,30 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "anomaly_iqr" ->
+      """WITH r AS (SELECT o_orderpriority AS pri, o_totalprice,
+                           row_number() OVER
+                             (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rk,
+                           count(*) OVER
+                             (PARTITION BY o_orderpriority) AS n
+                    FROM orders),
+              q AS (SELECT pri,
+                           max(CASE WHEN rk = ceil(n / 4)
+                                    THEN o_totalprice END) AS q1,
+                           max(CASE WHEN rk = ceil(n * 3 / 4.0)
+                                    THEN o_totalprice END) AS q3
+                    FROM r GROUP BY pri),
+              f AS (SELECT pri AS qp,
+                           q3 + (q3 - q1) * 1.5 AS hi,
+                           q1 - (q3 - q1) * 1.5 AS lo
+                    FROM q)
+         SELECT o_orderpriority AS pri, count(*) AS n,
+                count(*) FILTER (WHERE o_totalprice > hi
+                                    OR o_totalprice < lo) AS n_outliers,
+                round(max(hi), 4) AS hi_fence
+         FROM orders JOIN f ON o_orderpriority = qp
+         GROUP BY 1 ORDER BY pri""",
     "window_zscore_rolling" ->
       s"""WITH $dailySql,
               s AS (SELECT pri, day, rev,

@@ -446,6 +446,46 @@ object Lifecycle {
       agg(1).unionAll(agg(2)).unionAll(agg(3)).orderBy("version")
     }),
 
+    // MERGE-ON-READ deletes (r7) — the deletion-vector/positional-
+    // delete strategy beside the CoW path (stage_acid_delete_vacuum
+    // rewrites files immediately): a delete commit APPENDS a
+    // tombstone sidecar (O(deleted keys), no data file touched);
+    // snapshot reads anti-join the tombstones (the read-time merge);
+    // a later compaction materializes the deletes and drops the
+    // sidecar (back to CoW economics when the table is read-hot).
+    // The declared result reads all three states — pre-delete, MoR,
+    // post-compaction — and MoR ≡ compacted is the hash-checked
+    // equivalence that justifies deferring the rewrite at 100 TB.
+    "stage_merge_on_read_deletes" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("mordel")
+      val base = s"$out/base"
+      val tomb = s"$out/tombstones"
+      val compacted = s"$out/compacted"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      c.write.mode("overwrite").parquet(base)
+      // delete commit: keys %7==0 tombstoned, data files untouched
+      c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("del_key"))
+        .write.mode("overwrite").parquet(tomb)
+      def mor: DataFrame = s.read.parquet(base)
+        .join(s.read.parquet(tomb),
+          col("c_custkey") === col("del_key"), "left_anti")
+      // compaction: materialize the merge, drop the sidecar
+      mor.write.mode("overwrite").parquet(compacted)
+      def agg(df: DataFrame, st: String): DataFrame =
+        df.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double"), 4).as("total"))
+          .select(lit(st).as("state"), col("c_nationkey"), col("n"),
+            col("total"))
+      agg(s.read.parquet(base), "1_pre")
+        .unionAll(agg(mor, "2_mor"))
+        .unionAll(agg(s.read.parquet(compacted), "3_compacted"))
+        .orderBy("state", "c_nationkey")
+    }),
+
     // SHALLOW CLONE (r7) — Delta's zero-copy table fork: the clone's
     // v1 manifest IS the source's file list (no data copied — a
     // metadata write, O(manifest) at any table size); subsequent
@@ -928,6 +968,20 @@ object Lifecycle {
                   AS INTEGER) AS files_total
          FROM orders WHERE o_custkey % 4 = 1
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_merge_on_read_deletes" ->
+      """WITH v AS (SELECT '1_pre' AS state, c_nationkey, c_acctbal
+                    FROM customer
+                    UNION ALL
+                    SELECT '2_mor', c_nationkey, c_acctbal FROM customer
+                    WHERE c_custkey % 7 <> 0
+                    UNION ALL
+                    SELECT '3_compacted', c_nationkey, c_acctbal
+                    FROM customer WHERE c_custkey % 7 <> 0)
+         SELECT state, c_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total
+         FROM v GROUP BY state, c_nationkey
+         ORDER BY state, c_nationkey""",
     "stage_clone_shallow" ->
       """WITH v AS (SELECT 'source_v1' AS table_ref, c_acctbal
                     FROM customer WHERE c_custkey % 2 = 0

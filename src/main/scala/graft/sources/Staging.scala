@@ -111,6 +111,33 @@ object Staging {
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
     // fingerprint. Types survive exactly (no text re-parse).
+    // Recursive lookup + glob filtering (r7) — real landing zones are
+    // messy: nested date dirs with junk sidecars (_SUCCESS, .tmp,
+    // checksums) interleaved with data. recursiveFileLookup walks the
+    // tree ignoring partition-dir semantics; pathGlobFilter admits
+    // ONLY *.parquet — the junk never reaches a reader (wrong-format
+    // files would otherwise fail the scan, which is the trap this key
+    // exists to rule out). Fingerprint must equal the clean fixture.
+    "scan_recursive_glob" -> ((s, d) => {
+      val out = tmpDir("graft_rglob_")
+      val n = Tables.nation(s, d)
+      n.filter(col("n_nationkey") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/dt=a/h=1")
+      n.filter(col("n_nationkey") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/dt=b/h=2")
+      // junk a real landing zone accumulates
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/dt=a/h=1/garbage.tmp"), "junk")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/dt=b/manifest.json"), "{}")
+      s.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("key_sum"))
+        .orderBy("n_regionkey")
+    }),
+
     // DYNAMIC partition overwrite (r7) — the staging-engine write
     // mode that makes partitioned re-runs safe: mode("overwrite")
     // with partitionOverwriteMode=dynamic replaces ONLY the
@@ -542,6 +569,10 @@ object Staging {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_recursive_glob" ->
+      """SELECT n_regionkey, count(*) AS n,
+                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     // dynamic overwrite contract: odd years full, even years urgent-only
     "sink_overwrite_dynamic_partitions" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
