@@ -166,6 +166,51 @@ object Analytics3 {
         .orderBy("prio")
     }),
 
+    // KMV set-operation estimates (r7) — completing agg_kmv_distinct
+    // with the UNION/INTERSECTION algebra that makes KMV synopses
+    // composable: A = view users, B = click users; the union synopsis
+    // is the k smallest hashes of A ∪ B (mergeable — exactly what
+    // shards ship at 100 TB), and |A∩B| falls out of
+    // inclusion–exclusion |A|+|B|−|A∪B|. All three estimates use the
+    // same (k−1)/u_k estimator and the declared result carries the
+    // EXACT intersection beside the estimate, so estimator quality is
+    // hash-checked, not asserted.
+    "agg_kmv_intersect" -> ((s, d) => {
+      val k = 64
+      val u = "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), " +
+        "16, 10) AS DOUBLE) / 281474976710656.0"
+      val ev = Tables.events(s, d)
+      def setOf(t: String, tag: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+          .withColumn("tag", lit(tag))
+      val a = setOf("view", "a")
+      val b = setOf("click", "b")
+      val tagged = a.union(b)
+        .union(a.select("user_id").union(b.select("user_id")).distinct()
+          .withColumn("tag", lit("u")))
+        .withColumn("uh", expr(u))
+      val w = Window.partitionBy("tag").orderBy(col("uh"), col("user_id"))
+      val est = tagged.withColumn("rn", row_number().over(w))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === k, col("uh"))).as("uk"))
+        .select(col("tag"), col("n_exact"),
+          when(col("n_exact") < k, col("n_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble) / col("uk")).as("est"))
+      val wide = est.groupBy()
+        .agg(max(when(col("tag") === "a", col("est"))).as("ea"),
+          max(when(col("tag") === "b", col("est"))).as("eb"),
+          max(when(col("tag") === "u", col("est"))).as("eu"),
+          max(when(col("tag") === "a", col("n_exact"))).as("na"),
+          max(when(col("tag") === "b", col("n_exact"))).as("nb"),
+          max(when(col("tag") === "u", col("n_exact"))).as("nu"))
+      wide.select(
+        col("na"), col("nb"), col("nu"),
+        (col("na") + col("nb") - col("nu")).as("exact_intersect"),
+        (floor((col("ea") + col("eb") - col("eu")) * 10000)
+          .cast("double") / 10000.0).as("est_intersect"))
+    }),
+
     // Deterministic Bloom filter, ORACLE-CHECKED (round 6) — the
     // second md5-derived sketch beside `agg_countmin_heavy`, in the
     // incremental-dedup role `dedup_incremental_ingest` plays exactly:
@@ -532,6 +577,49 @@ object Analytics3 {
          SELECT prio, bucket, count(*) AS n,
                 min(o_totalprice) AS lo, max(o_totalprice) AS hi
          FROM b GROUP BY prio, bucket ORDER BY prio, bucket""",
+    "agg_kmv_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'view'),
+              b AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click'),
+              tagged AS (SELECT user_id, 'a' AS tag FROM a
+                         UNION ALL SELECT user_id, 'b' FROM b
+                         UNION ALL
+                         SELECT user_id, 'u' FROM
+                           (SELECT user_id FROM a UNION
+                            SELECT user_id FROM b)),
+              h AS (SELECT tag, user_id,
+                           list_aggregate(list_transform(range(1, 13),
+                             j -> (strpos('0123456789abcdef',
+                                    substr(md5(CAST(user_id AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1)
+                                  * pow(16, 12 - j)), 'sum')
+                             / 281474976710656.0 AS uh
+                    FROM tagged),
+              rk AS (SELECT tag, uh,
+                            row_number() OVER (PARTITION BY tag
+                              ORDER BY uh, user_id) AS rn
+                     FROM h),
+              est AS (SELECT tag, count(*) AS n_exact,
+                             max(CASE WHEN rn = 64 THEN uh END) AS uk
+                      FROM rk GROUP BY tag),
+              e2 AS (SELECT tag, n_exact,
+                            CASE WHEN n_exact < 64
+                                 THEN CAST(n_exact AS DOUBLE)
+                                 ELSE 63.0 / uk END AS est
+                     FROM est),
+              wide AS (SELECT
+                         max(CASE WHEN tag = 'a' THEN est END) AS ea,
+                         max(CASE WHEN tag = 'b' THEN est END) AS eb,
+                         max(CASE WHEN tag = 'u' THEN est END) AS eu,
+                         max(CASE WHEN tag = 'a' THEN n_exact END) AS na,
+                         max(CASE WHEN tag = 'b' THEN n_exact END) AS nb,
+                         max(CASE WHEN tag = 'u' THEN n_exact END) AS nu
+                       FROM e2)
+         SELECT na, nb, nu, na + nb - nu AS exact_intersect,
+                CAST(floor((ea + eb - eu) * 10000) AS DOUBLE) / 10000
+                  AS est_intersect
+         FROM wide""",
     "agg_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey
                     FROM orders),

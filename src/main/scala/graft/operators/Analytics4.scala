@@ -281,6 +281,80 @@ object Analytics4 {
         .orderBy("event_type")
     }),
 
+    // Forecast-model evaluation (r7): naive (lag-1) vs seasonal-naive
+    // (lag-7) on the daily series, scored by MAE and WAPE — the
+    // backtest every forecasting pipeline runs before promoting a
+    // model. Errors are exact-2dp doubles summed through DECIMAL, so
+    // the scores are order-independent; only days where BOTH models
+    // have a forecast are scored (fair comparison set).
+    "timeseries_forecast_eval" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+      dailyRevenue(s, d)
+        .withColumn("e1", abs(col("rev") - lag("rev", 1).over(w)))
+        .withColumn("e7", abs(col("rev") - lag("rev", 7).over(w)))
+        .filter(col("e1").isNotNull && col("e7").isNotNull)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("e1").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("mae_naive"),
+          round(sum(col("e7").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("mae_snaive"),
+          round(sum(col("e1").cast("decimal(18,2)")).cast("double")
+            / sum(col("rev").cast("decimal(18,2)")).cast("double"), 6)
+            .as("wape_naive"),
+          round(sum(col("e7").cast("decimal(18,2)")).cast("double")
+            / sum(col("rev").cast("decimal(18,2)")).cast("double"), 6)
+            .as("wape_snaive"))
+        .orderBy("pri")
+    }),
+
+    // Group-holdout split (r7) — the ML-hygiene split row-hash
+    // splitting gets WRONG for user-correlated data: the split key is
+    // a hash of the GROUP (user), so all of a user's events land in
+    // one split and train/test leakage through user identity is
+    // impossible BY CONSTRUCTION. The declared straddler count (a
+    // user seen in both splits) is the hash-checked proof of that
+    // invariant, not an assertion in a spec.
+    "sample_group_holdout" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("split",
+          when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"),
+            lit("train")).otherwise(lit("holdout")))
+      val straddle = e.select(col("user_id"), col("split")).distinct()
+        .groupBy("user_id").agg(countDistinct("split").as("ns"))
+        .agg(count(when(col("ns") > 1, 1)).as("n_straddle_users"))
+      e.groupBy("split")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("split")
+    }),
+
+    // Vocabulary coverage curve (r7): what share of the corpus token
+    // mass the top-k vocabulary covers, at k = 100 / 500 / 1000 — the
+    // curve a tokenizer budget is chosen from. One vocab aggregate,
+    // one rank window over it, three checkpoint rows; share stays in
+    // BIGINT cumsum / BIGINT total until one final division.
+    "text_ngram_coverage_curve" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val wr = Window.orderBy(col("c").desc, col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = Window.orderBy(col("c").desc, col("w"))
+      val tot = Window.partitionBy()
+      val curve = cnt
+        .withColumn("rk", row_number().over(rk))
+        .withColumn("cum", sum("c").over(wr))
+        .withColumn("total", sum("c").over(tot))
+        .filter(col("rk").isin(100, 500, 1000))
+      curve.select(col("rk").as("vocab_k"), col("cum").cast("bigint")
+          .as("tokens_covered"),
+          round(col("cum") / col("total").cast("double"), 6).as("coverage"))
+        .orderBy("vocab_k")
+    }),
+
     // IQR (Tukey-fence) outliers — the quartile-based robust
     // companion of anomaly_zscore/anomaly_mad: per group, Q1/Q3 are
     // EXACT discrete order statistics (the ⌈n/4⌉-th / ⌈3n/4⌉-th value
@@ -695,6 +769,55 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "timeseries_forecast_eval" ->
+      s"""WITH $dailySql,
+              l AS (SELECT pri, rev,
+                           abs(rev - lag(rev, 1) OVER w) AS e1,
+                           abs(rev - lag(rev, 7) OVER w) AS e7
+                    FROM daily
+                    WINDOW w AS (PARTITION BY pri ORDER BY day))
+         SELECT pri, count(*) AS n_days,
+                round(CAST(sum(CAST(e1 AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 4) AS mae_naive,
+                round(CAST(sum(CAST(e7 AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 4) AS mae_snaive,
+                round(CAST(sum(CAST(e1 AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 6)
+                  AS wape_naive,
+                round(CAST(sum(CAST(e7 AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 6)
+                  AS wape_snaive
+         FROM l WHERE e1 IS NOT NULL AND e7 IS NOT NULL
+         GROUP BY pri ORDER BY pri""",
+    "sample_group_holdout" ->
+      """WITH e AS (SELECT user_id, CASE WHEN substr(md5(CAST(user_id
+                      AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                      ELSE 'holdout' END AS split
+                    FROM events),
+              st AS (SELECT count(*) FILTER (WHERE ns > 1)
+                       AS n_straddle_users
+                     FROM (SELECT user_id, count(DISTINCT split) AS ns
+                           FROM (SELECT DISTINCT user_id, split FROM e)
+                           GROUP BY user_id))
+         SELECT split, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events, n_straddle_users
+         FROM e, st GROUP BY split, n_straddle_users ORDER BY split""",
+    "text_ngram_coverage_curve" ->
+      """WITH cnt AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY w),
+              r AS (SELECT c,
+                           row_number() OVER (ORDER BY c DESC, w) AS rk,
+                           sum(c) OVER (ORDER BY c DESC, w
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                           sum(c) OVER () AS total
+                    FROM cnt)
+         SELECT CAST(rk AS INTEGER) AS vocab_k,
+                CAST(cum AS BIGINT) AS tokens_covered,
+                round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                  AS coverage
+         FROM r WHERE rk IN (100, 500, 1000) ORDER BY vocab_k""",
     "anomaly_iqr" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_totalprice,
                            row_number() OVER
