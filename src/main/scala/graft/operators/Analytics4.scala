@@ -281,6 +281,44 @@ object Analytics4 {
         .orderBy("event_type")
     }),
 
+    // Calendar seasonality profile (r7): the (day-of-week × hour)
+    // activity matrix behind load forecasting and anomaly baselines.
+    // One groupBy over derived calendar keys; engine note: Spark's
+    // dayofweek is 1-based Sunday=1, DuckDB's is 0-based — the oracle
+    // mirrors with +1 (a classic silent cross-engine off-by-one).
+    "timeseries_calendar_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
+        .filter(col("hr") % 6 === 0)
+        .orderBy("dow", "hr")),
+
+    // Lorenz/Gini revenue concentration (r7) — the continuous
+    // inequality metric beside the Pareto cut: per-customer revenue
+    // sorted ascending, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Both Σ run
+    // in DECIMAL (i·xᵢ ≤ rank × revenue stays inside (28,2)), so G
+    // is one fixed-order double expression at the end. The rank
+    // window runs over the per-customer AGGREGATE.
+    "analytics_lorenz_gini" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      per.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_customers"),
+          sum((col("i") * col("x")).cast("decimal(28,2)")).as("sixi"),
+          sum(col("x")).as("sx"))
+        .select(col("n_customers"),
+          round(col("sx").cast("double"), 2).as("total_revenue"),
+          round(lit(2.0) * col("sixi").cast("double")
+            / (col("n_customers") * col("sx").cast("double"))
+            - (col("n_customers") + 1) / col("n_customers").cast("double"), 6)
+            .as("gini"))
+    }),
+
     // Forecast-model evaluation (r7): naive (lag-1) vs seasonal-naive
     // (lag-7) on the daily series, scored by MAE and WAPE — the
     // backtest every forecasting pipeline runs before promoting a
@@ -769,6 +807,31 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "timeseries_calendar_profile" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                CAST(hour(ts) AS INTEGER) AS hr,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total
+         FROM events WHERE hour(ts) % 6 = 0
+         GROUP BY 1, 2 ORDER BY dow, hr""",
+    "analytics_lorenz_gini" ->
+      """WITH per AS (SELECT o_custkey,
+                             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+                      FROM orders GROUP BY 1),
+              rk AS (SELECT x, row_number() OVER
+                              (ORDER BY x, o_custkey) AS i
+                     FROM per),
+              agg AS (SELECT count(*) AS n,
+                             sum(CAST(i * x AS DECIMAL(28,2))) AS sixi,
+                             sum(x) AS sx
+                      FROM rk)
+         SELECT n AS n_customers,
+                round(CAST(sx AS DOUBLE), 2) AS total_revenue,
+                round(2.0 * CAST(sixi AS DOUBLE)
+                      / (n * CAST(sx AS DOUBLE))
+                      - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+         FROM agg""",
     "timeseries_forecast_eval" ->
       s"""WITH $dailySql,
               l AS (SELECT pri, rev,
