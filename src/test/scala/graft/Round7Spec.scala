@@ -130,6 +130,59 @@ class Round7Spec extends GraftSuite {
     assert(rows.forall(_.getLong(1) > 0), "empty series")
   }
 
+  test("analytics_basket_copurchase pair join stays keyed, no cartesian") {
+    val plan = executedPlan("analytics_basket_copurchase")
+    assert(!plan.contains("CartesianProduct"),
+      s"basket pair join fell back to cartesian:\n$plan")
+  }
+
+  test("stage_merge_on_read_deletes leaves base files untouched") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("stage_merge_on_read_deletes")(spark, sf).collect()
+    // the delete commit must not have rewritten the base: reading it
+    // directly still yields every customer row
+    val base = spark.read.parquet(
+      graft.sources.Staging.scratchPath("mordel") + "/base")
+    assert(base.count() == graft.Tables.customer(spark, sf).count(),
+      "MoR delete rewrote or truncated base data files")
+  }
+
+  test("window_rolling_distinct 7-day count dominates the 1-day count") {
+    val rows = SparkEntry.queries("window_rolling_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(2) >= r.getInt(1)),
+      "rolling 7-day distinct smaller than single-day distinct")
+  }
+
+  test("agg_kmv_intersect estimate lands near the exact intersection") {
+    val r = SparkEntry.queries("agg_kmv_intersect")(spark, sf)
+      .collect().head
+    val exact = r.getLong(3); val est = r.getDouble(4)
+    assert(exact >= 0 && est >= 0)
+    if (exact > 20)
+      assert(math.abs(est - exact) / exact < 0.5,
+        s"KMV intersect estimate $est too far from exact $exact")
+  }
+
+  test("sim_mips_transform augmented cosine descends with the IP ranking") {
+    val rows = SparkEntry.queries("sim_mips_transform")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    rows.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      // ranking breaks ties on round(ip, 4), so cos_aug may wiggle
+      // within one 4-dp rounding step — monotone up to that granularity
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-4 },
+        "cos_aug not monotone in the inner-product ranking")
+    }
+  }
+
+  test("sample_group_holdout has zero straddling users") {
+    val rows = SparkEntry.queries("sample_group_holdout")(spark, sf)
+      .collect()
+    assert(rows.forall(_.getLong(3) == 0L), "user straddles both splits")
+  }
+
   test("graph_degree_distribution buckets partition all nodes") {
     val rows = SparkEntry.queries("graph_degree_distribution")(spark, sf)
       .collect()
