@@ -90,6 +90,35 @@ object Governance {
     // is exercised by GovernanceSpec, not by the declared key.
     "dq_expectations" -> ((s, d) => dqAudit(s, d).orderBy("rule")),
 
+    // Embedding-table QC (r7): vector-norm distribution per label —
+    // collapsed/exploded embeddings (norm ≈ 0 or huge) are the
+    // classic silent failure of an embedding pipeline. Norms are
+    // index-order folds (identical doubles), mean/σ from exact
+    // decimal sums, and the declared outlier count uses the same
+    // broadcast-stats two-pass shape as feature_scale_standardize.
+    "dq_embedding_norms" -> ((s, d) => {
+      val nrm = Tables.embeddings(s, d)
+        .select(col("label"),
+          sqrt(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"))
+            .as("nrm"))
+      val stats = nrm.groupBy(col("label").as("sl"))
+        .agg(sum(col("nrm").cast("decimal(18,12)")).as("s1"),
+          sum((col("nrm") * col("nrm")).cast("decimal(28,12)")).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("sl"), (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt(greatest(lit(0.0), (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1))).as("sd"))
+      nrm.join(broadcast(stats), col("label") === col("sl"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("mu")), 4).as("mean_norm"),
+          count(when(abs(col("nrm") - col("mu")) > lit(3.0) * col("sd"), 1))
+            .as("n_outliers"))
+        .orderBy("label")
+    }),
+
     // Referential-integrity audit (r7): orphan counts + parent
     // coverage for the three FK edges of the star. Each branch is one
     // LEFT ANTI join (orphans) plus one distinct-count (coverage) —
@@ -233,6 +262,30 @@ object Governance {
                       AS DOUBLE), 4) AS total
          FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "dq_embedding_norms" ->
+      """WITH nrm AS (SELECT label,
+                             sqrt(list_aggregate(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               'sum')) AS nrm
+                      FROM embeddings),
+              st AS (SELECT label AS sl,
+                            CAST(sum(CAST(nrm AS DECIMAL(18,12)))
+                              AS DOUBLE) / count(*) AS mu,
+                            sqrt(greatest(CAST(0 AS DOUBLE),
+                                 (CAST(sum(CAST(nrm * nrm
+                                     AS DECIMAL(28,12))) AS DOUBLE)
+                                  - CAST(sum(CAST(nrm AS DECIMAL(18,12)))
+                                      AS DOUBLE)
+                                    * CAST(sum(CAST(nrm AS DECIMAL(18,12)))
+                                        AS DOUBLE) / count(*))
+                                 / (count(*) - 1))) AS sd
+                     FROM nrm GROUP BY 1)
+         SELECT label, count(*) AS n,
+                round(max(mu), 4) AS mean_norm,
+                count(*) FILTER (WHERE abs(nrm - mu) > 3.0 * sd)
+                  AS n_outliers
+         FROM nrm JOIN st ON label = sl
+         GROUP BY label ORDER BY label""",
     "dq_referential_integrity" ->
       """WITH e1 AS (SELECT 'lineitem->orders' AS fk,
                             CAST(count(*) AS BIGINT) AS n_child_rows,

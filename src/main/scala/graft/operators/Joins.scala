@@ -181,6 +181,29 @@ object Joins {
           sum(col("p_us") - col("m_us")).as("sum_gap_us"))
     }),
 
+    // FORWARD as-of (r7, merge_asof direction='forward'): each
+    // purchase matched to the user's EARLIEST SUBSEQUENT click — the
+    // post-conversion follow-up question (did they come back?),
+    // mirror-image of the backward key: same join + groupBy shape
+    // with min over c_us >= p_us. Fingerprint counts matches and
+    // exact forward gaps.
+    "join_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      p.join(c, col("user_id") === col("c_user")
+          && col("c_us") >= col("p_us"), "left")
+        .groupBy("p_id", "p_us")
+        .agg(min(col("c_us")).as("m_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("m_us")).as("n_followed"),
+          coalesce(sum(col("m_us") - col("p_us")), lit(0L)).cast("bigint")
+            .as("gap_us_total"))
+    }),
+
     // As-of with TOLERANCE (r7, the pandas merge_asof `tolerance`
     // semantics): the latest prior click still matches only if it is
     // within 10 minutes — staler matches are rejected as if absent.
@@ -302,6 +325,22 @@ object Joins {
            ON a.user_id = b.user_id
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
          GROUP BY a.event_type ORDER BY a_type""",
+    "join_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+              p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, us AS c_us
+                    FROM e WHERE event_type = 'click'),
+              m AS (SELECT p_id, p_us, min(c_us) AS m_us
+                    FROM p LEFT JOIN c
+                      ON user_id = c_user AND c_us >= p_us
+                    GROUP BY p_id, p_us)
+         SELECT count(*) AS n_purchases,
+                count(m_us) AS n_followed,
+                CAST(coalesce(sum(m_us - p_us), 0) AS BIGINT)
+                  AS gap_us_total
+         FROM m""",
     // DuckDB replays the same groupBy-max + tolerance cut; ASOF JOIN
     // with a tolerance is not native there either, which is the point:
     // the rewrite IS the portable formulation

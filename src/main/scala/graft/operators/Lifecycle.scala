@@ -446,6 +446,37 @@ object Lifecycle {
       agg(1).unionAll(agg(2)).unionAll(agg(3)).orderBy("version")
     }),
 
+    // INCREMENTAL file-level read (r7) — the append-only "stream a
+    // table" primitive cheaper than full CDC: the consumer remembers
+    // the last manifest it processed and reads ONLY files(v2) −
+    // files(v1) — a metadata set-difference, zero data compared
+    // (stage_manifest_cdc row-diffs for the update/delete case; this
+    // is the fast path when commits are append-only). The declared
+    // result is the incremental aggregate, which must equal the
+    // appended batch exactly.
+    "stage_incremental_file_read" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("incread")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      val o = Tables.orders(s, d)
+      val v1 = writeFiles(o.filter(col("o_orderkey") % 3 === 0), "b0")
+      val v2 = v1 ++ writeFiles(o.filter(col("o_orderkey") % 3 === 1), "b1")
+      val increment = v2.diff(v1) // metadata-only determination
+      s.read.parquet(increment: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .withColumn("n_files_read", lit(increment.size))
+        .withColumn("n_files_total", lit(v2.size))
+        .orderBy("o_orderstatus")
+    }),
+
     // MERGE-ON-READ deletes (r7) — the deletion-vector/positional-
     // delete strategy beside the CoW path (stage_acid_delete_vacuum
     // rewrites files immediately): a delete commit APPENDS a
@@ -967,6 +998,14 @@ object Lifecycle {
                    + (SELECT count(DISTINCT o_custkey % 4) FROM orders)
                   AS INTEGER) AS files_total
          FROM orders WHERE o_custkey % 4 = 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "stage_incremental_file_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total,
+                CAST(1 AS INTEGER) AS n_files_read,
+                CAST(2 AS INTEGER) AS n_files_total
+         FROM orders WHERE o_orderkey % 3 = 1
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "stage_merge_on_read_deletes" ->
       """WITH v AS (SELECT '1_pre' AS state, c_nationkey, c_acctbal
