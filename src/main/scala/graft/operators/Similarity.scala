@@ -286,6 +286,40 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // k-NN majority-vote classifier (r7) — the lazy-learner beside
+    // the centroid classifier: each sampled test vector takes the
+    // majority label of its 5 nearest neighbors (cosine, self
+    // excluded), ties broken (count DESC, label ASC). Declared result
+    // = per-label accuracy. The brute-force leg is bounded by the
+    // broadcast TEST SAMPLE (÷23), not the corpus; at 100 TB the
+    // candidate set comes from sim_lsh_ann/sim_ivf_ann buckets and
+    // this plan is unchanged from the verify stage onward.
+    "sim_knn_classifier" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe")).filter(col("qid") % 23 === 0)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      val wk = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+      val votes = scored.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+        .groupBy(col("qid"), col("qlabel"), col("label").as("vote"))
+        .agg(count(lit(1)).as("nv"))
+      val wv = Window.partitionBy("qid")
+        .orderBy(col("nv").desc, col("vote"))
+      votes.withColumn("rv", row_number().over(wv))
+        .filter(col("rv") === 1)
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_test"),
+          count(when(col("vote") === col("qlabel"), 1)).as("n_correct"),
+          round(count(when(col("vote") === col("qlabel"), 1))
+            / count(lit(1)).cast("double"), 4).as("accuracy"))
+        .orderBy("label")
+    }),
+
     // MIPS → cosine reduction (r7, the Shrivastava asymmetric
     // transform): append sqrt(M² − ‖x‖²) to every corpus vector
     // (M = max corpus norm) and 0 to the query — augmented cosine is
@@ -618,6 +652,38 @@ object Similarity {
          SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
                 round(cos, 4) AS cos, round(cos16, 4) AS cos16
          FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "sim_knn_classifier" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+                           nrm AS qnrm
+                    FROM n WHERE vec_id % 23 = 0),
+              s AS (SELECT qid, qlabel, vec_id, label,
+                           list_aggregate(list_transform(range(1, len(qv) + 1),
+                                          i -> qv[i] * v[i]), 'sum')
+                             / (qnrm * nrm) AS cos
+                    FROM q JOIN n ON vec_id <> qid),
+              nb AS (SELECT qid, qlabel, label FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY round(cos, 4) DESC, vec_id) AS rn
+                       FROM s) WHERE rn <= 5),
+              votes AS (SELECT qid, qlabel, label AS vote,
+                               count(*) AS nv
+                        FROM nb GROUP BY 1, 2, 3),
+              win AS (SELECT qid, qlabel, vote FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY nv DESC, vote) AS rv
+                        FROM votes) WHERE rv = 1)
+         SELECT qlabel AS label, count(*) AS n_test,
+                count(*) FILTER (WHERE vote = qlabel) AS n_correct,
+                round(CAST(count(*) FILTER (WHERE vote = qlabel)
+                  AS DOUBLE) / count(*), 4) AS accuracy
+         FROM win GROUP BY qlabel ORDER BY label""",
     "sim_mips_transform" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

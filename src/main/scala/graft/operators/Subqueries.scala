@@ -24,6 +24,22 @@ object Subqueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Full SQL-TEXT star query through spark.sql over registered temp
+    // views (r7) — the sibling entry point to the DataFrame API a
+    // SQL-first user drives: 5-table star (region → nation → customer
+    // → orders → lineitem), revenue per (region, nation). The SQL
+    // string is shared VERBATIM with the oracle (table names match
+    // the fixture views) — parity by construction, and Catalyst's
+    // join reorder/pushdown applies to text exactly as to DataFrames.
+    "sql_text_star_revenue" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlTextStarRevenue)
+    }),
+
     // Orders above the global average price — scalar subquery.
     "subquery_scalar_agg" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
@@ -93,7 +109,24 @@ object Subqueries {
         .orderBy("o_orderstatus")),
   )
 
+  /** Shared VERBATIM between spark.sql and the DuckDB oracle —
+    * cross-engine parity by construction. */
+  private val sqlTextStarRevenue: String =
+    """SELECT r_name AS region, n_name AS nation,
+              count(*) AS n_items,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+       FROM region
+       JOIN nation ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY r_name, n_name
+       ORDER BY region, nation"""
+
   val oracles: Map[String, String] = Map(
+    "sql_text_star_revenue" -> sqlTextStarRevenue,
     "subquery_lateral" ->
       """SELECT o.o_orderkey, o.o_orderstatus, l.max_price, l.n_lines
          FROM orders o,
