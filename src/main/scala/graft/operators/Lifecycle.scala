@@ -446,6 +446,49 @@ object Lifecycle {
       agg(1).unionAll(agg(2)).unionAll(agg(3)).orderBy("version")
     }),
 
+    // ORPHAN-FILE GC (r7) — the crash-debris cleanup completing the
+    // vacuum story: stage_acid_delete_vacuum reclaims files old
+    // VERSIONS reference; this reclaims files NO manifest references
+    // (failed writes, aborted tasks). GC plan = directory listing
+    // minus the union of all live manifests — pure metadata; the
+    // declared result proves every referenced row survives the sweep
+    // and counts the orphans removed. At 100 TB this runs from the
+    // manifest store without touching a single data byte.
+    "stage_orphan_file_gc" -> ((s, d) => {
+      val out = graft.sources.Staging.tmpDir("orphangc")
+      def writeFiles(df: DataFrame, sub: String): Seq[String] = {
+        val dir = s"$out/data/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+      }
+      val o = Tables.orders(s, d)
+      val live = writeFiles(o.filter(col("o_orderkey") % 2 === 0), "live")
+      // crash debris: files written but never committed to a manifest
+      val orphan1 = writeFiles(o.filter(col("o_orderkey") % 2 === 1), "tmp1")
+      val orphan2 = writeFiles(o.limit(0), "tmp2")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/manifest_v1.txt"),
+        live.mkString("\n"))
+      val manifest = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$out/manifest_v1.txt"))
+        .split("\n").toSet
+      val onDisk = new java.io.File(s"$out/data").listFiles()
+        .flatMap(d2 => Option(d2.listFiles()).getOrElse(Array()))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val orphans = onDisk.filterNot(manifest)
+      orphans.foreach(p => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(p)))
+      s.read.parquet(manifest.toSeq: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .withColumn("n_orphans_removed", lit(orphans.length))
+        .orderBy("o_orderstatus")
+    }),
+
     // INCREMENTAL file-level read (r7) — the append-only "stream a
     // table" primitive cheaper than full CDC: the consumer remembers
     // the last manifest it processed and reads ONLY files(v2) −
@@ -998,6 +1041,15 @@ object Lifecycle {
                    + (SELECT count(DISTINCT o_custkey % 4) FROM orders)
                   AS INTEGER) AS files_total
          FROM orders WHERE o_custkey % 4 = 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // referenced rows survive; the two uncommitted files (one with
+    // data, one empty) are the removed orphans
+    "stage_orphan_file_gc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total,
+                CAST(2 AS INTEGER) AS n_orphans_removed
+         FROM orders WHERE o_orderkey % 2 = 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "stage_incremental_file_read" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -111,6 +111,34 @@ object Staging {
     // pushdown + column pruning work the same as parquet): stage the
     // supplier dim as ORC through the engine's own sink, read back,
     // fingerprint. Types survive exactly (no text re-parse).
+    // Compression-codec round-trip (r7): the same batch staged as
+    // snappy (the splittable default), zstd (the cold-storage
+    // choice), and uncompressed — identical fingerprints across all
+    // three prove codec choice is purely a storage knob, never a
+    // semantics knob. Sizes are NOT declared (encoder-version
+    // dependent); LifecycleSpec-style ordering (zstd < snappy <
+    // none) is a spec concern, not an oracle one. At 100 TB codec
+    // choice trades CPU against scan bytes per tier — this key is
+    // the correctness floor under that tuning.
+    "sink_compression_codecs" -> ((s, d) => {
+      val out = tmpDir("graft_codec_")
+      val src = Tables.events(s, d)
+      val codecs = Seq("snappy", "zstd", "none")
+      codecs.foreach(c =>
+        src.write.mode("overwrite").option("compression", c)
+          .parquet(s"$out/$c"))
+      codecs.map(c =>
+        s.read.parquet(s"$out/$c")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 4)
+              .as("total"))
+          .select(lit(c).as("codec"), col("event_type"), col("n"),
+            col("total")))
+        .reduce(_ unionAll _)
+        .orderBy("codec", "event_type")
+    }),
+
     // Recursive lookup + glob filtering (r7) — real landing zones are
     // messy: nested date dirs with junk sidecars (_SUCCESS, .tmp,
     // checksums) interleaved with data. recursiveFileLookup walks the
@@ -569,6 +597,14 @@ object Staging {
                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_compression_codecs" ->
+      """WITH base AS (SELECT event_type, count(*) AS n,
+                              round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                AS DOUBLE), 4) AS total
+                       FROM events GROUP BY event_type)
+         SELECT codec, event_type, n, total
+         FROM base, (VALUES ('snappy'), ('zstd'), ('none')) c(codec)
+         ORDER BY codec, event_type""",
     "scan_recursive_glob" ->
       """SELECT n_regionkey, count(*) AS n,
                 CAST(sum(n_nationkey) AS BIGINT) AS key_sum
