@@ -281,6 +281,41 @@ object Analytics4 {
         .orderBy("event_type")
     }),
 
+    // Binary-segmentation CHANGEPOINT detection (r7): the single
+    // split k of each daily series maximizing the between-segment
+    // sum-of-squares  BSS(k) = (S₁(k) − k·S/n)² · n / (k·(n−k)).
+    // Everything derives from ONE prefix-sum window over the
+    // day-grain aggregate (the cusum machinery reused as a scan
+    // statistic); the argmax is a deterministic (BSS DESC, day ASC)
+    // rank on decimal-exact prefix sums — no iterative fitting, no
+    // driver loop, linear in days.
+    "timeseries_changepoint" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("pri")
+      val pre = dailyRevenue(s, d)
+        .withColumn("k", count(lit(1)).over(
+          Window.partitionBy("pri").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s1", sum(col("rev").cast("decimal(18,2)")).over(w)
+          .cast("double"))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("s", sum(col("rev").cast("decimal(18,2)")).over(tot)
+          .cast("double"))
+        .filter(col("k") < col("n")) // a split needs both sides non-empty
+        .withColumn("dev", col("s1") - col("k") * col("s") / col("n"))
+        .withColumn("bss", col("dev") * col("dev") * col("n")
+          / (col("k") * (col("n") - col("k"))))
+      val rk = Window.partitionBy("pri")
+        .orderBy(round(col("bss"), 6).desc, col("day"))
+      pre.withColumn("r", row_number().over(rk))
+        .filter(col("r") === 1)
+        .select(col("pri"), col("day").cast("string").as("change_day"),
+          col("k").as("split_at"), col("n").as("n_days"),
+          round(col("bss"), 2).as("bss"))
+        .orderBy("pri")
+    }),
+
     // Calendar seasonality profile (r7): the (day-of-week × hour)
     // activity matrix behind load forecasting and anomaly baselines.
     // One groupBy over derived calendar keys; engine note: Spark's
@@ -807,6 +842,32 @@ object Analytics4 {
                 CAST(max(total) AS BIGINT) AS n_events
          FROM rk WHERE cum * 5 >= total * 4
          GROUP BY event_type ORDER BY event_type""",
+    "timeseries_changepoint" ->
+      s"""WITH $dailySql,
+              pre AS (SELECT pri, day,
+                             count(*) OVER w AS k,
+                             CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER w
+                               AS DOUBLE) AS s1,
+                             count(*) OVER t AS n,
+                             CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER t
+                               AS DOUBLE) AS s
+                      FROM daily
+                      WINDOW w AS (PARTITION BY pri ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING),
+                             t AS (PARTITION BY pri)),
+              b AS (SELECT pri, day, k, n,
+                           (s1 - k * s / n) * (s1 - k * s / n) * n
+                             / (k * (n - k)) AS bss
+                    FROM pre WHERE k < n),
+              rk AS (SELECT pri, day, k, n, bss,
+                            row_number() OVER (PARTITION BY pri
+                              ORDER BY round(bss, 6) DESC, day) AS r
+                     FROM b)
+         SELECT pri, CAST(day AS VARCHAR) AS change_day,
+                CAST(k AS BIGINT) AS split_at,
+                CAST(n AS BIGINT) AS n_days,
+                round(bss, 2) AS bss
+         FROM rk WHERE r = 1 ORDER BY pri""",
     "timeseries_calendar_profile" ->
       """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
                 CAST(hour(ts) AS INTEGER) AS hr,
