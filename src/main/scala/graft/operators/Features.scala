@@ -91,6 +91,41 @@ object Features {
             / (col("n") + 50), 4).as("smoothed"))
         .orderBy("seg")
     }),
+
+    // End-to-end feature-prep funnel (r7): join label + categoricals
+    // → two-pass scaling → one-hot → smoothed target encode → group
+    // holdout split, landing the training-table fingerprint per
+    // (split, segment). One pass over orders, one broadcast stats
+    // row, one broadcast encoder table — the complete tabular-prep
+    // DAG as a single declared plan (integration, not a new
+    // primitive: each stage is its own oracled key above).
+    "pipeline_feature_e2e" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+      val stats = j.groupBy(col("c_mktsegment").as("seg"))
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("ts1"),
+          count(lit(1)).as("tn"))
+        .select(col("seg"), col("lo"), col("hi"),
+          (col("ts1").cast("double") / col("tn")).as("enc_raw"))
+      j.join(broadcast(stats), col("c_mktsegment") === col("seg"))
+        .withColumn("price_minmax",
+          (col("o_totalprice") - col("lo")) / (col("hi") - col("lo")))
+        .withColumn("is_building",
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L))
+        .withColumn("split",
+          when(substring(md5(col("o_custkey").cast("string")), 1, 1) < "c",
+            lit("train")).otherwise(lit("holdout")))
+        .groupBy("split", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price_minmax").cast("decimal(18,12)"))
+            .cast("double"), 4).as("minmax_sum"),
+          sum(col("is_building")).cast("bigint").as("onehot_sum"),
+          round(max(col("enc_raw")), 4).as("target_enc"))
+        .orderBy("split", "c_mktsegment")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +154,31 @@ object Features {
                 CAST(c_mktsegment = 'HOUSEHOLD'  AS BIGINT) AS seg_household,
                 CAST(c_mktsegment = 'MACHINERY'  AS BIGINT) AS seg_machinery
          FROM customer WHERE c_custkey % 199 = 0 ORDER BY c_custkey""",
+    "pipeline_feature_e2e" ->
+      """WITH j AS (SELECT o_custkey, o_totalprice, c_mktsegment
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+              st AS (SELECT c_mktsegment AS seg,
+                            min(o_totalprice) AS lo,
+                            max(o_totalprice) AS hi,
+                            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / count(*) AS enc_raw
+                     FROM j GROUP BY 1),
+              f AS (SELECT c_mktsegment,
+                           (o_totalprice - lo) / (hi - lo) AS price_minmax,
+                           CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN 1 ELSE 0 END AS is_building,
+                           CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)),
+                                  1, 1) < 'c'
+                                THEN 'train' ELSE 'holdout' END AS split,
+                           enc_raw
+                    FROM j JOIN st ON c_mktsegment = seg)
+         SELECT split, c_mktsegment, count(*) AS n,
+                round(CAST(sum(CAST(price_minmax AS DECIMAL(18,12)))
+                  AS DOUBLE), 4) AS minmax_sum,
+                CAST(sum(is_building) AS BIGINT) AS onehot_sum,
+                round(max(enc_raw), 4) AS target_enc
+         FROM f GROUP BY split, c_mktsegment
+         ORDER BY split, c_mktsegment""",
     "feature_target_encode" ->
       """WITH j AS (SELECT c_mktsegment, o_totalprice
                     FROM orders JOIN customer ON o_custkey = c_custkey),
