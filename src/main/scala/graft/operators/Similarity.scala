@@ -371,21 +371,42 @@ object Similarity {
     // udaf_typed (mergeable centroid partials) + sim_ivf_ann
     // (broadcast argmin fold) demonstrate exactly that machinery.
     "sim_centroid_classifier" -> ((s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(expr(dbl("embedding"))).as(Seq("i", "x")))
-      val cent = dims.groupBy(col("label").as("cl"), col("i").as("ci"))
-        .agg((sum(col("x").cast("decimal(18,12)")).cast("double")
-          / count(lit(1))).as("c"))
-      val test = dims.filter(col("vec_id") % 3 === 0)
-      val dist = test.join(cent, col("i") === col("ci"))
-        .groupBy(col("vec_id"), col("label"), col("cl"))
-        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
-          .cast("decimal(28,16)")).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
-      dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("label"), col("cl").as("pred_label"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), expr(dbl("embedding")).as("v"))
+      // fit: per-label per-dim means from exact decimal sums — a
+      // bounded (labels × dims) aggregate collected once (the IVF
+      // precedent: k×dim, never data-proportional)
+      // ≤ labels×dims groups — 4 partitions bound the fit shuffle
+      // regardless of corpus size (the sim_ivf_ann lesson: 32
+      // near-empty tasks cost more than the data)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val centRows =
+        try emb
+          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg((sum(col("x").cast("decimal(18,12)")).cast("double")
+            / count(lit(1))).as("c"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+          .toMap
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val labels = centRows.keys.map(_._1).toSeq.distinct.sorted
+      val centArr = array(labels.map(l =>
+        array((0 until 64).map(i => lit(centRows((l, i)))): _*)): _*)
+      val labArr = array(labels.map(lit(_)): _*)
+      // apply: zero-shuffle argmin fold against the centroid LITERAL
+      // (r7 rewrite of the ×|labels| dims-join shuffle — same
+      // index-order double fold the oracle replays; (d2, label)
+      // struct sort is the tie-break)
+      emb.filter(col("vec_id") % 3 === 0)
+        .withColumn("cents", centArr)
+        .withColumn("labs", labArr)
+        .withColumn("best", element_at(array_sort(expr(
+          s"""transform(sequence(0, ${labels.size - 1}), idx -> named_struct(
+                'd2', aggregate(zip_with(v, cents[idx],
+                        (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t),
+                'lab', labs[idx]))""")), 1))
+        .groupBy(col("label"), col("best.lab").as("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
     }),
@@ -714,16 +735,22 @@ object Similarity {
                               unnest(list_transform(embedding,
                                      x -> CAST(x AS DOUBLE))) AS x
                        FROM embeddings),
-              cent AS (SELECT label AS cl, i AS ci,
-                              CAST(sum(CAST(x AS DECIMAL(18,12)))
-                                AS DOUBLE) / count(*) AS c
-                       FROM dims GROUP BY 1, 2),
+              cent AS (SELECT label AS cl,
+                              list(CAST(sc AS DOUBLE) / cn ORDER BY i) AS cv
+                       FROM (SELECT label, i,
+                                    sum(CAST(x AS DECIMAL(18,12))) AS sc,
+                                    count(*) AS cn
+                             FROM dims GROUP BY label, i)
+                       GROUP BY label),
+              e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE))
+                             AS v
+                    FROM embeddings WHERE vec_id % 3 = 0),
               dist AS (SELECT vec_id, label, cl,
-                              sum(CAST((x - c) * (x - c)
-                                AS DECIMAL(28,16))) AS d2
-                       FROM dims JOIN cent ON i = ci
-                       WHERE vec_id % 3 = 0
-                       GROUP BY 1, 2, 3),
+                              list_aggregate(list_transform(range(1, 65),
+                                i -> (v[i] - cv[i]) * (v[i] - cv[i])),
+                                'sum') AS d2
+                       FROM e, cent),
               rk AS (SELECT vec_id, label, cl,
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY d2, cl) AS rn
