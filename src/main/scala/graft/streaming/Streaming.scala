@@ -284,6 +284,53 @@ object Streaming {
     // where every arriving object is its own micro-batch). The
     // fingerprint is batch-boundary-invariant, so the oracle is the
     // plain batch SQL; StreamingSpec asserts >1 batch actually ran.
+    // Streaming QUALITY GATE (r7) — the curation funnel in motion:
+    // documents arrive in micro-batches and each batch splits into
+    // accept/quarantine dirs on PER-ROW metrics (token count ≥ 30,
+    // type-token ratio ≥ 0.5). The metrics are deliberately row-local
+    // — corpus-global signals (tf-idf, top-k stopwords) would make
+    // the verdict depend on batch boundaries, which is exactly the
+    // trap this key documents: a streaming gate must be
+    // batch-boundary-invariant for its batch oracle to exist at all.
+    // The declared result re-reads both dirs: the split is
+    // hash-checked against the whole-corpus batch computation.
+    "stream_quality_gate" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("qgate_src")
+      val accept = graft.sources.Staging.tmpDir("qgate_accept")
+      val quar = graft.sources.Staging.tmpDir("qgate_quar")
+      Tables.documents(s, d).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      withStreamShuffle(s) {
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val scored = batch.withColumn("toks", split(col("text"), " "))
+              .withColumn("n_tok", size(col("toks")))
+              .withColumn("ttr", size(array_distinct(col("toks")))
+                / col("n_tok").cast("double"))
+              .withColumn("pass",
+                col("n_tok") >= 30 && col("ttr") >= 0.5)
+              .drop("toks")
+            scored.filter(col("pass")).drop("pass", "n_tok", "ttr")
+              .write.mode("append").parquet(accept)
+            scored.filter(!col("pass")).drop("pass", "n_tok", "ttr")
+              .write.mode("append").parquet(quar)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def side(dir: String, v: String): DataFrame =
+        s.read.parquet(dir).groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("bigint").as("chars"))
+          .select(lit(v).as("verdict"), col("lang"), col("n"), col("chars"))
+      side(accept, "accept").unionAll(side(quar, "quarantine"))
+        .orderBy("verdict", "lang")
+    }),
+
     // CDC APPLY (r7) — the streaming upsert-merge pattern: each
     // micro-batch is a changelog chunk; foreachBatch folds it into a
     // keyed snapshot via full-outer merge of ASSOCIATIVE partials
@@ -651,6 +698,20 @@ object Streaming {
          WHERE vts IS NOT NULL
             OR pts <= mx - INTERVAL 2 HOUR - INTERVAL 1 SECOND
          GROUP BY pu % 8 ORDER BY bucket""",
+    // batch-boundary invariance: the streamed split must equal the
+    // whole-corpus computation of the same per-row gate
+    "stream_quality_gate" ->
+      """WITH g AS (SELECT lang, n_chars,
+                           CASE WHEN len(string_split(text, ' ')) >= 30
+                                 AND CAST(len(list_distinct(
+                                       string_split(text, ' '))) AS DOUBLE)
+                                     / len(string_split(text, ' ')) >= 0.5
+                                THEN 'accept' ELSE 'quarantine' END
+                             AS verdict
+                    FROM documents)
+         SELECT verdict, lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM g GROUP BY verdict, lang ORDER BY verdict, lang""",
     // incremental-view-maintenance correctness: the folded snapshot
     // must equal the one-shot batch aggregate regardless of chunking
     "stream_upsert_apply" ->
