@@ -66,9 +66,17 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
+    // A failed key must be LOUD: r7's fixture-schema flip (events.ts
+    // INT64-nanos → timestamp[us]) errored 65 keys instantly and the
+    // old silent `catch => -1L` recorded them as ~0.06 s "speedups".
+    // Errors are now collected and emitted in the JSON line.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding via Double.toString (locale-independent '.')
@@ -79,7 +87,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"value":${r3(total)}}"""
+    // "n_errors"/"error_keys" ride near the END so they survive the
+    // driver's tail-only capture alongside "value".
+    val errJson = "\"n_errors\":" + errors.size + ",\"error_keys\":[" +
+      errors.take(20).map("\"" + _ + "\"").mkString(",") + "]"
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},$errJson,"value":${r3(total)}}"""
     println(line)
     // the driver keeps only the TAIL of stdout and has twice recorded
     // "parsed": null after truncation ate the line (r3, r4) — persist

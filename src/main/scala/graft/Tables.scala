@@ -34,25 +34,50 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS,false).
-    * Spark 4.1 throws [PARQUET_TYPE_ILLEGAL] on it unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces the
-    * column as LongType nanoseconds-since-epoch. We convert to a
-    * microsecond TimestampType with *integer* division (`div`) so the
-    * truncation is exact — a double-precision divide would lose
-    * low-order bits at 1.7e18 ns. DuckDB reading the same file also
-    * truncates ns → µs, so both engines hold identical values.
+  /** The `events.parquet` fixture has shipped `ts` in TWO physical
+    * encodings across driver testdata generations:
+    *
+    *   - INT64 TIMESTAMP(NANOS,false): Spark 4.1 throws
+    *     [PARQUET_TYPE_ILLEGAL] unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces
+    *     the column as LongType ns-since-epoch. Integer division
+    *     (`div`) truncates ns → µs exactly (a double divide would lose
+    *     low-order bits at 1.7e18 ns); DuckDB truncates identically.
+    *   - plain `timestamp[us]` (the 2026-08-13 regeneration): Spark
+    *     reads TIMESTAMP_NTZ. With the session timezone pinned to UTC
+    *     (Verify/Bench/tests all do), casting NTZ → TimestampType is
+    *     wall-clock-preserving and lands on the same µs instants
+    *     DuckDB sees, so oracles are unaffected.
+    *
+    * Normalizing here — on the ONE choke-point loader — is what kept
+    * the blast radius of the schema flip to a single file. Downstream
+    * operators always see `ts: TimestampType` (µs, UTC).
     */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(load(spark, sfDir, "events"))
   }
 
-  /** Raw events with ts left as Long nanoseconds (for ops that want
-    * the exact value, e.g. fingerprinting). */
+  /** Raw events with ts as Long nanoseconds-since-epoch (for ops that
+    * want the exact integer value, e.g. fingerprinting). Under the
+    * µs-physical schema the ns value is reconstructed as µs × 1000. */
   def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 }

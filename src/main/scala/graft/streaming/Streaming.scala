@@ -34,8 +34,10 @@ object Streaming {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** Streaming read of the events fixture (ns-timestamp handled as in
-    * Tables.events: LongType ns → integer-division µs → timestamp). */
+  /** Streaming read of the events fixture. The physical `ts` encoding
+    * has varied across fixture generations (INT64-nanos vs
+    * timestamp[us]); Tables.normalizeEventsTs is the single place that
+    * maps either onto `ts: TimestampType`. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
@@ -43,8 +45,8 @@ object Streaming {
     // FileStreamSource requires a directory or glob, not a bare file
     // path — `events.*` matches exactly the fixture file and makes the
     // sf dir the inferred basePath.
-    s.readStream.schema(schema).parquet(s"$d/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(s"$d/events.*"))
   }
 
   /** Run a stream with few shuffle partitions. Streaming state is

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 pins.
+  *
+  * Fixture-schema tripwire: the driver regenerated /root/testdata on
+  * 2026-08-13 and `events.ts` flipped physical encoding from INT64
+  * TIMESTAMP(NANOS) to plain timestamp[us] — which errored 65 of 258
+  * keys in the r7 correctness gate (every consumer of `ts div 1000`)
+  * while the old Bench error-swallowing recorded them as ~0.06 s
+  * "speedups". These tests make any future fixture drift fail the
+  * suite with an explicit message instead of failing 65 keys at
+  * judging time.
+  */
+class Round8Spec extends GraftSuite {
+
+  test("events.ts raw encoding is one of the two known generations") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    assert(raw == LongType || raw == TimestampNTZType || raw == TimestampType,
+      s"events.ts has a NEW physical encoding $raw — extend " +
+        "Tables.normalizeEventsTs (and re-check every oracle) before " +
+        "the next driver round")
+  }
+
+  test("Tables.events normalizes ts to TimestampType under either encoding") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // and the values are sane instants (the fixture generation epoch),
+    // not 1970-adjacent garbage from a bad unit conversion
+    val yr = ev.agg(min(year(col("ts"))), max(year(col("ts"))))
+      .collect()(0)
+    assert(yr.getInt(0) >= 2020 && yr.getInt(1) <= 2030,
+      s"events.ts year range ${yr.mkString("-")} looks mis-scaled")
+  }
+
+  test("eventsRawNanos yields Long nanos consistent with Tables.events") {
+    val micro = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val nano = Tables.eventsRawNanos(spark, sf)
+      .agg(min(col("ts"))).collect()(0).getLong(0)
+    assert(nano / 1000L == micro,
+      s"raw-nanos min $nano does not reduce to micros min $micro")
+  }
+
+  test("all fixture tables keep their expected column names") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expected.foreach { case (t, cols) =>
+      val got = spark.read.parquet(s"$sf/$t.parquet").columns.toSeq
+      assert(got == cols, s"fixture $t columns drifted: $got")
+    }
+  }
+}
