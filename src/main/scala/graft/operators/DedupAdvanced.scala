@@ -86,14 +86,19 @@ object DedupAdvanced {
     * the band join. The previous crossJoin(seeds) shape multiplied
     * the shingle shuffle 8× — at 100 TB that is 8 corpus-sized
     * shuffles vs one. Hash strings are "i:shingle" (r5 plan fix). */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  /** Wide (doc_id, h0..h7) signature frame — shared by the banded
+    * join (long form below) and the band-geometry eval key. */
+  private def minhashWide(s: SparkSession, d: String): DataFrame = {
     val minCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"h$i"))
     shingles(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashWide(s, d)
       .selectExpr("doc_id",
         "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
           ") AS (i, h)")
-  }
 
   /** Distinct band-collision candidate pairs (da < db) from a
     * signature frame — never all-pairs. */
@@ -316,6 +321,72 @@ object DedupAdvanced {
         .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(10)
+    }),
+
+    // Band-geometry tuning harness — the dedup twin of
+    // sim_ann_recall_eval: for three (bands × rows-per-band) splits of
+    // the same 8 MinHash values, measure candidate volume and recall
+    // against exact-Jaccard ≥ 0.5 truth. This is how b×r gets chosen
+    // before a 100 TB run: more bands → higher recall AND more
+    // candidate pairs to verify (the S-curve moves left). Truth comes
+    // from the shingle inverted index (an equi-join — any pair with
+    // J ≥ 0.5 shares shingles by definition, so the index is
+    // recall-complete and never all-pairs); at sf0.01 the %5 sample
+    // has no J ≥ 0.5 pair (max 0.037) so recall is NULL there, while
+    // sf0.1's 10 planted near-dups split the geometries (8×1 and 4×2
+    // catch 10/10, 2×4 catches 10/10 at far lower candidate volume).
+    // The harness itself runs on a bounded sample by design — tune on
+    // a sample, serve with the banded join.
+    "dedup_lsh_band_eval" -> ((s, d) => {
+      // wide and truth feed 3 geometry branches + the truth count of
+      // ONE declared plan; localCheckpoint (the CC-loop precedent)
+      // materializes each tiny frame once (docs/5 rows × 8 hashes;
+      // truth is the near-dup pair list) instead of re-running the
+      // minhash agg / shingle self-join per branch — cache() is out
+      // because the plan is returned lazily and the pairing
+      // convention (cache ⇒ unpersist before return) can't hold.
+      val wide = minhashWide(s, d)
+      val shing = shingles(s, d)
+      val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = shing.toDF("sda", "sha")
+        .join(shing.toDF("sdb", "shb"),
+          col("sha") === col("shb") && col("sda") < col("sdb"))
+        .groupBy(col("sda").as("da"), col("sdb").as("db"))
+        .agg(count(lit(1)).as("ni"))
+      val truth = shared
+        .join(sizes.toDF("xd", "xn"), col("xd") === col("da"))
+        .join(sizes.toDF("yd", "yn"), col("yd") === col("db"))
+        .filter(col("ni").cast("double") /
+          (col("xn") + col("yn") - col("ni")) >= 0.5)
+        .select("da", "db")
+      val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+      val geos = Seq((8, 1), (4, 2), (2, 4))
+      // one declared plan: per-geometry 1-row aggregates crossJoined
+      // (the broadcast-1-row pattern), unioned, never collected
+      val perGeo = geos.map { case (bands, rpb) =>
+        val bandCols = (0 until bands).map(b =>
+          md5(concat_ws("|",
+            (0 until rpb).map(r => col(s"h${b * rpb + r}")): _*)))
+        val banded = wide.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+        val cand = banded.toDF("da", "ba", "ha")
+          .join(banded.toDF("db", "bb", "hb"),
+            col("ba") === col("bb") && col("ha") === col("hb") &&
+              col("da") < col("db"))
+          .select("da", "db").distinct()
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = cand.join(truth, Seq("da", "db"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(nh).select(lit(bands).as("bands"),
+          lit(rpb).as("rows_per_band"), col("n_cand"), col("n_hit"))
+      }
+      perGeo.reduce(_ unionAll _).crossJoin(truthCnt)
+        .withColumn("recall4", when(col("n_truth") === 0, lit(null))
+          .otherwise(floor(col("n_hit").cast("double") /
+            col("n_truth") * 1e4) / 1e4))
+        .select("bands", "rows_per_band", "n_cand", "n_truth",
+          "n_hit", "recall4")
+        .orderBy(col("bands").desc)
     }),
   )
 
@@ -541,5 +612,63 @@ object DedupAdvanced {
          FROM cand JOIN n x ON x.vec_id = cand.a
                    JOIN n y ON y.vec_id = cand.b
          ORDER BY cos DESC, a, b LIMIT 10""",
+    "dedup_lsh_band_eval" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 5 = 0),
+              shing AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            AS sh
+                        FROM tok WHERE len(t) >= 3),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              mh AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                     FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+              wide AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                       FROM mh GROUP BY doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n
+                        FROM shing GROUP BY doc_id),
+              inter AS (SELECT sa.doc_id AS da, sb.doc_id AS db,
+                               count(*) AS ni
+                        FROM shing sa JOIN shing sb
+                          ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+                        GROUP BY sa.doc_id, sb.doc_id),
+              truth AS (SELECT i.da, i.db FROM inter i
+                        JOIN sizes x ON x.doc_id = i.da
+                        JOIN sizes y ON y.doc_id = i.db
+                        WHERE CAST(i.ni AS DOUBLE)
+                                / (x.n + y.n - i.ni) >= 0.5),
+              nt AS (SELECT count(*) AS n_truth FROM truth),
+              geo AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4))
+                        g(bands, rpb)),
+              bandh AS (SELECT w.doc_id, g.bands, g.rpb, bb.b,
+                               md5(array_to_string(
+                                 w.hs[bb.b*g.rpb + 1 : bb.b*g.rpb + g.rpb],
+                                 '|')) AS bh
+                        FROM wide w, geo g,
+                          LATERAL (SELECT unnest(range(0, g.bands)) AS b) bb),
+              cand AS (SELECT DISTINCT x.bands, x.rpb,
+                              x.doc_id AS da, y.doc_id AS db
+                       FROM bandh x JOIN bandh y
+                         ON x.bands = y.bands AND x.rpb = y.rpb
+                           AND x.b = y.b AND x.bh = y.bh
+                           AND x.doc_id < y.doc_id),
+              counts AS (SELECT c.bands, c.rpb, count(*) AS n_cand,
+                                count(*) FILTER (WHERE t.da IS NOT NULL)
+                                  AS n_hit
+                         FROM cand c LEFT JOIN truth t
+                           ON t.da = c.da AND t.db = c.db
+                         GROUP BY c.bands, c.rpb)
+         SELECT g.bands, g.rpb AS rows_per_band,
+                coalesce(c.n_cand, 0) AS n_cand,
+                nt.n_truth,
+                coalesce(c.n_hit, 0) AS n_hit,
+                CASE WHEN nt.n_truth = 0 THEN NULL
+                     ELSE CAST(floor(CAST(coalesce(c.n_hit, 0) AS DOUBLE)
+                            / nt.n_truth * 10000) AS DOUBLE) / 10000
+                END AS recall4
+         FROM geo g CROSS JOIN nt
+         LEFT JOIN counts c ON c.bands = g.bands AND c.rpb = g.rpb
+         ORDER BY g.bands DESC""",
   )
 }

@@ -45,6 +45,49 @@ class Round8Spec extends GraftSuite {
       s"raw-nanos min $nano does not reduce to micros min $micro")
   }
 
+  test("dedup_semantic_cluster: per-cell audit is conserved and bounded") {
+    val out = SparkEntry.queries("dedup_semantic_cluster")(spark, sf).collect()
+    assert(out.length == 16, "one row per centroid cell")
+    out.foreach { r =>
+      val (m, d, k) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(m == d + k, s"cell ${r.getInt(0)}: members $m != dropped $d + kept $k")
+      assert(d >= 0 && k >= 1, "a cell always keeps its smallest-id member")
+    }
+    val total = out.map(_.getLong(1)).sum
+    val emb = Tables.embeddings(spark, sf).count()
+    assert(total == emb, s"cells partition the corpus ($total vs $emb)")
+  }
+
+  test("sim_pq_ann: 3 neighbors per probe, ADC distances ranked ascending") {
+    val out = SparkEntry.queries("sim_pq_ann")(spark, sf).collect()
+    assert(out.length == 15, "5 probes x top-3")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      val dists = byRank.map(_.getDouble(3)).toSeq
+      assert(dists == dists.sorted, s"ADC not ascending: $dists")
+      assert(dists.forall(_ >= 0.0))
+    }
+    // a probe never retrieves itself
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("dedup_lsh_band_eval: candidate volume is monotone in band count") {
+    val out = SparkEntry.queries("dedup_lsh_band_eval")(spark, sf)
+      .orderBy(col("bands").desc).collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((8, 1), (4, 2), (2, 4)))
+    val cands = out.map(_.getLong(2)).toSeq
+    // more bands with shorter rows => strictly more (or equal)
+    // collision opportunities — the S-curve the harness exists to show
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"candidate counts not monotone: $cands")
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "hits cannot exceed candidates")
+      assert(r.getLong(4) <= r.getLong(3), "hits cannot exceed truth")
+    }
+  }
+
   test("all fixture tables keep their expected column names") {
     val expected = Map(
       "region" -> Seq("r_regionkey", "r_name"),
