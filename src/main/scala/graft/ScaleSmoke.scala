@@ -177,9 +177,65 @@ object ScaleSmoke {
       },
     )
 
-    val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++ shapes3("x1", 1)
+    // round-8 shapes: the SemDeDup within-cell pair stage and the PQ
+    // ADC scoring join. Cells get replica-disjoint id spaces — the
+    // production posture where k scales with the corpus to hold cell
+    // population at a fixed budget; a DENSIFYING 16× (same 16 cells,
+    // 16× members) would be ×256 pairs, and the documented knob is
+    // more cells, exactly like the spatial grid note above.
+    def shapes4(tag: String, emb: => org.apache.spark.sql.DataFrame) = Seq(
+      time(s"$tag/semantic_cell_pairs") {
+        val cents = emb1.orderBy("vec_id").limit(16)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .collect().map(_.getSeq[Double](0)).toSeq
+        val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+        val assigned = emb
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("cents", centArr)
+          .withColumn("cid", element_at(array_sort(expr(
+            """transform(sequence(0, 15), i -> named_struct(
+                 'dist', aggregate(zip_with(v, cents[i],
+                           (x, y) -> (x - y) * (x - y)),
+                         0D, (acc, t) -> acc + t),
+                 'cid', i))""")), 1).getField("cid")
+            + expr("CAST(vec_id div 1000000 AS INT) * 16"))
+          .select("vec_id", "v", "cid")
+        assigned.as("x").join(assigned.as("y"),
+            col("x.cid") === col("y.cid") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(expr(
+            "aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (acc, t) -> acc + t)")
+            .as("dot"))
+          .agg(count(lit(1)), sum("dot")).count()
+      },
+      // ADC: |corpus|·M code rows joined to a broadcast |Q|·M·k
+      // distance table, grouped to (qid, vec_id), top-10 window —
+      // the scan/shuffle cost tracks the CODES (4 small ints/vector),
+      // never the raw vectors; md5-bucket codes stand in for the
+      // fitted codebook (identical join/agg shape)
+      time(s"$tag/pq_adc_topk") {
+        val codes = emb.select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 3), s -> abs(hash(vec_id, s)) % 8)"))
+          .as(Seq("sub", "code")))
+        val qd = spark.range(5).select(col("id").as("qid"))
+          .crossJoin(spark.range(4).select(col("id").as("qsub")))
+          .crossJoin(spark.range(8).select(col("id").as("qcode")))
+          .withColumn("dst", expr("abs(hash(qid, qsub, qcode)) / 2e9"))
+        val w8 = Window.partitionBy("qid")
+          .orderBy(col("adc"), col("vec_id"))
+        codes.join(broadcast(qd),
+            col("sub") === col("qsub") && col("code") === col("qcode"))
+          .groupBy("qid", "vec_id").agg(sum("dst").as("adc"))
+          .withColumn("rn", row_number().over(w8))
+          .filter(col("rn") <= 10).count()
+      },
+    )
+
+    val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++
+      shapes3("x1", 1) ++ shapes4("x1", emb1)
     val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK) ++
-      shapes3(s"x$k", k)
+      shapes3(s"x$k", k) ++ shapes4(s"x$k", embK)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns

@@ -162,7 +162,117 @@ object Similarity2 {
       emb.unpersist()
       out
     }),
+
+    // IVFADC — the composed production ANN architecture (Jégou et al.
+    // 2011 §IV, the FAISS IVFx,PQy index): coarse IVF cells restrict
+    // the search to NPROBE=2 probed cells, and candidates are scored
+    // by PQ asymmetric distance over RESIDUALS (v − centroid(cell)) —
+    // residual energy is what makes shared-codebook PQ accurate near
+    // cell boundaries. At 100 TB the scan cost per query is
+    // |probed cells|·(cell population)·M code bytes, never the corpus
+    // and never raw floats. Defined above (ivfpqQuery) — the one
+    // multi-stage key big enough to warrant a named val.
+    "sim_ivfpq_ann" -> ivfpqQuery,
   )
+
+  private lazy val ivfpqQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    val M = 4; val K = 8; val SD = 16; val NCELL = 16; val NPROBE = 2
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
+    // coarse quantizer: seeded centroids (first NCELL vectors in
+    // vec_id order — the iterative fit is demonstrated in sim_ivf_ann;
+    // here the seeds keep the composed oracle replayable at half the
+    // SQL) — k×dim-bounded driver state, as throughout
+    val cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(NCELL)
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    // cell assignment + residual r = v − centroid(cell), one projection
+    val res = emb.withColumn("cents", centArr)
+      .withColumn("cell", element_at(array_sort(expr(
+        s"""transform(sequence(0, ${NCELL - 1}), i -> named_struct(
+              'dist', aggregate(zip_with(v, cents[i],
+                        (x, y) -> (x - y) * (x - y)),
+                      0D, (acc, t) -> acc + t),
+              'cid', i))""")), 1).getField("cid"))
+      .withColumn("r", expr("zip_with(v, cents[cell], (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cell"), col("r"))
+    val rsub = res.select(col("vec_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(r, s*$SD + 1, $SD))"))
+        .as(Seq("sub", "sv")))
+    // ONE shared PQ codebook across cells (standard IVFADC), seeded
+    // from the residuals of the first K vectors, one exact-DECIMAL
+    // Lloyd round (≤ M·K·SD = 512 groups on 4 partitions)
+    val seedRes: Seq[Seq[Double]] = res.orderBy("vec_id").limit(K)
+      .select("r").collect().map(_.getSeq[Double](0)).toSeq
+    var cb: Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(M)(sub => seedRes.map(r => r.slice(sub * SD, sub * SD + SD)))
+    def cbLit(c: Seq[Seq[Seq[Double]]]) =
+      array(c.map(sc => array(sc.map(cw => array(cw.map(lit): _*)): _*)): _*)
+    def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = rsub
+      .withColumn("cb", cbLit(c))
+      .withColumn("best", element_at(array_sort(expr(
+        s"""transform(sequence(0, ${K - 1}), c -> named_struct(
+              'dist', aggregate(zip_with(sv, cb[sub][c],
+                        (x, y) -> (x - y) * (x - y)),
+                      0D, (acc, t) -> acc + t),
+              'cid', c))""")), 1))
+      .select(col("vec_id"), col("cell"), col("sub"), col("sv"),
+        col("best.cid").as("cid"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val means = assign(cb)
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          r.getDouble(3))).toMap
+      cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
+        means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val codes = assign(cb).select("vec_id", "cell", "sub", "cid")
+    // probe batch: top-NPROBE cells per query by coarse distance, then
+    // a PER-PROBED-CELL query residual → |Q|·NPROBE·M·K distance table
+    // (320 rows — broadcast side), joined to codes on (cell, sub, code)
+    val q = emb.filter(col("vec_id") < 5)
+      .withColumn("cents", centArr)
+      .withColumn("probed", slice(array_sort(expr(
+        s"""transform(sequence(0, ${NCELL - 1}), i -> named_struct(
+              'dist', aggregate(zip_with(v, cents[i],
+                        (x, y) -> (x - y) * (x - y)),
+                      0D, (acc, t) -> acc + t),
+              'cid', i))""")), 1, NPROBE))
+      .select(col("vec_id").as("qid"), col("v"),
+        explode(expr("transform(probed, p -> p.cid)")).as("pcell"))
+      .withColumn("cents", centArr)
+      .withColumn("qr", expr("zip_with(v, cents[pcell], (x, y) -> x - y)"))
+      .select(col("qid"), col("pcell"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(qr, s*$SD + 1, $SD))"))
+        .as(Seq("qsub", "qsv")))
+    val dtab = q.withColumn("cb", cbLit(cb))
+      .select(col("qid"), col("pcell"), col("qsub"), posexplode(expr(
+        s"""transform(sequence(0, ${K - 1}), c ->
+              aggregate(zip_with(qsv, cb[qsub][c],
+                (x, y) -> (x - y) * (x - y)),
+              0D, (acc, t) -> acc + t))"""))
+        .as(Seq("dcid", "dst")))
+    val adc = codes.join(dtab,
+        col("cell") === col("pcell") && col("sub") === col("qsub") &&
+          col("cid") === col("dcid") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dst").cast("decimal(28,10)")).as("adcd"))
+    val w = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
+    val out = adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (floor(col("adcd").cast("double") * 1e4) / 1e4).as("adc4"))
+      .orderBy("qid", "rank")
+    emb.unpersist()
+    out
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_semantic_cluster" ->
@@ -259,6 +369,106 @@ object Similarity2 {
                       FROM codes co JOIN dtab d
                         ON d.qsub = co.sub AND d.dcid = co.cid
                           AND co.vec_id <> d.qid
+                      GROUP BY d.qid, co.vec_id)
+         SELECT qid, rank, vec_id,
+                CAST(floor(CAST(adcd AS DOUBLE) * 10000) AS DOUBLE) / 10000
+                  AS adc4
+         FROM (SELECT qid, vec_id, adcd,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY adcd, vec_id) AS rank
+               FROM adc)
+         WHERE rank <= 3 ORDER BY qid, rank""",
+    "sim_ivfpq_ann" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                              AS INTEGER) - 1 AS cell, v AS cv
+                     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+              av AS (SELECT vec_id, v, cell, cv FROM (
+                       SELECT e.vec_id, e.v, c.cell, c.cv,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 65), i -> (e.v[i] - c.cv[i])
+                                    * (e.v[i] - c.cv[i])), 'sum'), c.cell)
+                                AS rn
+                       FROM e, c0 c) WHERE rn = 1),
+              res AS (SELECT vec_id, cell,
+                             list_transform(range(1, 65),
+                               i -> v[i] - cv[i]) AS r
+                      FROM av),
+              subs AS (SELECT unnest(range(0, 4)) AS sub),
+              rsv AS (SELECT res.vec_id, res.cell, s.sub,
+                             res.r[s.sub*16 + 1 : s.sub*16 + 16] AS sv
+                      FROM res, subs s),
+              cb0 AS (SELECT s.sub,
+                             CAST(row_number() OVER (PARTITION BY s.sub
+                               ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
+                             q.r[s.sub*16 + 1 : s.sub*16 + 16] AS cw
+                      FROM (SELECT vec_id, r FROM res
+                            ORDER BY vec_id LIMIT 8) q, subs s),
+              a0 AS (SELECT vec_id, cell, sub, sv, cid FROM (
+                       SELECT su.vec_id, su.cell, su.sub, su.sv, c.cid,
+                              row_number() OVER (
+                                PARTITION BY su.vec_id, su.sub
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                    * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM rsv su JOIN cb0 c ON c.sub = su.sub)
+                     WHERE rn = 1),
+              m1 AS (SELECT sub, cid, dim,
+                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                              / count(*) AS m
+                     FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
+                           FROM a0,
+                             (SELECT unnest(range(0, 16)) AS dim) dd)
+                     GROUP BY sub, cid, dim),
+              cb1 AS (SELECT c.sub, c.cid,
+                             list(coalesce(m1.m, c.cw[dd.dim + 1])
+                                  ORDER BY dd.dim) AS cw
+                      FROM cb0 c
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) dd
+                      LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
+                        AND m1.dim = dd.dim
+                      GROUP BY c.sub, c.cid),
+              codes AS (SELECT vec_id, cell, sub, cid FROM (
+                          SELECT su.vec_id, su.cell, su.sub, c.cid,
+                                 row_number() OVER (
+                                   PARTITION BY su.vec_id, su.sub
+                                   ORDER BY list_aggregate(list_transform(
+                                     range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                       * (su.sv[i] - c.cw[i])), 'sum'),
+                                     c.cid) AS rn
+                          FROM rsv su JOIN cb1 c ON c.sub = su.sub)
+                        WHERE rn = 1),
+              probed AS (SELECT qid, v, pcell FROM (
+                           SELECT e.vec_id AS qid, e.v, c.cell AS pcell,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_aggregate(list_transform(
+                                      range(1, 65), i -> (e.v[i] - c.cv[i])
+                                        * (e.v[i] - c.cv[i])), 'sum'),
+                                      c.cell) AS rn
+                           FROM e, c0 c WHERE e.vec_id < 5)
+                         WHERE rn <= 2),
+              qr AS (SELECT p.qid, p.pcell,
+                            list_transform(range(1, 65),
+                              i -> p.v[i] - c.cv[i]) AS qr
+                     FROM probed p JOIN c0 c ON c.cell = p.pcell),
+              qs AS (SELECT qid, pcell, s.sub,
+                            qr[s.sub*16 + 1 : s.sub*16 + 16] AS qsv
+                     FROM qr, subs s),
+              dtab AS (SELECT q.qid, q.pcell, q.sub AS qsub,
+                              c.cid AS dcid,
+                              list_aggregate(list_transform(range(1, 17),
+                                i -> (q.qsv[i] - c.cw[i])
+                                  * (q.qsv[i] - c.cw[i])), 'sum') AS dst
+                       FROM qs q JOIN cb1 c ON c.sub = q.sub),
+              adc AS (SELECT d.qid, co.vec_id,
+                             sum(CAST(d.dst AS DECIMAL(28,10))) AS adcd
+                      FROM codes co JOIN dtab d
+                        ON d.pcell = co.cell AND d.qsub = co.sub
+                          AND d.dcid = co.cid AND co.vec_id <> d.qid
                       GROUP BY d.qid, co.vec_id)
          SELECT qid, rank, vec_id,
                 CAST(floor(CAST(adcd AS DOUBLE) * 10000) AS DOUBLE) / 10000

@@ -72,6 +72,18 @@ class Round8Spec extends GraftSuite {
     assert(out.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("sim_ivfpq_ann: top-3 per probe from probed cells, ADC ascending") {
+    val out = SparkEntry.queries("sim_ivfpq_ann")(spark, sf).collect()
+    assert(out.length == 15, "5 probes x top-3")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      val dists = byRank.map(_.getDouble(3)).toSeq
+      assert(dists == dists.sorted && dists.forall(_ >= 0.0))
+    }
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "no self-retrieval")
+  }
+
   test("dedup_lsh_band_eval: candidate volume is monotone in band count") {
     val out = SparkEntry.queries("dedup_lsh_band_eval")(spark, sf)
       .orderBy(col("bands").desc).collect()
