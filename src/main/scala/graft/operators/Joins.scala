@@ -233,6 +233,38 @@ object Joins {
             .as("gap_us_within"))
     }),
 
+    // As-of NEAREST (r8) — completes the merge_asof direction triple
+    // (backward = join_asof_native, forward = join_asof_forward):
+    // each purchase matched to the click minimizing |c_us − p_us|,
+    // ties broken BACKWARD (the pandas rule). Same join + groupBy
+    // shape; "which side won" is decided by comparing the per-side
+    // minima — no argmin row is ever materialized, so there is no
+    // engine-defined tiebreak to diverge on. Fingerprint counts both
+    // sides of the tie rule so the rule itself is hash-checked.
+    "join_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      p.join(c, col("user_id") === col("c_user"), "left")
+        .groupBy("p_id", "p_us")
+        .agg(min(abs(col("c_us") - col("p_us"))).as("min_abs"),
+          min(when(col("c_us") <= col("p_us"),
+            col("p_us") - col("c_us"))).as("min_back"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("min_abs")).as("n_matched"),
+          coalesce(sum(col("min_abs")), lit(0L)).cast("bigint")
+            .as("gap_us_total"),
+          count(when(col("min_back") === col("min_abs"), 1))
+            .as("n_nearest_backward"),
+          count(when(col("min_abs").isNotNull &&
+            (col("min_back").isNull ||
+              col("min_back") > col("min_abs")), 1))
+            .as("n_nearest_forward_only"))
+    }),
+
     // As-of: each purchase matched to the user's latest PRIOR click
     // (join + groupBy-max formulation — identical semantics declared
     // in the oracle so both engines agree; see SURVEY §2.3).
@@ -340,6 +372,30 @@ object Joins {
                 count(m_us) AS n_followed,
                 CAST(coalesce(sum(m_us - p_us), 0) AS BIGINT)
                   AS gap_us_total
+         FROM m""",
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+              p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, us AS c_us
+                    FROM e WHERE event_type = 'click'),
+              m AS (SELECT p_id, p_us,
+                           min(abs(c_us - p_us)) AS min_abs,
+                           min(CASE WHEN c_us <= p_us
+                                    THEN p_us - c_us END) AS min_back
+                    FROM p LEFT JOIN c ON user_id = c_user
+                    GROUP BY p_id, p_us)
+         SELECT count(*) AS n_purchases,
+                count(min_abs) AS n_matched,
+                CAST(coalesce(sum(min_abs), 0) AS BIGINT)
+                  AS gap_us_total,
+                count(CASE WHEN min_back = min_abs THEN 1 END)
+                  AS n_nearest_backward,
+                count(CASE WHEN min_abs IS NOT NULL
+                             AND (min_back IS NULL
+                                  OR min_back > min_abs) THEN 1 END)
+                  AS n_nearest_forward_only
          FROM m""",
     // DuckDB replays the same groupBy-max + tolerance cut; ASOF JOIN
     // with a tolerance is not native there either, which is the point:

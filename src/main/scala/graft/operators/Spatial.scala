@@ -86,6 +86,47 @@ object Spatial {
           round(max("lat"), 6).as("lat_max"))
         .orderBy(col("n_points").desc, col("cx"), col("cy"))
         .limit(25)),
+
+    // Points-in-regions containment join (r8) — the other classic
+    // spatial join beside kNN: 25 deterministic 30°×24° rectangles
+    // (synthesized from nation keys) × the customer point cloud.
+    // Each REGION explodes into the ≤ 4×3 grid cells it overlaps
+    // (a constant ≤ 12× on the 25-row side — the SMALL side!); the
+    // join is the (cx, cy) equi-join against each point's single
+    // cell, and exact containment refines cell-collided candidates.
+    // A point lives in exactly one cell, so (region, point) pairs
+    // are unique by construction — no dedup stage. At 100 TB this is
+    // broadcast-shaped: the exploded region-cell list stays tiny
+    // while points stream through; polygon regions lower to the same
+    // plan with a bbox pre-filter + exact test, as every distributed
+    // GIS engine does.
+    "spatial_points_in_regions" -> ((s, d) => {
+      val regions = Tables.nation(s, d).select(
+          col("n_nationkey").as("rid"),
+          ((col("n_nationkey") * 61 % 24) * 15 - 180).cast("double").as("rx0"),
+          ((col("n_nationkey") * 37 % 14) * 12 - 85).cast("double").as("ry0"))
+        .withColumn("rx1", col("rx0") + 30.0)
+        .withColumn("ry1", col("ry0") + 24.0)
+      val regionCells = regions
+        .withColumn("cx", explode(sequence(
+          floor(col("rx0") / 10).cast("int"),
+          floor(col("rx1") / 10).cast("int"))))
+        .withColumn("cy", explode(sequence(
+          floor(col("ry0") / 10).cast("int"),
+          floor(col("ry1") / 10).cast("int"))))
+      points(s, d)
+        .join(broadcast(regionCells), Seq("cx", "cy"))
+        .filter(col("lon") >= col("rx0") && col("lon") < col("rx1") &&
+          col("lat") >= col("ry0") && col("lat") < col("ry1"))
+        .groupBy("rid")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("pid")).as("min_pid"),
+          // lon values are exact 0.1° multiples → DECIMAL sum is
+          // exact and order-independent (the §5.4.2 discipline)
+          round((sum(col("lon").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))), 6).as("lon_avg"))
+        .orderBy("rid")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +156,32 @@ object Spatial {
                 round(max(lat), 6) AS lat_max
          FROM cells GROUP BY cx, cy
          ORDER BY n_points DESC, cx, cy LIMIT 25""",
+    "spatial_points_in_regions" ->
+      s"""WITH $pointsSql,
+              regions AS (SELECT n_nationkey AS rid,
+                                 CAST((n_nationkey * 61 % 24) * 15 - 180
+                                   AS DOUBLE) AS rx0,
+                                 CAST((n_nationkey * 37 % 14) * 12 - 85
+                                   AS DOUBLE) AS ry0
+                          FROM nation),
+              rext AS (SELECT rid, rx0, ry0, rx0 + 30.0 AS rx1,
+                              ry0 + 24.0 AS ry1
+                       FROM regions),
+              rcells AS (SELECT r.rid, r.rx0, r.ry0, r.rx1, r.ry1,
+                                gx.cx, gy.cy
+                         FROM rext r,
+                           LATERAL (SELECT unnest(generate_series(
+                             CAST(floor(r.rx0 / 10) AS INT),
+                             CAST(floor(r.rx1 / 10) AS INT))) AS cx) gx,
+                           LATERAL (SELECT unnest(generate_series(
+                             CAST(floor(r.ry0 / 10) AS INT),
+                             CAST(floor(r.ry1 / 10) AS INT))) AS cy) gy)
+         SELECT r.rid, count(*) AS n_points, min(c.pid) AS min_pid,
+                round(CAST(sum(CAST(c.lon AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(*), 6) AS lon_avg
+         FROM cells c JOIN rcells r ON c.cx = r.cx AND c.cy = r.cy
+         WHERE c.lon >= r.rx0 AND c.lon < r.rx1
+           AND c.lat >= r.ry0 AND c.lat < r.ry1
+         GROUP BY r.rid ORDER BY r.rid""",
   )
 }

@@ -100,6 +100,25 @@ class Round8Spec extends GraftSuite {
     }
   }
 
+  test("join_asof_nearest: side counts partition the matched set") {
+    val r = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()(0)
+    val (np, nm, back, fwd) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    assert(nm <= np)
+    assert(back + fwd == nm,
+      s"backward $back + forward-only $fwd must partition matched $nm")
+  }
+
+  test("spatial_points_in_regions: counts bounded by corpus, regions ordered") {
+    val out = SparkEntry.queries("spatial_points_in_regions")(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(out.nonEmpty && out.length <= 25)
+    val rids = out.map(_.getInt(0)).toSeq
+    assert(rids == rids.sorted)
+    // rectangles may overlap, but no region can exceed the corpus
+    out.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= nCust))
+  }
+
   test("all fixture tables keep their expected column names") {
     val expected = Map(
       "region" -> Seq("r_regionkey", "r_name"),
