@@ -148,7 +148,10 @@ object Similarity2 {
                   (x, y) -> (x - y) * (x - y)),
                 0D, (acc, t) -> acc + t))"""))
           .as(Seq("dcid", "dst")))
-      val adc = codes.join(dtab,
+      // dtab is |Q|*M*K rows BY CONSTRUCTION — broadcast explicitly so
+      // the plan cannot flip to a shuffle join when corpus-derived
+      // stats mislead the planner at scale
+      val adc = codes.join(broadcast(dtab),
           col("sub") === col("qsub") && col("cid") === col("dcid") &&
             col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("vec_id"))
@@ -259,7 +262,8 @@ object Similarity2 {
                 (x, y) -> (x - y) * (x - y)),
               0D, (acc, t) -> acc + t))"""))
         .as(Seq("dcid", "dst")))
-    val adc = codes.join(dtab,
+    // |Q|*NPROBE*M*K rows by construction — pin the broadcast
+    val adc = codes.join(broadcast(dtab),
         col("cell") === col("pcell") && col("sub") === col("qsub") &&
           col("cid") === col("dcid") && col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))

@@ -231,4 +231,23 @@ class PlanShapeSpec extends GraftSuite {
       plan.contains("BroadcastExchange"),
       s"corpus-total join is not broadcast:\n$plan")
   }
+
+  test("PQ ADC joins broadcast the distance table, never shuffle codes") {
+    for (k <- Seq("sim_pq_ann", "sim_ivfpq_ann")) {
+      val plan = executedPlan(k)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$k: ADC join must be a BroadcastHashJoin:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$k: the |Q|·M·k distance table must broadcast — a " +
+          s"SortMergeJoin here shuffles the corpus-sized code table:\n$plan")
+    }
+  }
+
+  test("dedup_semantic_cluster pair stage is a cid equi-join, no cartesian") {
+    val plan = executedPlan("dedup_semantic_cluster")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must come from the cid equi-join:\n$plan")
+  }
 }
