@@ -39,6 +39,77 @@ object Similarity2 {
   private def fsum(arr: String): String =
     s"aggregate($arr, 0D, (a, x) -> a + x)"
 
+  /** The shared PQ front half: fit the M=4 × k=8 codebook (seed =
+    * sub-slices of the first 8 vectors, one exact-DECIMAL Lloyd round,
+    * ≤ 512 groups on 4 partitions), assign per-vector codes, and score
+    * the 5-query probe batch by asymmetric distance. Returns
+    * (cached emb — caller unpersists, per-(qid, vec_id) DECIMAL ADC).
+    * Shared VERBATIM by sim_pq_ann (top-3 report) and
+    * sim_pq_recall_eval (recall@10) so the two keys can never diverge
+    * on fit or scoring — the MirroredLsh single-source precedent. */
+  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val M = 4; val K = 8; val SD = 16
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
+    val seed: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(K)
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    var cb: Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(M)(sub => seed.map(v => v.slice(sub * SD, sub * SD + SD)))
+    def cbLit(c: Seq[Seq[Seq[Double]]]) =
+      array(c.map(sc => array(sc.map(cw => array(cw.map(lit): _*)): _*)): _*)
+    val sub = emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(v, s*$SD + 1, $SD))"))
+        .as(Seq("sub", "sv")))
+    def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = sub
+      .withColumn("cb", cbLit(c))
+      .withColumn("best", element_at(array_sort(expr(
+        s"""transform(sequence(0, ${K - 1}), c -> named_struct(
+              'dist', aggregate(zip_with(sv, cb[sub][c],
+                        (x, y) -> (x - y) * (x - y)),
+                      0D, (acc, t) -> acc + t),
+              'cid', c))""")), 1))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("best.cid").as("cid"))
+    // one Lloyd round: ≤ M·K·SD = 512 groups — bound the fit shuffle
+    // to 4 partitions regardless of corpus size (map-side partials
+    // reduce before the exchange), as in sim_ivf_ann
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val means = assign(cb)
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          r.getDouble(3))).toMap
+      cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
+        means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val codes = assign(cb).select("vec_id", "sub", "cid")
+    val q = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+        col("sv").as("qsv"))
+    val dtab = q.withColumn("cb", cbLit(cb))
+      .select(col("qid"), col("qsub"), posexplode(expr(
+        s"""transform(sequence(0, ${K - 1}), c ->
+              aggregate(zip_with(qsv, cb[qsub][c],
+                (x, y) -> (x - y) * (x - y)),
+              0D, (acc, t) -> acc + t))"""))
+        .as(Seq("dcid", "dst")))
+    // dtab is |Q|*M*K rows BY CONSTRUCTION — broadcast explicitly so
+    // the plan cannot flip to a shuffle join when corpus-derived
+    // stats mislead the planner at scale
+    val adc = codes.join(broadcast(dtab),
+        col("sub") === col("qsub") && col("cid") === col("dcid") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dst").cast("decimal(28,10)")).as("adcd"))
+    (emb, adc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SemDeDup: k-means cells → pairwise cosine inside each cell only →
@@ -97,71 +168,46 @@ object Similarity2 {
     // engine-independent; the oracle replays fit, codes, and ranking
     // digit-for-digit.
     "sim_pq_ann" -> ((s, d) => {
-      val M = 4; val K = 8; val SD = 16
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
-      val seed: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(K)
-        .select("v").collect().map(_.getSeq[Double](0)).toSeq
-      var cb: Seq[Seq[Seq[Double]]] =
-        Seq.tabulate(M)(sub => seed.map(v => v.slice(sub * SD, sub * SD + SD)))
-      def cbLit(c: Seq[Seq[Seq[Double]]]) =
-        array(c.map(sc => array(sc.map(cw => array(cw.map(lit): _*)): _*)): _*)
-      val sub = emb.select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(0, ${M - 1}), s -> slice(v, s*$SD + 1, $SD))"))
-          .as(Seq("sub", "sv")))
-      def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = sub
-        .withColumn("cb", cbLit(c))
-        .withColumn("best", element_at(array_sort(expr(
-          s"""transform(sequence(0, ${K - 1}), c -> named_struct(
-                'dist', aggregate(zip_with(sv, cb[sub][c],
-                          (x, y) -> (x - y) * (x - y)),
-                        0D, (acc, t) -> acc + t),
-                'cid', c))""")), 1))
-        .select(col("vec_id"), col("sub"), col("sv"),
-          col("best.cid").as("cid"))
-      // one Lloyd round: ≤ M·K·SD = 512 groups — bound the fit
-      // shuffle to 4 partitions regardless of corpus size (map-side
-      // partials reduce before the exchange), as in sim_ivf_ann
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val means = assign(cb)
-          .select(col("sub"), col("cid"),
-            posexplode(col("sv")).as(Seq("dim", "x")))
-          .groupBy("sub", "cid", "dim")
-          .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-            r.getDouble(3))).toMap
-        cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
-          means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val codes = assign(cb).select("vec_id", "sub", "cid")
-      val q = sub.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sub").as("qsub"),
-          col("sv").as("qsv"))
-      val dtab = q.withColumn("cb", cbLit(cb))
-        .select(col("qid"), col("qsub"), posexplode(expr(
-          s"""transform(sequence(0, ${K - 1}), c ->
-                aggregate(zip_with(qsv, cb[qsub][c],
-                  (x, y) -> (x - y) * (x - y)),
-                0D, (acc, t) -> acc + t))"""))
-          .as(Seq("dcid", "dst")))
-      // dtab is |Q|*M*K rows BY CONSTRUCTION — broadcast explicitly so
-      // the plan cannot flip to a shuffle join when corpus-derived
-      // stats mislead the planner at scale
-      val adc = codes.join(broadcast(dtab),
-          col("sub") === col("qsub") && col("cid") === col("dcid") &&
-            col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("dst").cast("decimal(28,10)")).as("adcd"))
+      val (emb, adc) = pqAdc(s, d)
       val w = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
       val out = adc.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"),
           (floor(col("adcd").cast("double") * 1e4) / 1e4).as("adc4"))
         .orderBy("qid", "rank")
+      emb.unpersist()
+      out
+    }),
+
+    // PQ quality harness — the tuning companion of sim_ann_recall_eval
+    // for the quantized family: recall@10 of the ADC top-10 against
+    // exact-L2 truth per probe. This is the number that decides M×k
+    // (and whether residual IVFADC is needed) before a 100 TB build;
+    // the exact-L2 leg is bounded by the broadcast 5-query batch over
+    // one corpus scan — never all-pairs.
+    "sim_pq_recall_eval" -> ((s, d) => {
+      val (emb, adc) = pqAdc(s, d)
+      val wa = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
+      val adc10 = adc.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wt = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
+      val truth10 = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("l2", expr(
+          fsum("zip_with(qv, v, (x, y) -> (x - y) * (x - y))")))
+        .withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= 10).select(col("qid").as("tqid"),
+          col("vec_id").as("tvid"))
+      val hits = adc10.join(truth10,
+          col("qid") === col("tqid") && col("vec_id") === col("tvid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      val out = probes.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("qid")
       emb.unpersist()
       out
     }),
@@ -382,6 +428,92 @@ object Similarity2 {
                         ORDER BY adcd, vec_id) AS rank
                FROM adc)
          WHERE rank <= 3 ORDER BY qid, rank""",
+    "sim_pq_recall_eval" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              subs AS (SELECT unnest(range(0, 4)) AS sub),
+              sv AS (SELECT e.vec_id, s.sub,
+                            e.v[s.sub*16 + 1 : s.sub*16 + 16] AS sv
+                     FROM e, subs s),
+              cb0 AS (SELECT s.sub,
+                             CAST(row_number() OVER (PARTITION BY s.sub
+                               ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
+                             q.v[s.sub*16 + 1 : s.sub*16 + 16] AS cw
+                      FROM (SELECT vec_id, v FROM e
+                            ORDER BY vec_id LIMIT 8) q, subs s),
+              a0 AS (SELECT vec_id, sub, sv, cid FROM (
+                       SELECT su.vec_id, su.sub, su.sv, c.cid,
+                              row_number() OVER (
+                                PARTITION BY su.vec_id, su.sub
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                    * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM sv su JOIN cb0 c ON c.sub = su.sub)
+                     WHERE rn = 1),
+              m1 AS (SELECT sub, cid, dim,
+                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                              / count(*) AS m
+                     FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
+                           FROM a0,
+                             (SELECT unnest(range(0, 16)) AS dim) dd)
+                     GROUP BY sub, cid, dim),
+              cb1 AS (SELECT c.sub, c.cid,
+                             list(coalesce(m1.m, c.cw[dd.dim + 1])
+                                  ORDER BY dd.dim) AS cw
+                      FROM cb0 c
+                      CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) dd
+                      LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
+                        AND m1.dim = dd.dim
+                      GROUP BY c.sub, c.cid),
+              codes AS (SELECT vec_id, sub, cid FROM (
+                          SELECT su.vec_id, su.sub, c.cid,
+                                 row_number() OVER (
+                                   PARTITION BY su.vec_id, su.sub
+                                   ORDER BY list_aggregate(list_transform(
+                                     range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                       * (su.sv[i] - c.cw[i])), 'sum'),
+                                     c.cid) AS rn
+                          FROM sv su JOIN cb1 c ON c.sub = su.sub)
+                        WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, sub AS qsub, sv AS qsv
+                    FROM sv WHERE vec_id < 5),
+              dtab AS (SELECT q.qid, q.qsub, c.cid AS dcid,
+                              list_aggregate(list_transform(range(1, 17),
+                                i -> (q.qsv[i] - c.cw[i])
+                                  * (q.qsv[i] - c.cw[i])), 'sum') AS dst
+                       FROM q JOIN cb1 c ON c.sub = q.qsub),
+              adc AS (SELECT d.qid, co.vec_id,
+                             sum(CAST(d.dst AS DECIMAL(28,10))) AS adcd
+                      FROM codes co JOIN dtab d
+                        ON d.qsub = co.sub AND d.dcid = co.cid
+                          AND co.vec_id <> d.qid
+                      GROUP BY d.qid, co.vec_id),
+              adc10 AS (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id,
+                                 row_number() OVER (PARTITION BY qid
+                                   ORDER BY adcd, vec_id) AS rn
+                          FROM adc) WHERE rn <= 10),
+              probes AS (SELECT vec_id AS qid, v AS qv FROM e
+                         WHERE vec_id < 5),
+              truth10 AS (SELECT qid AS tqid, vec_id AS tvid FROM (
+                            SELECT p.qid, x.vec_id,
+                                   row_number() OVER (PARTITION BY p.qid
+                                     ORDER BY list_aggregate(list_transform(
+                                       range(1, 65), i -> (p.qv[i] - x.v[i])
+                                         * (p.qv[i] - x.v[i])), 'sum'),
+                                       x.vec_id) AS rn
+                            FROM probes p JOIN e x
+                              ON x.vec_id <> p.qid) WHERE rn <= 10),
+              hits AS (SELECT a.qid, count(*) AS n_hit
+                       FROM adc10 a JOIN truth10 t
+                         ON t.tqid = a.qid AND t.tvid = a.vec_id
+                       GROUP BY a.qid)
+         SELECT p.qid, coalesce(h.n_hit, 0) AS n_hit,
+                CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall10
+         FROM probes p LEFT JOIN hits h ON h.qid = p.qid
+         ORDER BY p.qid""",
     "sim_ivfpq_ann" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

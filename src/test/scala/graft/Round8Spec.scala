@@ -100,6 +100,16 @@ class Round8Spec extends GraftSuite {
     }
   }
 
+  test("sim_pq_recall_eval: one row per probe, recall consistent with hits") {
+    val out = SparkEntry.queries("sim_pq_recall_eval")(spark, sf).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (h, rec) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0 && h <= 10)
+      assert(math.abs(rec - h / 10.0) < 1e-12)
+    }
+  }
+
   test("join_asof_nearest: side counts partition the matched set") {
     val r = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()(0)
     val (np, nm, back, fwd) =
