@@ -306,6 +306,38 @@ object CurationOps {
             !col("bad4") && !col("bad5"), 1)).as("n_kept"))
         .orderBy("lang")
     }),
+
+    // Temperature-scaled source mixing (r8) — the multilingual
+    // up-sampling recipe (mT5/XLM-R style): per-language sampling
+    // weight w_i = n_i^T / Σ n_j^T with T = 0.5, which boosts
+    // low-resource languages relative to proportional sampling.
+    // T = 0.5 is deliberate: n^0.5 = sqrt(n) is IEEE-754
+    // correctly-rounded in BOTH engines, while a general pow(x, 0.7)
+    // may differ in the last bit between libm implementations — the
+    // cross-engine determinism rule picks the temperature. Each
+    // sqrt is DECIMAL-quantized before the Σ (order-independent);
+    // boost = w_i / (n_i / N) is the up/down-sampling factor the mix
+    // report exists to show. One aggregate + one 1-row broadcast —
+    // cost is per-language, not per-document, at any corpus size.
+    "sample_temperature_mix" -> ((s, d) => {
+      val budget = 1000L
+      val perLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq", sqrt(col("n_docs").cast("double"))
+          .cast("decimal(28,10)"))
+      val totals = perLang.agg(
+        sum(col("sq")).as("sq_sum"),
+        sum(col("n_docs")).as("n_total"))
+      perLang.crossJoin(broadcast(totals))
+        .withColumn("w", col("sq").cast("double") /
+          col("sq_sum").cast("double"))
+        .select(col("lang"), col("n_docs"),
+          trunc4(col("w")).as("weight4"),
+          floor(col("w") * budget).cast("bigint").as("n_sampled"),
+          trunc4(col("w") * col("n_total").cast("double") /
+            col("n_docs").cast("double")).as("boost4"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,5 +545,21 @@ object CurationOps {
          SELECT qid, qlabel, CAST(rn AS INTEGER) AS rank, vec_id, label,
                 round(cos, 4) AS cos
          FROM rk WHERE rn <= 3 ORDER BY qid, rank""",
+    "sample_temperature_mix" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs,
+                           CAST(sqrt(CAST(count(*) AS DOUBLE))
+                             AS DECIMAL(28,10)) AS sq
+                    FROM documents GROUP BY lang),
+              tot AS (SELECT sum(sq) AS sq_sum,
+                             sum(n_docs) AS n_total FROM pl)
+         SELECT lang, n_docs,
+                CAST(floor(CAST(sq AS DOUBLE) / CAST(sq_sum AS DOUBLE)
+                  * 10000) AS DOUBLE) / 10000 AS weight4,
+                CAST(floor(CAST(sq AS DOUBLE) / CAST(sq_sum AS DOUBLE)
+                  * 1000) AS BIGINT) AS n_sampled,
+                CAST(floor(CAST(sq AS DOUBLE) / CAST(sq_sum AS DOUBLE)
+                  * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  * 10000) AS DOUBLE) / 10000 AS boost4
+         FROM pl CROSS JOIN tot ORDER BY lang""",
   )
 }

@@ -139,6 +139,50 @@ object TextModel {
             / count(lit(1)).cast("double"), 6).as("oov_rate"))
         .orderBy("lang", "source")
     }),
+
+    // CCNet-style perplexity bucketing (r8; Wenzek et al. 2020): score
+    // EVERY document with the corpus unigram LM (same scorer as
+    // text_unigram_logprob — fit is the full corpus, no sample), then
+    // cut each language's score distribution into exact terciles:
+    // head (lowest surprise = cleanest), middle, tail. Cuts are EXACT
+    // integer order statistics under the (nll_tok, doc_id) total
+    // order — ceil(n/3) = (n+2) div 3 in pure integer arithmetic, so
+    // no interpolation or float-boundary semantics can diverge. The
+    // per-lang rank window runs over doc-grain scores (corpus/lang
+    // rows), not tokens; at 100 TB the scorer stays two
+    // vocabulary-sized broadcasts + one per-doc aggregate, and the
+    // bucket cut is the curation split feeding per-bucket sampling.
+    "text_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).as("tot"))
+      val scored = tok.join(vocab, "w")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("lang"),
+          (-log(col("c").cast("double") / col("tot").cast("double")))
+            .cast("decimal(28,10)").as("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(trunc4(sum(col("nll")).cast("double") / count(lit(1)))
+          .as("nll_tok"))
+      val wr = Window.partitionBy("lang")
+        .orderBy(col("nll_tok"), col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      scored
+        .withColumn("r", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("bucket",
+          when(col("r") <= expr("(n + 2) div 3"), "1_head")
+            .when(col("r") <= expr("(2 * n + 2) div 3"), "2_middle")
+            .otherwise("3_tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll_tok")).as("nll_min"),
+          max(col("nll_tok")).as("nll_max"))
+        .orderBy("lang", "bucket")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +252,34 @@ object TextModel {
                       / count(*), 6) AS oov_rate
          FROM tok LEFT JOIN vc ON w = vw
          GROUP BY lang, source ORDER BY lang, source""",
+    "text_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                           unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+              vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+              total AS (SELECT count(*) AS tot FROM tok),
+              scored AS (SELECT doc_id, lang,
+                                CAST(floor(
+                                  CAST(sum(CAST(-ln(CAST(c AS DOUBLE)
+                                        / CAST(tot AS DOUBLE))
+                                      AS DECIMAL(28,10))) AS DOUBLE)
+                                    / count(*) * 10000) AS DOUBLE) / 10000
+                                  AS nll_tok
+                         FROM tok JOIN vocab USING (w) CROSS JOIN total
+                         GROUP BY doc_id, lang),
+              rk AS (SELECT lang, nll_tok,
+                            row_number() OVER (PARTITION BY lang
+                              ORDER BY nll_tok, doc_id) AS r,
+                            count(*) OVER (PARTITION BY lang) AS n
+                     FROM scored),
+              bk AS (SELECT lang, nll_tok,
+                            CASE WHEN r <= (n + 2) // 3 THEN '1_head'
+                                 WHEN r <= (2 * n + 2) // 3
+                                   THEN '2_middle'
+                                 ELSE '3_tail' END AS bucket
+                     FROM rk)
+         SELECT lang, bucket, count(*) AS n_docs,
+                min(nll_tok) AS nll_min, max(nll_tok) AS nll_max
+         FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""",
   )
 }

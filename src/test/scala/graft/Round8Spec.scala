@@ -129,6 +129,30 @@ class Round8Spec extends GraftSuite {
     out.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= nCust))
   }
 
+  test("text_perplexity_buckets: terciles partition each language") {
+    val out = SparkEntry.queries("text_perplexity_buckets")(spark, sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getString(1)).sorted.toSeq ==
+        Seq("1_head", "2_middle", "3_tail"), s"$lang missing a bucket")
+      val Seq(h, m, tl) = rows.sortBy(_.getString(1)).map(_.getLong(2)).toSeq
+      assert(h >= m && m >= tl && h - tl <= 1,
+        s"$lang tercile sizes not balanced: $h/$m/$tl")
+      // head has the lowest surprise
+      val byB = rows.sortBy(_.getString(1))
+      assert(byB(0).getDouble(4) <= byB(2).getDouble(3) + 1e-9,
+        s"$lang head max must not exceed tail min")
+    }
+  }
+
+  test("sample_temperature_mix: weights sum to ~1 and boost low-resource") {
+    val out = SparkEntry.queries("sample_temperature_mix")(spark, sf).collect()
+    val wsum = out.map(_.getDouble(2)).sum
+    assert(wsum > 0.99 && wsum <= 1.0001, s"weights sum $wsum")
+    val byN = out.sortBy(_.getLong(1))
+    assert(byN.head.getDouble(4) >= byN.last.getDouble(4),
+      "smallest language must get the largest boost")
+  }
+
   test("all fixture tables keep their expected column names") {
     val expected = Map(
       "region" -> Seq("r_regionkey", "r_name"),
