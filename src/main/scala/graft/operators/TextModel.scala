@@ -16,13 +16,27 @@ import graft.Tables
   * the plan shape below is unchanged).
   *
   * Scale notes (100 TB):
-  *   - the model is one (token, count) aggregation over the corpus —
-  *     a single token-keyed shuffle whose output is vocabulary-sized
-  *     (Zipf-bounded), NOT corpus-sized; at cluster scale the fitted
-  *     vocab is broadcast for the scoring join.
-  *   - scoring is one join from tokens to the vocab and one per-doc
-  *     aggregation — no second corpus scan: the same exploded token
-  *     frame feeds both the fit and the score.
+  *   - the fit is ONE (token, count) aggregation over the corpus — a
+  *     single token-keyed shuffle whose output is vocabulary-sized
+  *     (Zipf-bounded), NOT corpus-sized. That synopsis is eagerly
+  *     materialized once (localCheckpoint, the runtime-bloom
+  *     precedent) and feeds BOTH the scoring vocab and the corpus
+  *     total (sum of its counts), so the fit costs exactly one
+  *     corpus scan and nothing corpus-sized is ever cached.
+  *   - the scoring vocab is BOUNDED: the top-`VocabTopK` tokens by
+  *     (count DESC, token ASC), explicitly `broadcast()` into the
+  *     scoring join with an OOV floor count of 1 (any token outside
+  *     the retained vocab scores -ln(1/N), maximum surprise — the
+  *     CCNet unk convention). An unbounded corpus vocab can exceed
+  *     the broadcast threshold at 100 TB and the fallback would be a
+  *     full token-frame shuffle keyed on Zipf-skewed tokens ("the"
+  *     owns a partition); the bound makes the broadcast a guarantee,
+  *     not a planner bet. VocabTopK = 25 here so the OOV path is
+  *     oracle-exercised on the 31-token fixture vocabulary; a
+  *     production corpus would set it ~10^5-10^6 (still megabytes).
+  *   - scoring is then one broadcast join over a second corpus scan
+  *     plus one per-doc aggregation — two scans total, zero
+  *     corpus-sized shuffles, zero skew exposure.
   *   - the corpus-total row is a 1-row broadcast (same pattern the
   *     judge audited for subquery_scalar_agg).
   *
@@ -38,27 +52,56 @@ object TextModel {
   private def trunc4(c: Column): Column =
     floor(c * 10000).cast("double") / 10000.0
 
+  /** Scoring-vocab bound. 25 < the 31-token fixture vocabulary, so
+    * the OOV floor is exercised (and oracle-checked) at every SF;
+    * production text corpora would set ~10^5-10^6. */
+  val VocabTopK = 25
+
+  /** Shared unigram-LM scorer (fit + score) for
+    * `text_unigram_logprob` and `text_perplexity_buckets`: per-doc
+    * (doc_id, lang, n_tok, nll_tok) with nll_tok = mean over tokens
+    * of -ln(c_w / N), c_w from the broadcast top-K vocab with OOV
+    * floor 1. See the object doc for the two-scan / bounded-broadcast
+    * scale argument. */
+  private def unigramScored(s: SparkSession, d: String,
+      sample: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    // fit: one corpus scan -> vocab-sized synopsis, materialized once
+    // (eager localCheckpoint) so total + top-K never rescan the corpus
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val total = vocab.agg(sum(col("c")).cast("long").as("tot"))
+    // the rank window is global but runs over the vocab-sized synopsis
+    // (Zipf-bounded), never tokens — text_vocab_oov_rate precedent
+    val topK = vocab
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= VocabTopK)
+      .select("w", "c")
+    val base = sample.fold(tok)(p => tok.filter(p))
+    base
+      .join(broadcast(topK), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        (-log(coalesce(col("c"), lit(1L)).cast("double")
+          / col("tot").cast("double")))
+          .cast("decimal(28,10)").as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        trunc4(sum(col("nll")).cast("double") / count(lit(1)))
+          .as("nll_tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Unigram-LM surprise score per sampled document, model fitted on
-    // the FULL corpus: nll_tok = -Σ ln(c_w / N) / n_tok.
-    "text_unigram_logprob" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      val total = tok.agg(count(lit(1)).as("tot"))
-      val scored = tok.filter(col("doc_id") % 11 === 0)
-        .join(vocab, "w")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), col("lang"),
-          (-log(col("c").cast("double") / col("tot").cast("double")))
-            .cast("decimal(28,10)").as("nll"))
-      scored.groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tok"),
-          trunc4(sum(col("nll")).cast("double") / count(lit(1)))
-            .as("nll_tok"))
-        .orderBy("doc_id")
-    }),
+    // the FULL corpus: nll_tok = -Σ ln(c_w / N) / n_tok, c_w from the
+    // broadcast top-K vocab (OOV floor 1).
+    "text_unigram_logprob" -> ((s, d) =>
+      unigramScored(s, d, Some(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")),
 
     // Bigram-LM surprise (round 6): the next rung above the unigram
     // score — P(w2|w1) = c(w1,w2)/c(w1·) fitted on the corpus, per-doc
@@ -154,19 +197,7 @@ object TextModel {
     // bucket cut is the curation split feeding per-bucket sampling.
     "text_perplexity_buckets" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      val total = tok.agg(count(lit(1)).as("tot"))
-      val scored = tok.join(vocab, "w")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), col("lang"),
-          (-log(col("c").cast("double") / col("tot").cast("double")))
-            .cast("decimal(28,10)").as("nll"))
-        .groupBy("doc_id", "lang")
-        .agg(trunc4(sum(col("nll")).cast("double") / count(lit(1)))
-          .as("nll_tok"))
+      val scored = unigramScored(s, d, None).drop("n_tok")
       val wr = Window.partitionBy("lang")
         .orderBy(col("nll_tok"), col("doc_id"))
       val wn = Window.partitionBy("lang")
@@ -191,12 +222,18 @@ object TextModel {
                              unnest(string_split(text, ' ')) AS w
                       FROM documents),
               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-              tot AS (SELECT count(*) AS tot FROM tok),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM vocab),
+              topk AS (SELECT w, c FROM
+                         (SELECT w, c,
+                                 row_number() OVER (ORDER BY c DESC, w)
+                                   AS r
+                          FROM vocab)
+                       WHERE r <= 25),
               sc AS (SELECT doc_id, lang,
-                            CAST(-ln(CAST(c AS DOUBLE)
+                            CAST(-ln(CAST(coalesce(c, 1) AS DOUBLE)
                                      / CAST(tot AS DOUBLE))
                                  AS DECIMAL(28,10)) AS nll
-                     FROM tok JOIN vocab USING (w), tot
+                     FROM tok LEFT JOIN topk USING (w), tot
                      WHERE doc_id % 11 = 0)
          SELECT doc_id, lang, count(*) AS n_tok,
                 CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
@@ -257,15 +294,23 @@ object TextModel {
                            unnest(string_split(text, ' ')) AS w
                     FROM documents),
               vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-              total AS (SELECT count(*) AS tot FROM tok),
+              total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM vocab),
+              topk AS (SELECT w, c FROM
+                         (SELECT w, c,
+                                 row_number() OVER (ORDER BY c DESC, w)
+                                   AS r
+                          FROM vocab)
+                       WHERE r <= 25),
               scored AS (SELECT doc_id, lang,
                                 CAST(floor(
-                                  CAST(sum(CAST(-ln(CAST(c AS DOUBLE)
+                                  CAST(sum(CAST(-ln(
+                                        CAST(coalesce(c, 1) AS DOUBLE)
                                         / CAST(tot AS DOUBLE))
                                       AS DECIMAL(28,10))) AS DOUBLE)
                                     / count(*) * 10000) AS DOUBLE) / 10000
                                   AS nll_tok
-                         FROM tok JOIN vocab USING (w) CROSS JOIN total
+                         FROM tok LEFT JOIN topk USING (w)
+                              CROSS JOIN total
                          GROUP BY doc_id, lang),
               rk AS (SELECT lang, nll_tok,
                             row_number() OVER (PARTITION BY lang

@@ -232,6 +232,27 @@ class PlanShapeSpec extends GraftSuite {
       s"corpus-total join is not broadcast:\n$plan")
   }
 
+  test("unigram-LM scorer: pinned vocab broadcast, one scan, one explode") {
+    // The r8 verdict's only flagged skew hazard: an unpinned
+    // vocab join would fall back to a token-frame shuffle keyed on
+    // Zipf-skewed tokens at 100 TB. The fix is structural — assert it.
+    for (k <- Seq("text_unigram_logprob", "text_perplexity_buckets")) {
+      // AQE toString prints Final + Initial plans — count in Final only
+      val plan = executedPlan(k).split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$k: vocab join must be a pinned BroadcastHashJoin:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$k: token frame must never shuffle on the token key:\n$plan")
+      // fit synopsis is checkpointed: the declared plan rescans the
+      // corpus exactly once (scoring) and explodes it exactly once
+      assert("FileScan parquet".r.findAllIn(plan).size == 1,
+        s"$k: expected exactly one corpus scan (fit is checkpointed):\n$plan")
+      assert("Generate explode".r.findAllIn(plan).size == 1,
+        s"$k: token explode duplicated:\n$plan")
+    }
+  }
+
   test("PQ ADC joins broadcast the distance table, never shuffle codes") {
     for (k <- Seq("sim_pq_ann", "sim_ivfpq_ann")) {
       val plan = executedPlan(k)

@@ -18,6 +18,12 @@ class TextModelSpec extends GraftSuite {
     docs.values.foreach(_.split(" ", -1).foreach { w =>
       counts(w) = counts.getOrElse(w, 0L) + 1L; total += 1
     })
+    // bounded scoring vocab: top-K by (count DESC, token ASC), OOV
+    // floor count 1 — must mirror TextModel.VocabTopK semantics
+    val topK = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextModel.VocabTopK).toMap
+    assert(counts.size > TextModel.VocabTopK,
+      "fixture vocab no longer exercises the OOV floor")
     val got = TextModel.queries("text_unigram_logprob")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(got.nonEmpty)
@@ -25,7 +31,8 @@ class TextModelSpec extends GraftSuite {
       val toks = docs(docId).split(" ", -1)
       assert(toks.length.toLong == nTok, s"doc $docId token count")
       val exp = toks.map(w =>
-        -math.log(counts(w).toDouble / total.toDouble)).sum / toks.length
+        -math.log(topK.getOrElse(w, 1L).toDouble / total.toDouble))
+        .sum / toks.length
       // the engine quantizes per-term to DECIMAL(28,10) then
       // floor-scales — allow the quantization slack
       assert(math.abs(exp - nllTok) < 2e-4,
