@@ -39,54 +39,79 @@ object Similarity2 {
   private def fsum(arr: String): String =
     s"aggregate($arr, 0D, (a, x) -> a + x)"
 
-  /** The shared PQ front half: fit the M=4 × k=8 codebook (seed =
-    * sub-slices of the first 8 vectors, one exact-DECIMAL Lloyd round,
-    * ≤ 512 groups on 4 partitions), assign per-vector codes, and score
-    * the 5-query probe batch by asymmetric distance. Returns
-    * (cached emb — caller unpersists, per-(qid, vec_id) DECIMAL ADC).
-    * Shared VERBATIM by sim_pq_ann (top-3 report) and
+  /** PQ geometry shared by sim_pq_ann / sim_pq_recall_eval AND their
+    * generated oracles (single source — the two engines cannot drift
+    * on M×K). Chosen by the r9 PqSweep recorded in PLANS.md: the r8
+    * shipped geometry M=4×K=8 (12 bits/vector) measured recall@10 ≈
+    * 0.22 on the near-random fixtures — the harness said the code
+    * budget, not the fit, was the binding constraint. M=32 × K=128
+    * (224 bits = 28 B/vector, 9.1× compression) measures 0.78 @
+    * sf0.01 / 0.72 @ sf0.1. Many small subspaces win HERE because the
+    * fixture embeddings are near-random (variance uniform across
+    * dims, nothing for larger subspaces to exploit); a production
+    * corpus with correlated dims shifts the optimum toward fewer,
+    * wider subspaces — which is exactly what the sweep harness exists
+    * to re-decide per corpus. PqRounds is pinned at 1 because the
+    * generated oracles replay exactly one Lloyd round. */
+  val PqM = 32
+  val PqK = 128
+  val PqRounds = 1
+  def PqSD: Int = 64 / PqM
+
+  /** The shared PQ front half, geometry-parameterized for the sweep
+    * harness (PqSweep main): fit the M × K codebook (seed =
+    * sub-slices of the first K vectors, `rounds` exact-DECIMAL Lloyd
+    * rounds, ≤ M·K·SD groups on 4 partitions), assign per-vector
+    * codes, and score the 5-query probe batch by asymmetric distance.
+    * Returns (cached emb — caller unpersists, per-(qid, vec_id)
+    * DECIMAL ADC). Shared VERBATIM by sim_pq_ann (top-3 report) and
     * sim_pq_recall_eval (recall@10) so the two keys can never diverge
     * on fit or scoring — the MirroredLsh single-source precedent. */
-  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val M = 4; val K = 8; val SD = 16
+  private[graft] def pqAdcGeo(s: SparkSession, d: String, M: Int, K: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val SD = 64 / M
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
     val seed: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(K)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
     var cb: Seq[Seq[Seq[Double]]] =
       Seq.tabulate(M)(sub => seed.map(v => v.slice(sub * SD, sub * SD + SD)))
-    def cbLit(c: Seq[Seq[Seq[Double]]]) =
-      array(c.map(sc => array(sc.map(cw => array(cw.map(lit): _*)): _*)): _*)
+    // ONE Literal node (typedLit), not an M*K*SD tree of lit() calls --
+    // at K=256 the per-lit tree is ~16k expression nodes and Catalyst
+    // analysis/codegen time dwarfs the data work (r9 sweep finding)
+    def cbLit(c: Seq[Seq[Seq[Double]]]) = typedLit(c)
     val sub = emb.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${M - 1}), s -> slice(v, s*$SD + 1, $SD))"))
         .as(Seq("sub", "sv")))
     def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = sub
       .withColumn("cb", cbLit(c))
-      .withColumn("best", element_at(array_sort(expr(
+      .withColumn("best", array_min(expr(
         s"""transform(sequence(0, ${K - 1}), c -> named_struct(
               'dist', aggregate(zip_with(sv, cb[sub][c],
                         (x, y) -> (x - y) * (x - y)),
                       0D, (acc, t) -> acc + t),
-              'cid', c))""")), 1))
+              'cid', c))""")))
       .select(col("vec_id"), col("sub"), col("sv"),
         col("best.cid").as("cid"))
-    // one Lloyd round: ≤ M·K·SD = 512 groups — bound the fit shuffle
-    // to 4 partitions regardless of corpus size (map-side partials
-    // reduce before the exchange), as in sim_ivf_ann
+    // Lloyd rounds: ≤ M·K·SD = 64·K groups per round — bound the fit
+    // shuffle to 4 partitions regardless of corpus size (map-side
+    // partials reduce before the exchange), as in sim_ivf_ann
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val means = assign(cb)
-        .select(col("sub"), col("cid"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "cid", "dim")
-        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("m"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-          r.getDouble(3))).toMap
-      cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
-        means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
+      for (_ <- 0 until rounds) {
+        val means = assign(cb)
+          .select(col("sub"), col("cid"),
+            posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy("sub", "cid", "dim")
+          .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            r.getDouble(3))).toMap
+        cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
+          means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val codes = assign(cb).select("vec_id", "sub", "cid")
     val q = sub.filter(col("vec_id") < 5)
@@ -110,6 +135,41 @@ object Similarity2 {
     (emb, adc)
   }
 
+  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqAdcGeo(s, d, PqM, PqK, PqRounds)
+
+  /** recall@10 of the ADC top-10 against exact-L2 truth per probe,
+    * geometry-parameterized — the body of sim_pq_recall_eval, exposed
+    * so the PqSweep main measures candidate geometries with the
+    * exact declared scoring path. */
+  private[graft] def pqRecall(s: SparkSession, d: String, M: Int, K: Int,
+      rounds: Int): DataFrame = {
+    val (emb, adc) = pqAdcGeo(s, d, M, K, rounds)
+    val wa = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
+    val adc10 = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= 10).select("qid", "vec_id")
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wt = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
+    val truth10 = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("l2", expr(
+        fsum("zip_with(qv, v, (x, y) -> (x - y) * (x - y))")))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= 10).select(col("qid").as("tqid"),
+        col("vec_id").as("tvid"))
+    val hits = adc10.join(truth10,
+        col("qid") === col("tqid") && col("vec_id") === col("tvid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    val out = probes.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+          .as("recall10"))
+      .orderBy("qid")
+    emb.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SemDeDup: k-means cells → pairwise cosine inside each cell only →
@@ -126,15 +186,15 @@ object Similarity2 {
       // order (k×dim-bounded collect — the sim_ivf_ann precedent)
       val cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(16)
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
-      val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+      val centArr = typedLit(cents)
       val assigned = emb
         .withColumn("cents", centArr)
-        .withColumn("best", element_at(array_sort(expr(
+        .withColumn("best", array_min(expr(
           s"""transform(sequence(0, ${cents.size - 1}), i -> named_struct(
                 'dist', aggregate(zip_with(v, cents[i],
                           (x, y) -> (x - y) * (x - y)),
                         0D, (acc, t) -> acc + t),
-                'cid', i))""")), 1))
+                'cid', i))""")))
         .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
       val x = assigned.select(col("cid"), col("vec_id").as("a"),
         col("v").as("va"))
@@ -158,15 +218,15 @@ object Similarity2 {
         .orderBy("cid")
     }),
 
-    // Product quantization: split 64 dims into M=4 subspaces, fit 8
-    // codewords per subspace (seed = sub-slices of the first 8
+    // Product quantization: split 64 dims into PqM subspaces, fit
+    // PqK codewords per subspace (seed = sub-slices of the first PqK
     // vectors, one exact-DECIMAL Lloyd round — the sim_ivf_ann
-    // machinery at subspace granularity), store each vector as 4
+    // machinery at subspace granularity), store each vector as PqM
     // codes, and answer the 5-query probe batch with asymmetric
     // distance: d(q, x) ≈ Σ_sub ||q_sub − codeword(code(x, sub))||².
     // The DECIMAL(28,10)-summed ADC makes the ranking order- and
     // engine-independent; the oracle replays fit, codes, and ranking
-    // digit-for-digit.
+    // digit-for-digit (generated from the same constants).
     "sim_pq_ann" -> ((s, d) => {
       val (emb, adc) = pqAdc(s, d)
       val w = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
@@ -181,46 +241,13 @@ object Similarity2 {
 
     // PQ quality harness — the tuning companion of sim_ann_recall_eval
     // for the quantized family: recall@10 of the ADC top-10 against
-    // exact-L2 truth per probe. This is the number that decides M×k
-    // (and whether residual IVFADC is needed) before a 100 TB build;
-    // the exact-L2 leg is bounded by the broadcast 5-query batch over
-    // one corpus scan — never all-pairs.
-    "sim_pq_recall_eval" -> ((s, d) => {
-      val (emb, adc) = pqAdc(s, d)
-      val wa = Window.partitionBy("qid").orderBy(col("adcd"), col("vec_id"))
-      val adc10 = adc.withColumn("rn", row_number().over(wa))
-        .filter(col("rn") <= 10).select("qid", "vec_id")
-      val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wt = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
-      val truth10 = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
-        .withColumn("l2", expr(
-          fsum("zip_with(qv, v, (x, y) -> (x - y) * (x - y))")))
-        .withColumn("rn", row_number().over(wt))
-        .filter(col("rn") <= 10).select(col("qid").as("tqid"),
-          col("vec_id").as("tvid"))
-      val hits = adc10.join(truth10,
-          col("qid") === col("tqid") && col("vec_id") === col("tvid"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      val out = probes.select("qid").join(hits, Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
-            .as("recall10"))
-        .orderBy("qid")
-      emb.unpersist()
-      out
-    }),
+    // exact-L2 truth per probe. This is the number that decides M×K
+    // (and whether residual IVFADC is needed) before a 100 TB build —
+    // it is exactly how the shipped PqM×PqK geometry was chosen (see
+    // PqSweep + PLANS.md); the exact-L2 leg is bounded by the
+    // broadcast 5-query batch over one corpus scan — never all-pairs.
+    "sim_pq_recall_eval" -> ((s, d) => pqRecall(s, d, PqM, PqK, PqRounds)),
 
-    // IVFADC — the composed production ANN architecture (Jégou et al.
-    // 2011 §IV, the FAISS IVFx,PQy index): coarse IVF cells restrict
-    // the search to NPROBE=2 probed cells, and candidates are scored
-    // by PQ asymmetric distance over RESIDUALS (v − centroid(cell)) —
-    // residual energy is what makes shared-codebook PQ accurate near
-    // cell boundaries. At 100 TB the scan cost per query is
-    // |probed cells|·(cell population)·M code bytes, never the corpus
-    // and never raw floats. Defined above (ivfpqQuery) — the one
-    // multi-stage key big enough to warrant a named val.
     "sim_ivfpq_ann" -> ivfpqQuery,
   )
 
@@ -234,15 +261,15 @@ object Similarity2 {
     // SQL) — k×dim-bounded driver state, as throughout
     val cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(NCELL)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    val centArr = typedLit(cents)
     // cell assignment + residual r = v − centroid(cell), one projection
     val res = emb.withColumn("cents", centArr)
-      .withColumn("cell", element_at(array_sort(expr(
+      .withColumn("cell", array_min(expr(
         s"""transform(sequence(0, ${NCELL - 1}), i -> named_struct(
               'dist', aggregate(zip_with(v, cents[i],
                         (x, y) -> (x - y) * (x - y)),
                       0D, (acc, t) -> acc + t),
-              'cid', i))""")), 1).getField("cid"))
+              'cid', i))""")).getField("cid"))
       .withColumn("r", expr("zip_with(v, cents[cell], (x, y) -> x - y)"))
       .select(col("vec_id"), col("cell"), col("r"))
     val rsub = res.select(col("vec_id"), col("cell"), posexplode(expr(
@@ -255,16 +282,18 @@ object Similarity2 {
       .select("r").collect().map(_.getSeq[Double](0)).toSeq
     var cb: Seq[Seq[Seq[Double]]] =
       Seq.tabulate(M)(sub => seedRes.map(r => r.slice(sub * SD, sub * SD + SD)))
-    def cbLit(c: Seq[Seq[Seq[Double]]]) =
-      array(c.map(sc => array(sc.map(cw => array(cw.map(lit): _*)): _*)): _*)
+    // ONE Literal node (typedLit), not an M*K*SD tree of lit() calls --
+    // at K=256 the per-lit tree is ~16k expression nodes and Catalyst
+    // analysis/codegen time dwarfs the data work (r9 sweep finding)
+    def cbLit(c: Seq[Seq[Seq[Double]]]) = typedLit(c)
     def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = rsub
       .withColumn("cb", cbLit(c))
-      .withColumn("best", element_at(array_sort(expr(
+      .withColumn("best", array_min(expr(
         s"""transform(sequence(0, ${K - 1}), c -> named_struct(
               'dist', aggregate(zip_with(sv, cb[sub][c],
                         (x, y) -> (x - y) * (x - y)),
                       0D, (acc, t) -> acc + t),
-              'cid', c))""")), 1))
+              'cid', c))""")))
       .select(col("vec_id"), col("cell"), col("sub"), col("sv"),
         col("best.cid").as("cid"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -324,6 +353,76 @@ object Similarity2 {
     out
   }
 
+  /** Shared PQ-fit front half of the generated oracles — interpolated
+    * from the SAME PqM/PqK/PqSD constants the Spark path uses, so an
+    * M×K geometry change cannot desync the two engines. Replays:
+    * sub-slicing, seed codebook (sub-slices of the first PqK
+    * vectors), exactly ONE exact-DECIMAL Lloyd round (hence the
+    * PqRounds=1 pin), final code assignment, probe distance table,
+    * and the DECIMAL ADC sums. */
+  private val pqOracleCore: String =
+    s"""WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+              sv AS (SELECT e.vec_id, s.sub,
+                            e.v[s.sub*$PqSD + 1 : s.sub*$PqSD + $PqSD] AS sv
+                     FROM e, subs s),
+              cb0 AS (SELECT s.sub,
+                             CAST(row_number() OVER (PARTITION BY s.sub
+                               ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
+                             q.v[s.sub*$PqSD + 1 : s.sub*$PqSD + $PqSD] AS cw
+                      FROM (SELECT vec_id, v FROM e
+                            ORDER BY vec_id LIMIT $PqK) q, subs s),
+              a0 AS (SELECT vec_id, sub, sv, cid FROM (
+                       SELECT su.vec_id, su.sub, su.sv, c.cid,
+                              row_number() OVER (
+                                PARTITION BY su.vec_id, su.sub
+                                ORDER BY list_aggregate(list_transform(
+                                  range(1, ${PqSD + 1}), i -> (su.sv[i] - c.cw[i])
+                                    * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
+                                AS rn
+                       FROM sv su JOIN cb0 c ON c.sub = su.sub)
+                     WHERE rn = 1),
+              m1 AS (SELECT sub, cid, dim,
+                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                              / count(*) AS m
+                     FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
+                           FROM a0,
+                             (SELECT unnest(range(0, $PqSD)) AS dim) dd)
+                     GROUP BY sub, cid, dim),
+              cb1 AS (SELECT c.sub, c.cid,
+                             list(coalesce(m1.m, c.cw[dd.dim + 1])
+                                  ORDER BY dd.dim) AS cw
+                      FROM cb0 c
+                      CROSS JOIN (SELECT unnest(range(0, $PqSD)) AS dim) dd
+                      LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
+                        AND m1.dim = dd.dim
+                      GROUP BY c.sub, c.cid),
+              codes AS (SELECT vec_id, sub, cid FROM (
+                          SELECT su.vec_id, su.sub, c.cid,
+                                 row_number() OVER (
+                                   PARTITION BY su.vec_id, su.sub
+                                   ORDER BY list_aggregate(list_transform(
+                                     range(1, ${PqSD + 1}), i -> (su.sv[i] - c.cw[i])
+                                       * (su.sv[i] - c.cw[i])), 'sum'),
+                                     c.cid) AS rn
+                          FROM sv su JOIN cb1 c ON c.sub = su.sub)
+                        WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, sub AS qsub, sv AS qsv
+                    FROM sv WHERE vec_id < 5),
+              dtab AS (SELECT q.qid, q.qsub, c.cid AS dcid,
+                              list_aggregate(list_transform(range(1, ${PqSD + 1}),
+                                i -> (q.qsv[i] - c.cw[i])
+                                  * (q.qsv[i] - c.cw[i])), 'sum') AS dst
+                       FROM q JOIN cb1 c ON c.sub = q.qsub),
+              adc AS (SELECT d.qid, co.vec_id,
+                             sum(CAST(d.dst AS DECIMAL(28,10))) AS adcd
+                      FROM codes co JOIN dtab d
+                        ON d.qsub = co.sub AND d.dcid = co.cid
+                          AND co.vec_id <> d.qid
+                      GROUP BY d.qid, co.vec_id)"""
+
   val oracles: Map[String, String] = Map(
     "dedup_semantic_cluster" ->
       """WITH e AS (SELECT vec_id,
@@ -359,67 +458,7 @@ object Similarity2 {
          FROM mem m LEFT JOIN dr ON dr.cid = m.cid
          ORDER BY m.cid""",
     "sim_pq_ann" ->
-      """WITH e AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings),
-              subs AS (SELECT unnest(range(0, 4)) AS sub),
-              sv AS (SELECT e.vec_id, s.sub,
-                            e.v[s.sub*16 + 1 : s.sub*16 + 16] AS sv
-                     FROM e, subs s),
-              cb0 AS (SELECT s.sub,
-                             CAST(row_number() OVER (PARTITION BY s.sub
-                               ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
-                             q.v[s.sub*16 + 1 : s.sub*16 + 16] AS cw
-                      FROM (SELECT vec_id, v FROM e
-                            ORDER BY vec_id LIMIT 8) q, subs s),
-              a0 AS (SELECT vec_id, sub, sv, cid FROM (
-                       SELECT su.vec_id, su.sub, su.sv, c.cid,
-                              row_number() OVER (
-                                PARTITION BY su.vec_id, su.sub
-                                ORDER BY list_aggregate(list_transform(
-                                  range(1, 17), i -> (su.sv[i] - c.cw[i])
-                                    * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
-                                AS rn
-                       FROM sv su JOIN cb0 c ON c.sub = su.sub)
-                     WHERE rn = 1),
-              m1 AS (SELECT sub, cid, dim,
-                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
-                              / count(*) AS m
-                     FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
-                           FROM a0,
-                             (SELECT unnest(range(0, 16)) AS dim) dd)
-                     GROUP BY sub, cid, dim),
-              cb1 AS (SELECT c.sub, c.cid,
-                             list(coalesce(m1.m, c.cw[dd.dim + 1])
-                                  ORDER BY dd.dim) AS cw
-                      FROM cb0 c
-                      CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) dd
-                      LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
-                        AND m1.dim = dd.dim
-                      GROUP BY c.sub, c.cid),
-              codes AS (SELECT vec_id, sub, cid FROM (
-                          SELECT su.vec_id, su.sub, c.cid,
-                                 row_number() OVER (
-                                   PARTITION BY su.vec_id, su.sub
-                                   ORDER BY list_aggregate(list_transform(
-                                     range(1, 17), i -> (su.sv[i] - c.cw[i])
-                                       * (su.sv[i] - c.cw[i])), 'sum'),
-                                     c.cid) AS rn
-                          FROM sv su JOIN cb1 c ON c.sub = su.sub)
-                        WHERE rn = 1),
-              q AS (SELECT vec_id AS qid, sub AS qsub, sv AS qsv
-                    FROM sv WHERE vec_id < 5),
-              dtab AS (SELECT q.qid, q.qsub, c.cid AS dcid,
-                              list_aggregate(list_transform(range(1, 17),
-                                i -> (q.qsv[i] - c.cw[i])
-                                  * (q.qsv[i] - c.cw[i])), 'sum') AS dst
-                       FROM q JOIN cb1 c ON c.sub = q.qsub),
-              adc AS (SELECT d.qid, co.vec_id,
-                             sum(CAST(d.dst AS DECIMAL(28,10))) AS adcd
-                      FROM codes co JOIN dtab d
-                        ON d.qsub = co.sub AND d.dcid = co.cid
-                          AND co.vec_id <> d.qid
-                      GROUP BY d.qid, co.vec_id)
+      s"""$pqOracleCore
          SELECT qid, rank, vec_id,
                 CAST(floor(CAST(adcd AS DOUBLE) * 10000) AS DOUBLE) / 10000
                   AS adc4
@@ -429,67 +468,7 @@ object Similarity2 {
                FROM adc)
          WHERE rank <= 3 ORDER BY qid, rank""",
     "sim_pq_recall_eval" ->
-      """WITH e AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings),
-              subs AS (SELECT unnest(range(0, 4)) AS sub),
-              sv AS (SELECT e.vec_id, s.sub,
-                            e.v[s.sub*16 + 1 : s.sub*16 + 16] AS sv
-                     FROM e, subs s),
-              cb0 AS (SELECT s.sub,
-                             CAST(row_number() OVER (PARTITION BY s.sub
-                               ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
-                             q.v[s.sub*16 + 1 : s.sub*16 + 16] AS cw
-                      FROM (SELECT vec_id, v FROM e
-                            ORDER BY vec_id LIMIT 8) q, subs s),
-              a0 AS (SELECT vec_id, sub, sv, cid FROM (
-                       SELECT su.vec_id, su.sub, su.sv, c.cid,
-                              row_number() OVER (
-                                PARTITION BY su.vec_id, su.sub
-                                ORDER BY list_aggregate(list_transform(
-                                  range(1, 17), i -> (su.sv[i] - c.cw[i])
-                                    * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
-                                AS rn
-                       FROM sv su JOIN cb0 c ON c.sub = su.sub)
-                     WHERE rn = 1),
-              m1 AS (SELECT sub, cid, dim,
-                            CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
-                              / count(*) AS m
-                     FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
-                           FROM a0,
-                             (SELECT unnest(range(0, 16)) AS dim) dd)
-                     GROUP BY sub, cid, dim),
-              cb1 AS (SELECT c.sub, c.cid,
-                             list(coalesce(m1.m, c.cw[dd.dim + 1])
-                                  ORDER BY dd.dim) AS cw
-                      FROM cb0 c
-                      CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) dd
-                      LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
-                        AND m1.dim = dd.dim
-                      GROUP BY c.sub, c.cid),
-              codes AS (SELECT vec_id, sub, cid FROM (
-                          SELECT su.vec_id, su.sub, c.cid,
-                                 row_number() OVER (
-                                   PARTITION BY su.vec_id, su.sub
-                                   ORDER BY list_aggregate(list_transform(
-                                     range(1, 17), i -> (su.sv[i] - c.cw[i])
-                                       * (su.sv[i] - c.cw[i])), 'sum'),
-                                     c.cid) AS rn
-                          FROM sv su JOIN cb1 c ON c.sub = su.sub)
-                        WHERE rn = 1),
-              q AS (SELECT vec_id AS qid, sub AS qsub, sv AS qsv
-                    FROM sv WHERE vec_id < 5),
-              dtab AS (SELECT q.qid, q.qsub, c.cid AS dcid,
-                              list_aggregate(list_transform(range(1, 17),
-                                i -> (q.qsv[i] - c.cw[i])
-                                  * (q.qsv[i] - c.cw[i])), 'sum') AS dst
-                       FROM q JOIN cb1 c ON c.sub = q.qsub),
-              adc AS (SELECT d.qid, co.vec_id,
-                             sum(CAST(d.dst AS DECIMAL(28,10))) AS adcd
-                      FROM codes co JOIN dtab d
-                        ON d.qsub = co.sub AND d.dcid = co.cid
-                          AND co.vec_id <> d.qid
-                      GROUP BY d.qid, co.vec_id),
+      s"""$pqOracleCore,
               adc10 AS (SELECT qid, vec_id FROM (
                           SELECT qid, vec_id,
                                  row_number() OVER (PARTITION BY qid
