@@ -113,6 +113,8 @@ object GraftFunctions {
     exprs => StringHamming(exprs(0), exprs(1))
   val lshSigsBuilder: Seq[Expression] => Expression =
     exprs => LshSignatures(exprs(0))
+  val pqCodesBuilder: Seq[Expression] => Expression =
+    exprs => PqAssignCodes(exprs(0), exprs(1))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -121,6 +123,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("hamming_bits", hammingBitsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("lsh_sigs", lshSigsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("pq_codes", pqCodesBuilder, "built-in")
   }
 }
 
@@ -139,6 +143,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSignatures].getName, "lsh_sigs"),
       GraftFunctions.lshSigsBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqAssignCodes].getName, "pq_codes"),
+      GraftFunctions.pqCodesBuilder))
     // top-1-per-key windows → min(struct) aggregation (see
     // graft.plans.TopOneToMinStruct for the safety gates)
     ext.injectOptimizerRule(_ => graft.plans.TopOneToMinStruct)

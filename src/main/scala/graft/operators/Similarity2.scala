@@ -69,6 +69,7 @@ object Similarity2 {
     * on fit or scoring — the MirroredLsh single-source precedent. */
   private[graft] def pqAdcGeo(s: SparkSession, d: String, M: Int, K: Int,
       rounds: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
     val SD = 64 / M
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
@@ -80,19 +81,15 @@ object Similarity2 {
     // at K=256 the per-lit tree is ~16k expression nodes and Catalyst
     // analysis/codegen time dwarfs the data work (r9 sweep finding)
     def cbLit(c: Seq[Seq[Seq[Double]]]) = typedLit(c)
-    val sub = emb.select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), s -> slice(v, s*$SD + 1, $SD))"))
-        .as(Seq("sub", "sv")))
-    def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = sub
-      .withColumn("cb", cbLit(c))
-      .withColumn("best", array_min(expr(
-        s"""transform(sequence(0, ${K - 1}), c -> named_struct(
-              'dist', aggregate(zip_with(sv, cb[sub][c],
-                        (x, y) -> (x - y) * (x - y)),
-                      0D, (acc, t) -> acc + t),
-              'cid', c))""")))
-      .select(col("vec_id"), col("sub"), col("sv"),
-        col("best.cid").as("cid"))
+    // code assignment is the native pq_codes kernel (PqAssignCodes:
+    // tight-loop argmin inside WholeStageCodegen, bit-identical to
+    // the interpreted array_min(transform(...)) fold it replaced —
+    // see the expression's Scaladoc for the r9 timing rationale):
+    // one row per vector in, (vec_id, sub, cid) rows out
+    def codesOf(c: Seq[Seq[Seq[Double]]]): DataFrame = emb
+      .withColumn("codes", call_function("pq_codes", col("v"), cbLit(c)))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
     // Lloyd rounds: ≤ M·K·SD = 64·K groups per round — bound the fit
     // shuffle to 4 partitions regardless of corpus size (map-side
     // partials reduce before the exchange), as in sim_ivf_ann
@@ -100,9 +97,10 @@ object Similarity2 {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       for (_ <- 0 until rounds) {
-        val means = assign(cb)
+        val means = codesOf(cb)
           .select(col("sub"), col("cid"),
-            posexplode(col("sv")).as(Seq("dim", "x")))
+            posexplode(expr(s"slice(v, sub*$SD + 1, $SD)"))
+              .as(Seq("dim", "x")))
           .groupBy("sub", "cid", "dim")
           .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
             count(lit(1))).as("m"))
@@ -113,10 +111,11 @@ object Similarity2 {
           means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val codes = assign(cb).select("vec_id", "sub", "cid")
-    val q = sub.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
-        col("sv").as("qsv"))
+    val codes = codesOf(cb).select("vec_id", "sub", "cid")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(v, s*$SD + 1, $SD))"))
+        .as(Seq("qsub", "qsv")))
     val dtab = q.withColumn("cb", cbLit(cb))
       .select(col("qid"), col("qsub"), posexplode(expr(
         s"""transform(sequence(0, ${K - 1}), c ->
@@ -252,7 +251,8 @@ object Similarity2 {
   )
 
   private lazy val ivfpqQuery: (SparkSession, String) => DataFrame = (s, d) => {
-    val M = 4; val K = 8; val SD = 16; val NCELL = 16; val NPROBE = 2
+    val M = PqM; val K = PqK; val SD = PqSD; val NCELL = 16; val NPROBE = 2
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(dbl("embedding")).as("v")).cache()
     // coarse quantizer: seeded centroids (first NCELL vectors in
@@ -262,46 +262,35 @@ object Similarity2 {
     val cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(NCELL)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
     val centArr = typedLit(cents)
-    // cell assignment + residual r = v − centroid(cell), one projection
+    // cell assignment (native pq_codes argmin over an M=1 "codebook"
+    // of the NCELL centroids — same kernel, SD inferred as 64) +
+    // residual r = v − centroid(cell), one projection
     val res = emb.withColumn("cents", centArr)
-      .withColumn("cell", array_min(expr(
-        s"""transform(sequence(0, ${NCELL - 1}), i -> named_struct(
-              'dist', aggregate(zip_with(v, cents[i],
-                        (x, y) -> (x - y) * (x - y)),
-                      0D, (acc, t) -> acc + t),
-              'cid', i))""")).getField("cid"))
+      .withColumn("cell", element_at(
+        call_function("pq_codes", col("v"), typedLit(Seq(cents))), 1))
       .withColumn("r", expr("zip_with(v, cents[cell], (x, y) -> x - y)"))
       .select(col("vec_id"), col("cell"), col("r"))
-    val rsub = res.select(col("vec_id"), col("cell"), posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), s -> slice(r, s*$SD + 1, $SD))"))
-        .as(Seq("sub", "sv")))
     // ONE shared PQ codebook across cells (standard IVFADC), seeded
     // from the residuals of the first K vectors, one exact-DECIMAL
-    // Lloyd round (≤ M·K·SD = 512 groups on 4 partitions)
+    // Lloyd round (≤ M·K·SD = 64·K groups on 4 partitions); residual
+    // code assignment is the same native PqAssignCodes kernel as
+    // sim_pq_ann (bit-identical to the interpreted fold it replaced)
     val seedRes: Seq[Seq[Double]] = res.orderBy("vec_id").limit(K)
       .select("r").collect().map(_.getSeq[Double](0)).toSeq
     var cb: Seq[Seq[Seq[Double]]] =
       Seq.tabulate(M)(sub => seedRes.map(r => r.slice(sub * SD, sub * SD + SD)))
-    // ONE Literal node (typedLit), not an M*K*SD tree of lit() calls --
-    // at K=256 the per-lit tree is ~16k expression nodes and Catalyst
-    // analysis/codegen time dwarfs the data work (r9 sweep finding)
     def cbLit(c: Seq[Seq[Seq[Double]]]) = typedLit(c)
-    def assign(c: Seq[Seq[Seq[Double]]]): DataFrame = rsub
-      .withColumn("cb", cbLit(c))
-      .withColumn("best", array_min(expr(
-        s"""transform(sequence(0, ${K - 1}), c -> named_struct(
-              'dist', aggregate(zip_with(sv, cb[sub][c],
-                        (x, y) -> (x - y) * (x - y)),
-                      0D, (acc, t) -> acc + t),
-              'cid', c))""")))
-      .select(col("vec_id"), col("cell"), col("sub"), col("sv"),
-        col("best.cid").as("cid"))
+    def codesOf(c: Seq[Seq[Seq[Double]]]): DataFrame = res
+      .withColumn("codes", call_function("pq_codes", col("r"), cbLit(c)))
+      .select(col("vec_id"), col("cell"), col("r"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val means = assign(cb)
+      val means = codesOf(cb)
         .select(col("sub"), col("cid"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
+          posexplode(expr(s"slice(r, sub*$SD + 1, $SD)"))
+            .as(Seq("dim", "x")))
         .groupBy("sub", "cid", "dim")
         .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
           count(lit(1))).as("m"))
@@ -311,7 +300,7 @@ object Similarity2 {
       cb = Seq.tabulate(M)(sm => Seq.tabulate(K)(c => Seq.tabulate(SD)(j =>
         means.getOrElse((sm, c, j), cb(sm)(c)(j)))))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val codes = assign(cb).select("vec_id", "cell", "sub", "cid")
+    val codes = codesOf(cb).select("vec_id", "cell", "sub", "cid")
     // probe batch: top-NPROBE cells per query by coarse distance, then
     // a PER-PROBED-CELL query residual → |Q|·NPROBE·M·K distance table
     // (320 rows — broadcast side), joined to codes on (cell, sub, code)
@@ -494,7 +483,7 @@ object Similarity2 {
          FROM probes p LEFT JOIN hits h ON h.qid = p.qid
          ORDER BY p.qid""",
     "sim_ivfpq_ann" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
               c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
@@ -512,22 +501,22 @@ object Similarity2 {
                              list_transform(range(1, 65),
                                i -> v[i] - cv[i]) AS r
                       FROM av),
-              subs AS (SELECT unnest(range(0, 4)) AS sub),
+              subs AS (SELECT unnest(range(0, $PqM)) AS sub),
               rsv AS (SELECT res.vec_id, res.cell, s.sub,
-                             res.r[s.sub*16 + 1 : s.sub*16 + 16] AS sv
+                             res.r[s.sub*$PqSD + 1 : s.sub*$PqSD + $PqSD] AS sv
                       FROM res, subs s),
               cb0 AS (SELECT s.sub,
                              CAST(row_number() OVER (PARTITION BY s.sub
                                ORDER BY q.vec_id) AS INTEGER) - 1 AS cid,
-                             q.r[s.sub*16 + 1 : s.sub*16 + 16] AS cw
+                             q.r[s.sub*$PqSD + 1 : s.sub*$PqSD + $PqSD] AS cw
                       FROM (SELECT vec_id, r FROM res
-                            ORDER BY vec_id LIMIT 8) q, subs s),
+                            ORDER BY vec_id LIMIT $PqK) q, subs s),
               a0 AS (SELECT vec_id, cell, sub, sv, cid FROM (
                        SELECT su.vec_id, su.cell, su.sub, su.sv, c.cid,
                               row_number() OVER (
                                 PARTITION BY su.vec_id, su.sub
                                 ORDER BY list_aggregate(list_transform(
-                                  range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                  range(1, ${PqSD + 1}), i -> (su.sv[i] - c.cw[i])
                                     * (su.sv[i] - c.cw[i])), 'sum'), c.cid)
                                 AS rn
                        FROM rsv su JOIN cb0 c ON c.sub = su.sub)
@@ -537,13 +526,13 @@ object Similarity2 {
                               / count(*) AS m
                      FROM (SELECT sub, cid, dd.dim, sv[dd.dim + 1] AS x
                            FROM a0,
-                             (SELECT unnest(range(0, 16)) AS dim) dd)
+                             (SELECT unnest(range(0, $PqSD)) AS dim) dd)
                      GROUP BY sub, cid, dim),
               cb1 AS (SELECT c.sub, c.cid,
                              list(coalesce(m1.m, c.cw[dd.dim + 1])
                                   ORDER BY dd.dim) AS cw
                       FROM cb0 c
-                      CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) dd
+                      CROSS JOIN (SELECT unnest(range(0, $PqSD)) AS dim) dd
                       LEFT JOIN m1 ON m1.sub = c.sub AND m1.cid = c.cid
                         AND m1.dim = dd.dim
                       GROUP BY c.sub, c.cid),
@@ -552,7 +541,7 @@ object Similarity2 {
                                  row_number() OVER (
                                    PARTITION BY su.vec_id, su.sub
                                    ORDER BY list_aggregate(list_transform(
-                                     range(1, 17), i -> (su.sv[i] - c.cw[i])
+                                     range(1, ${PqSD + 1}), i -> (su.sv[i] - c.cw[i])
                                        * (su.sv[i] - c.cw[i])), 'sum'),
                                      c.cid) AS rn
                           FROM rsv su JOIN cb1 c ON c.sub = su.sub)
@@ -571,11 +560,11 @@ object Similarity2 {
                               i -> p.v[i] - c.cv[i]) AS qr
                      FROM probed p JOIN c0 c ON c.cell = p.pcell),
               qs AS (SELECT qid, pcell, s.sub,
-                            qr[s.sub*16 + 1 : s.sub*16 + 16] AS qsv
+                            qr[s.sub*$PqSD + 1 : s.sub*$PqSD + $PqSD] AS qsv
                      FROM qr, subs s),
               dtab AS (SELECT q.qid, q.pcell, q.sub AS qsub,
                               c.cid AS dcid,
-                              list_aggregate(list_transform(range(1, 17),
+                              list_aggregate(list_transform(range(1, ${PqSD + 1}),
                                 i -> (q.qsv[i] - c.cw[i])
                                   * (q.qsv[i] - c.cw[i])), 'sum') AS dst
                        FROM qs q JOIN cb1 c ON c.sub = q.sub),

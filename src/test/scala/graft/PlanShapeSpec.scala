@@ -223,6 +223,45 @@ class PlanShapeSpec extends GraftSuite {
     assert(proj(InternalRow(new GenericArrayData(Array(1.0f)))).isNullAt(0))
   }
 
+  test("PqAssignCodes generated Java compiles and matches eval") {
+    // Same rationale as the LshSignatures test above: a janino
+    // failure would silently fall back to interpreted execution.
+    // Compile the projection directly — throws if codegen is broken —
+    // and cross-check compiled vs eval on a 3-subspace codebook.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(3)(m =>
+      Seq.tabulate(4)(k => Seq.tabulate(2)(j => m + k * 0.5 + j * 0.25)))
+    val cbLit = Literal.create(cb,
+      ArrayType(ArrayType(ArrayType(DoubleType))))
+    val e = graft.functions.PqAssignCodes(
+      BoundReference(0, ArrayType(DoubleType, containsNull = true),
+        nullable = true), cbLit)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val v = new GenericArrayData(Array.tabulate(6)(i => math.cos(i) * 2))
+    val row = InternalRow(v)
+    val compiled = proj(row).getArray(0).toIntArray()
+    val interpreted = e.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(compiled.sameElements(interpreted),
+      s"compiled ${compiled.mkString(",")} != eval ${interpreted.mkString(",")}")
+    // codes equal a driver-side argmin recomputation
+    val expect = (0 until 3).map { m =>
+      (0 until 4).minBy { k =>
+        (0 until 2).map { j =>
+          val t = v.getDouble(m * 2 + j) - cb(m)(k)(j); t * t
+        }.sum
+      }
+    }
+    assert(compiled.toSeq == expect, s"${compiled.toSeq} != $expect")
+    // null vector and short vector → SQL NULL on the compiled path
+    assert(proj(InternalRow(null)).isNullAt(0))
+    assert(proj(InternalRow(new GenericArrayData(Array(1.0)))).isNullAt(0))
+  }
+
   test("text_unigram_logprob broadcasts the corpus total (1 row)") {
     val plan = executedPlan("text_unigram_logprob")
     assert(!plan.contains("CartesianProduct"),
