@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Verify/tests pin UTC; the events fixture is timestamp[us]/NTZ so
+      // the NTZ→Timestamp cast is session-timezone-dependent — an unpinned
+      // Bench on a non-UTC host would time ts-dependent queries over
+      // shifted instants (different cardinalities than Verify measures).
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/session initialization is fixed cost,
@@ -53,7 +58,41 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       wq.awaitTermination()
+      // second streaming init shape: the SYMMETRIC-HASH-JOIN state
+      // store (stream-stream joins) loads a different provider path
+      // than the agg/dedup store warmed above — r8's driver run showed
+      // stream_stream_left_outer at 8.8 s (idle anchor ~3 s) because
+      // whichever stream-stream key ran first absorbed that init.
+      val jq = spark.readStream.schema("id BIGINT, ts TIMESTAMP")
+        .parquet(stmp).withWatermark("ts", "1 hour")
+        .join(spark.readStream.schema("id BIGINT, ts TIMESTAMP")
+            .parquet(stmp).toDF("jid", "jts")
+            .withWatermark("jts", "1 hour"),
+          org.apache.spark.sql.functions.expr(
+            "id = jid AND jts BETWEEN ts AND ts + INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName("graft_warm_join")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      jq.awaitTermination()
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      // unigram-fit shape: eager localCheckpoint of a token-count
+      // synopsis + a broadcast scoring join — text_perplexity_buckets
+      // ran 5.1× its anchor in the r8 driver bench when it was the
+      // first key to pay checkpoint-dir + broadcast-exchange init.
+      // Runs the fit shape at FULL volume over the REAL documents
+      // table: parquet footer, split/explode codegen, AND the JIT
+      // tier-up of the explode+hashagg kernel (a limit(50) warm left
+      // the first full-scale text key at ~4× anchor — the kernel ran
+      // too few iterations to reach C2 before the timed run).
+      val wtok = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .groupBy("w").count().localCheckpoint(true)
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .join(org.apache.spark.sql.functions.broadcast(
+          wtok.limit(100)), Seq("w"), "left")
+        .selectExpr("sum(count)").collect()
       // events.parquet footer + the nanos-timestamp read path: every
       // streaming key scans it via Tables.events' schema probe
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,14 +109,22 @@ object Bench {
     // INT64-nanos → timestamp[us]) errored 65 keys instantly and the
     // old silent `catch => -1L` recorded them as ~0.06 s "speedups".
     // Errors are now collected and emitted in the JSON line.
+    // An errored key contributes NO timing: time-to-error is not a
+    // measurement, and summing it into `value` (or leaving it in
+    // `queries`) lets downstream comparisons mistake a crash for a
+    // speedup — the exact r7 confusion. Errored keys appear ONLY in
+    // n_errors/error_keys.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
+    val results = selected.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding via Double.toString (locale-independent '.')
     // keeps the line compact, and "value" goes LAST: the driver stores

@@ -345,7 +345,7 @@ object DedupAdvanced {
       // minhash agg / shingle self-join per branch — cache() is out
       // because the plan is returned lazily and the pairing
       // convention (cache ⇒ unpersist before return) can't hold.
-      val wide = minhashWide(s, d)
+      val wide = minhashWide(s, d).localCheckpoint(true)
       val shing = shingles(s, d)
       val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = shing.toDF("sda", "sha")
@@ -359,6 +359,7 @@ object DedupAdvanced {
         .filter(col("ni").cast("double") /
           (col("xn") + col("yn") - col("ni")) >= 0.5)
         .select("da", "db")
+        .localCheckpoint(true)
       val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
       val geos = Seq((8, 1), (4, 2), (2, 4))
       // one declared plan: per-geometry 1-row aggregates crossJoined
