@@ -51,10 +51,109 @@ object Clustering {
     * the loop, the returned frame re-plans lazily). Shared by
     * dedup_cluster_cc and the composed pipeline_dedup_e2e. */
   private[graft] def components(verts: DataFrame, pairs: DataFrame): DataFrame = {
-    // GRAFT_CC_ALGO=star selects the large-star/small-star contraction
-    // A/B below (componentsStar); both produce identical min-labels
-    if (sys.env.get("GRAFT_CC_ALGO").contains("star"))
-      return componentsStar(verts, pairs)
+    // GRAFT_CC_ALGO selects the A/B implementations: "star" = the
+    // large-star/small-star contraction (componentsStar), "sql" = the
+    // per-round DataFrame loop (componentsSql, the r5–r8 default).
+    // All three produce identical min-labels; the default is the r9
+    // partitioner-pinned RDD loop (componentsRdd) — see its doc for
+    // the A/B numbers that flipped the default.
+    sys.env.get("GRAFT_CC_ALGO") match {
+      case Some("star") => componentsStar(verts, pairs)
+      case Some("sql")  => componentsSql(verts, pairs)
+      case _            => componentsRdd(verts, pairs)
+    }
+  }
+
+  /** r9 default: the same min-label + pointer-jump fixpoint as
+    * [[componentsSql]], but the LOOP runs in the RDD API with one
+    * explicit HashPartitioner shared by the edge set and every round's
+    * label state. Why this wins (A/B at sf0.1, warm, same ANN graph):
+    * the SQL loop pays per-round Catalyst analysis + a fresh
+    * LogicalRDD conversion (~0.5 s/round × 8 rounds ≈ 4 s of the
+    * 4.5–6 s key); here rounds are partitioner-co-located joins with
+    * ZERO per-round planning — edges⋈labels and the pointer jump are
+    * narrow, only the neighbor-min reduceByKey and the two
+    * key-rotations shuffle, and each round is ONE job whose fixpoint
+    * detection rides the materialization accumulator (exit on exactly
+    * zero changes — task retries can only overcount, so detection
+    * stays sound on a real cluster). At 10⁹ nodes the same code holds:
+    * the partitioner sizes to state volume and every structure is
+    * (Long, Long) pairs partitioned by node — this is the GraphX
+    * execution shape without the dependency. This is the documented
+    * "rarely: genuine iterative fixpoint" RDD exception to the
+    * DataFrame-first rule (SURVEY §1.3) — the declared API surface
+    * stays DataFrame on both ends. */
+  private[graft] def componentsRdd(verts: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = verts.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val nNodes = verts.count()
+    // partition count sizes to STATE VOLUME (~500k rows/partition),
+    // not core count — 2 at sample scale, thousands at 10⁹ nodes
+    val part = new HashPartitioner(
+      math.min(2048L, math.max(2L, nNodes / 500000L + 1L)).toInt)
+    val edges: RDD[(Long, Long)] = pairs
+      .select(col("a"), col("b")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (a == b) Iterator.empty else Iterator((a, b), (b, a))
+      }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var labels: RDD[(Long, Long)] = verts.rdd.map(r => (r.getLong(0), r.getLong(0)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var unpersistPrev: () => Unit = { val l = labels; () => { l.unpersist(); () } }
+    var changed = 1L
+    var iter = 0
+    val tLoop0 = System.nanoTime()
+    while (changed > 0 && iter < 16) {
+      // (1) neighbor min: edges⋈labels is NARROW (both by src=node);
+      // the min-combine shuffles once, landing back on `part`
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // (2) take min(own, neighbor) — narrow (both by node)
+      val m1 = labels.leftOuterJoin(nbrMin, part).mapValues {
+        case (old, nl) => (old, math.min(old, nl.getOrElse(old)))
+      }
+      // (3) pointer jump lab := lab(lab): rotate onto the label key
+      // (shuffle), join the round's own labels (narrow — j is m1's
+      // partitioning), rotate back to the node key (shuffle)
+      val j = m1.mapValues(_._2)
+      val byLab = m1.map { case (n, (old, lab)) => (lab, (n, old)) }
+        .partitionBy(part)
+      val acc = s.sparkContext.longAccumulator
+      val next = byLab.join(j)
+        .map { case (_, ((n, old), lab2)) =>
+          if (old != lab2) acc.add(1L)
+          (n, lab2)
+        }
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      changed = acc.value
+      unpersistPrev()
+      unpersistPrev = () => { next.unpersist(); () }
+      labels = next
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[componentsRdd] round=$iter changed=$changed" +
+          f" t=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
+    }
+    edges.unpersist()
+    // final persisted round stays cached; the returned frame reads it
+    s.createDataFrame(
+      labels.map { case (n, lab) => org.apache.spark.sql.Row(n, lab) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lab",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** r5–r8 default, kept for A/B via GRAFT_CC_ALGO=sql. */
+  private[graft] def componentsSql(verts: DataFrame, pairs: DataFrame): DataFrame = {
     val s = verts.sparkSession
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -79,6 +178,7 @@ object Clustering {
       var unpersistPrev: () => Unit = { val l = labels; () => { l.unpersist(); () } }
       var changed = 1L
       var iter = 0
+      val tLoop0 = System.nanoTime()
       while (changed > 0 && iter < 16) {
         // (1) neighbor min
         val nbr = edges.join(labels, edges("src") === labels("n"))
@@ -150,7 +250,8 @@ object Clustering {
         labels = next
         iter += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[components] round=$iter changed=$changed")
+          System.err.println(s"[components] round=$iter changed=$changed" +
+            f" t=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
       }
       edges.unpersist()
       // NOTE: the final round's persisted RDD stays cached — the
