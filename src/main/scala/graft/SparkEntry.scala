@@ -40,6 +40,7 @@ object SparkEntry {
     (operators.Analytics4.queries, operators.Analytics4.oracles),
     (operators.Spatial.queries, operators.Spatial.oracles),
     (operators.Similarity2.queries, operators.Similarity2.oracles),
+    (operators.Curation2.queries, operators.Curation2.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 curation operators — the three corpus-hygiene passes still
+  * missing after r8 (VERDICT r8 "What's missing" #3 and the
+  * training-pipeline mandate):
+  *
+  *   - `text_substring_dedup_chars`: CHARACTER-level exact substring
+  *     dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+  *     Language Models Better") via winnowing fingerprints
+  *     (Schleimer et al. 2003) — the granularity below the
+  *     word-8-gram shingles of `text_span_dedup`, with an
+  *     offset-independent detection guarantee above 59 chars.
+  *   - `text_boilerplate_ngrams`: within-source document-frequency
+  *     boilerplate detection (the RefinedWeb/CCNet repeated-template
+  *     removal signal).
+  *   - `feature_hashed_ngrams`: the hashing-trick feature map
+  *     (Weinberger et al. 2009; the fastText input layer) over
+  *     unigrams + bigrams.
+  *
+  * Oracle strategy follows DedupAdvanced: every hash is md5 over an
+  * explicit string (byte-identical in DuckDB), bucket ids derive from
+  * md5 hex prefixes via the conv ↔ strpos('0123456789abcdef',…)
+  * twin, doubles are floor(x·10⁴)/10⁴, and every result ends in a
+  * total ORDER BY.
+  *
+  * Scale notes (100 TB): all three shuffle only (key-hash, id) pairs —
+  * document text never moves. Substring windows are ~len/stride rows
+  * per doc with md5 applied BEFORE the shuffle; the duplicated-window
+  * inverted index is an equi-self-count on the hash (skew-safe: a
+  * hash bucket holds only byte-identical windows); boilerplate DF is
+  * one (source, hash) aggregation; the hashing trick is bounded at
+  * D=64 counters per doc — partial-aggregated map-side.
+  */
+object Curation2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** char k-gram width / winnow window: winnowing (Schleimer et al.
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting")
+    * guarantees any duplicated run ≥ WinL + WinW − 1 = 59 chars
+    * shares a selected fingerprint HASH across its copies REGARDLESS
+    * of byte offset — the content-defined selection a naive
+    * stride-aligned window scheme lacks (a stride grid never lines up
+    * across docs when the shared run sits at different offsets; the
+    * spec's planted-duplicate test caught exactly that in the first
+    * formulation of this key). */
+  private val WinL = 40
+  private val WinW = 20
+
+  val queries: Map[String, Q] = Map(
+    // Char-level exact substring dedup via winnowing fingerprints.
+    // Every char position hashes its 40-char k-gram (md5); each
+    // 20-position winnow window selects its (hash, pos)-minimum;
+    // the DISTINCT selected minima are the doc's fingerprints —
+    // ~len/20 of them, content-aligned. A fingerprint hash occurring
+    // ≥ 2 times corpus-wide (across docs or repeated within one —
+    // both are duplicated training text) marks a duplicated region,
+    // and per-doc overlapping fingerprint k-grams merge into maximal
+    // spans (gaps-and-islands) whose char mass is reported against
+    // the doc length. Scale: the per-position hashing is
+    // embarrassingly parallel AT THE SCAN (the price of char-grain
+    // dedup — Lee et al.'s suffix arrays touch every position too);
+    // the shuffle then moves only the ~len/20 selected fingerprints
+    // (a w-fold reduction — winnowing's point), keyed by hash, and a
+    // hash bucket holds only byte-identical k-grams (skew-safe).
+    "text_substring_dedup_chars" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .filter(col("len") >= WinL)
+        .select(col("doc_id"), col("len"), explode(expr(
+          s"""transform(sequence(1, len - $WinL + 1),
+                p -> named_struct('p', p,
+                                  'h', md5(substring(text, p, $WinL))))"""
+        )).as("g"))
+        .select(col("doc_id"), col("len"),
+          col("g.p").as("p"), col("g.h").as("h"))
+      // winnow: per start position the (h, p)-min of the next 20
+      // grams (trailing windows truncate identically in the oracle);
+      // DISTINCT minima = the fingerprint set
+      val fps = grams
+        .withColumn("m", min(struct(col("h"), col("p"))).over(
+          Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(0, WinW - 1)))
+        .select(col("doc_id"), col("len"),
+          col("m.h").as("h"), col("m.p").as("p"))
+        .distinct()
+      val marked = fps.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("h")))
+      val dups = marked.filter(col("nd") > 1)
+      // merge overlapping/adjacent duplicated k-grams into islands
+      val prevEnd = max(col("p") + lit(WinL - 1)).over(
+        Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val isl = dups
+        .withColumn("new_isl",
+          when(prevEnd.isNull || col("p") > prevEnd, 1).otherwise(0))
+        .withColumn("isl", sum(col("new_isl")).over(
+          Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg((max(col("p") + lit(WinL - 1)) - min(col("p")) + 1)
+          .as("span_chars"), count(lit(1)).as("n_fps"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("n_fps")).as("n_dup_fps"),
+          sum(col("span_chars")).as("dup_chars"))
+      marked.groupBy("doc_id", "len")
+        .agg(count(lit(1)).as("n_fingerprints"))
+        .join(isl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fingerprints"),
+          coalesce(col("n_dup_fps"), lit(0L)).as("n_dup_fps"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          (floor(coalesce(col("dup_chars"), lit(0L)) * 10000.0
+            / col("len")) / 10000).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Within-source boilerplate: distinct word-3-grams per doc, then
+    // the per-source document frequency of each 3-gram hash. A
+    // 3-gram carried by ≥ 3 docs of one source is template text
+    // (headers, navigation, legal footers in a real crawl). Reported
+    // per source: corpus size, distinct/boilerplate 3-gram counts,
+    // and the worst repeater. Only (source, md5) pairs shuffle.
+    "text_boilerplate_ngrams" -> ((s, d) => {
+      val docsrc = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val grams = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), col("doc_id"), explode(expr(
+          """array_distinct(zip_with(
+               zip_with(slice(t, 1, size(t)-2), slice(t, 2, size(t)-2),
+                        (a, b) -> concat(a, ' ', b)),
+               slice(t, 3, size(t)-2),
+               (ab, c) -> concat(ab, ' ', c)))"""
+        )).as("g"))
+        .select(col("source"), col("doc_id"), md5(col("g")).as("h"))
+      val df = grams.groupBy("source", "h")
+        .agg(count(lit(1)).as("df"))
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n_distinct_3grams"),
+          coalesce(sum(when(col("df") >= 3, 1L)), lit(0L))
+            .as("n_boilerplate_3grams"),
+          max(col("df")).as("max_df"))
+        .join(docsrc, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_distinct_3grams"),
+          col("n_boilerplate_3grams"), col("max_df"))
+        .orderBy("source")
+    }),
+
+    // Hashing-trick features: unigrams + word-bigrams hash into D=64
+    // buckets (first 2 md5 hex chars mod 64 — the conv↔strpos twin);
+    // per sampled doc the bucket-count vector is summarized as
+    // (nnz, argmax bucket with deterministic (count DESC, bucket ASC)
+    // tie-break, its count, l2 norm). The full vector is D bounded
+    // counters per doc — the map-side partial aggregation a 100 TB
+    // featurization relies on; no vocabulary state exists at all
+    // (that is the point of the trick).
+    "feature_hashed_ngrams" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val feats = toks.select(col("doc_id"), explode(expr(
+        """concat(t, zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
+                              (a, b) -> concat(a, ' ', b)))"""
+      )).as("f"))
+        .select(col("doc_id"),
+          (expr("CAST(conv(substring(md5(f), 1, 2), 16, 10) AS BIGINT)")
+            % 64).as("bucket"))
+      val cnts = feats.groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val top = cnts.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("bucket"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("bucket").as("top_bucket"),
+          col("cnt").as("top_cnt"))
+      cnts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_nz"),
+          (floor(sqrt(sum(col("cnt") * col("cnt"))) * 10000.0) / 10000)
+            .as("l2_norm"))
+        .join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_nz"), col("top_bucket"),
+          col("top_cnt"), col("l2_norm"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_substring_dedup_chars" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS len
+                        FROM documents WHERE length(text) >= $WinL),
+              pos AS (SELECT doc_id, text, len,
+                             unnest(range(1, len - ${WinL - 2})) AS p
+                      FROM base),
+              g AS (SELECT doc_id, len, p,
+                           md5(substr(text, CAST(p AS INT), $WinL)) AS h
+                    FROM pos),
+              sel AS (SELECT doc_id, len,
+                             min(struct_pack(h := h, p := p))
+                               OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND ${WinW - 1} FOLLOWING) AS m
+                      FROM g),
+              fp AS (SELECT DISTINCT doc_id, len,
+                            m.h AS h, m.p AS p
+                     FROM sel),
+              mk AS (SELECT doc_id, len, p,
+                            count(*) OVER (PARTITION BY h) AS nd
+                     FROM fp),
+              dup AS (SELECT doc_id, p,
+                             CASE WHEN p > coalesce(max(p + ${WinL - 1})
+                               OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                               THEN 1 ELSE 0 END AS new_isl
+                      FROM mk WHERE nd > 1),
+              isl AS (SELECT doc_id, p,
+                             sum(new_isl) OVER (PARTITION BY doc_id
+                               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS isl
+                      FROM dup),
+              sp AS (SELECT doc_id, isl,
+                            max(p + ${WinL - 1}) - min(p) + 1 AS span_chars,
+                            count(*) AS n_f
+                     FROM isl GROUP BY doc_id, isl),
+              agg AS (SELECT doc_id, count(*) AS n_dup_spans,
+                             CAST(sum(n_f) AS BIGINT) AS n_dup_fps,
+                             CAST(sum(span_chars) AS BIGINT) AS dup_chars
+                      FROM sp GROUP BY doc_id),
+              tot AS (SELECT doc_id, len, count(*) AS n_fingerprints
+                      FROM mk GROUP BY doc_id, len)
+         SELECT tot.doc_id, n_fingerprints,
+                coalesce(n_dup_fps, 0) AS n_dup_fps,
+                coalesce(n_dup_spans, 0) AS n_dup_spans,
+                coalesce(dup_chars, 0) AS dup_chars,
+                floor(coalesce(dup_chars, 0) * 10000.0 / len) / 10000
+                  AS dup_ratio
+         FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+         ORDER BY tot.doc_id""",
+    "text_boilerplate_ngrams" ->
+      """WITH ds AS (SELECT source, count(*) AS n_docs
+                     FROM documents GROUP BY source),
+              tok AS (SELECT source, doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+              g AS (SELECT DISTINCT source, doc_id,
+                           md5(unnest(list_transform(range(1, len(t) - 1),
+                             k -> t[k] || ' ' || t[k+1] || ' ' || t[k+2])))
+                             AS h
+                    FROM tok),
+              df AS (SELECT source, h, count(*) AS df
+                     FROM g GROUP BY source, h),
+              agg AS (SELECT source, count(*) AS n_distinct_3grams,
+                             CAST(coalesce(sum(CASE WHEN df >= 3 THEN 1 END),
+                                           0) AS BIGINT)
+                               AS n_boilerplate_3grams,
+                             max(df) AS max_df
+                      FROM df GROUP BY source)
+         SELECT agg.source, n_docs, n_distinct_3grams,
+                n_boilerplate_3grams, max_df
+         FROM agg JOIN ds ON agg.source = ds.source
+         ORDER BY agg.source""",
+    "feature_hashed_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 7 = 0),
+              f AS (SELECT doc_id, unnest(
+                             list_concat(t, list_transform(range(1, len(t)),
+                               k -> t[k] || ' ' || t[k+1]))) AS f
+                    FROM tok),
+              b AS (SELECT doc_id,
+                           ((strpos('0123456789abcdef',
+                               substr(md5(f), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef',
+                                substr(md5(f), 2, 1)) - 1)) % 64 AS bucket
+                    FROM f),
+              c AS (SELECT doc_id, bucket, count(*) AS cnt
+                    FROM b GROUP BY doc_id, bucket),
+              top AS (SELECT doc_id, bucket AS top_bucket, cnt AS top_cnt,
+                             row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, bucket) AS rn
+                      FROM c),
+              agg AS (SELECT doc_id, count(*) AS n_nz,
+                             floor(sqrt(sum(cnt * cnt)) * 10000.0) / 10000
+                               AS l2_norm
+                      FROM c GROUP BY doc_id)
+         SELECT agg.doc_id, n_nz, top_bucket, top_cnt, l2_norm
+         FROM agg JOIN top ON agg.doc_id = top.doc_id AND rn = 1
+         ORDER BY agg.doc_id""",
+  )
+}
