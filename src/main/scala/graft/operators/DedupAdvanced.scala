@@ -192,6 +192,42 @@ object DedupAdvanced {
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(20)),
 
+    // b-bit minhash (r9; Li & König 2010, "b-Bit Minwise Hashing"):
+    // store only the LAST hex nibble's parity of each of the 8
+    // MinHash minima — 1 bit per hash, a 128× signature compression
+    // vs the 32-hex minima — and estimate Jaccard from the matched-
+    // bit fraction m with the b=1 bias correction Ĵ = 2m − 1 (a
+    // non-matching pair agrees per bit with p = 1/2, so m ≈
+    // J + (1−J)/2). At 100 TB the 8-bit signatures ride shuffles
+    // and broadcasts at byte cost where full minima are 256 bytes —
+    // THE storage/accuracy dial for corpus-scale dedup; this key is
+    // its eval harness: per band candidate, the 1-bit estimate vs
+    // the signature-agreement estimate vs exact shingle Jaccard.
+    // Candidates stay the shared banded join — never all-pairs.
+    "dedup_bbit_minhash" -> ((s, d) => {
+      val wide = minhashWide(s, d)
+      val bitCols = (0 until 8).map(i =>
+        (expr(s"CAST(conv(substring(h$i, 32, 1), 16, 10) AS INT)") % 2)
+          .as(s"b$i"))
+      val bits = wide.select((col("doc_id") +: bitCols): _*)
+      val jac = minhashJaccard(s, d)
+      val ba = bits.toDF(("xa" +: (0 until 8).map(i => s"ba$i")): _*)
+      val bb = bits.toDF(("xb" +: (0 until 8).map(i => s"bb$i")): _*)
+      val nMatch = (0 until 8).map(i =>
+        when(col(s"ba$i") === col(s"bb$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      jac.join(ba, col("a") === col("xa"))
+        .join(bb, col("b") === col("xb"))
+        .select(col("a"), col("b"),
+          (floor(col("jac") * 10000) / 10000).as("jac4"),
+          nMatch.as("n_bits_match"),
+          greatest(lit(0.0),
+            nMatch.cast("double") * 2.0 / 8.0 - 1.0).as("est_bbit"))
+        .withColumn("err4",
+          floor(abs(col("est_bbit") - col("jac4")) * 10000) / 10000)
+        .orderBy("a", "b")
+    }),
+
     // Asymmetric CONTAINMENT dedup (round 6): |A∩B| / min(|A|,|B|)
     // over the same MinHash-band candidates. Jaccard misses the
     // quote-inside-a-larger-page duplication pattern (|A∩B|/|A∪B|
@@ -490,6 +526,53 @@ object DedupAdvanced {
          JOIN sizes x ON x.doc_id = c.da
          JOIN sizes y ON y.doc_id = c.db
          ORDER BY jac DESC, a, b LIMIT 20""",
+    "dedup_bbit_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 5 = 0),
+              shing AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                        FROM tok WHERE len(t) >= 3),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              mh AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+                     FROM shing CROSS JOIN seeds GROUP BY doc_id, i),
+              bits AS (SELECT doc_id, i,
+                              (strpos('0123456789abcdef', substr(h, 32, 1))
+                               - 1) % 2 AS bit
+                       FROM mh),
+              cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                       FROM mh a JOIN mh b
+                         ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+              inter AS (SELECT c.da, c.db, count(*) AS n
+                        FROM cand c
+                        JOIN shing sa ON sa.doc_id = c.da
+                        JOIN shing sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                        GROUP BY c.da, c.db),
+              mb AS (SELECT c.da, c.db,
+                            CAST(count(*) FILTER (WHERE p.bit = q.bit)
+                                 AS INT) AS n_bits_match
+                     FROM cand c
+                     JOIN bits p ON p.doc_id = c.da
+                     JOIN bits q ON q.doc_id = c.db AND q.i = p.i
+                     GROUP BY c.da, c.db),
+              ex AS (SELECT c.da, c.db,
+                            floor(CAST(coalesce(i.n, 0) AS DOUBLE)
+                                  / (x.n + y.n - coalesce(i.n, 0))
+                                  * 10000) / 10000 AS jac4
+                     FROM cand c
+                     LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                     JOIN sizes x ON x.doc_id = c.da
+                     JOIN sizes y ON y.doc_id = c.db)
+         SELECT ex.da AS a, ex.db AS b, jac4, n_bits_match,
+                greatest(0.0, CAST(n_bits_match AS DOUBLE) * 2.0 / 8.0
+                              - 1.0) AS est_bbit,
+                floor(abs(greatest(0.0,
+                        CAST(n_bits_match AS DOUBLE) * 2.0 / 8.0 - 1.0)
+                      - jac4) * 10000) / 10000 AS err4
+         FROM ex JOIN mb ON mb.da = ex.da AND mb.db = ex.db
+         ORDER BY a, b""",
     "dedup_minhash_containment" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 5 = 0),

@@ -95,6 +95,22 @@ object Subqueries {
           expr("try_cast(l_returnflag AS INT)").as("tc"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Recursive CTE (r9; Spark 4's WITH RECURSIVE): hierarchy walk
+    // over the implicit binary-heap tree parent(k) = floor(k/2) on a
+    // bounded customer sample — the org-chart / BOM-rollup query
+    // shape SQL engines express only recursively. The SQL text is
+    // shared VERBATIM with the DuckDB oracle (the star-revenue
+    // precedent): both engines iterate the same seed + step, depth =
+    // floor(log2 k) ≈ 11 levels here, and each level is one
+    // self-equi-join — on a cluster the per-level frame is
+    // partitioned by the join key, so recursion depth, not data
+    // volume, bounds the round count (same O(log n) shape as the CC
+    // loop).
+    "sql_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sqlRecursiveCte)
+    }),
+
     // Wide reshape: order counts by status × a fixed priority list.
     "pivot_wide" -> ((s, d) =>
       Tables.orders(s, d)
@@ -125,8 +141,29 @@ object Subqueries {
        GROUP BY r_name, n_name
        ORDER BY region, nation"""
 
+  /** Shared VERBATIM between spark.sql and the DuckDB oracle. Both
+    * engines support WITH RECURSIVE with identical UNION ALL
+    * iteration semantics; `/` on BIGINTs is float division in both
+    * (so floor(k / 2) is the portable integer parent). */
+  private val sqlRecursiveCte: String =
+    """WITH RECURSIVE nodes AS (
+         SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         FROM customer WHERE c_custkey <= 1500
+       ),
+       tree AS (
+         SELECT k, bal, 0 AS depth FROM nodes WHERE k = 1
+         UNION ALL
+         SELECT n.k, n.bal, t.depth + 1
+         FROM nodes n JOIN tree t
+           ON CAST(floor(n.k / 2) AS BIGINT) = t.k AND n.k > 1
+       )
+       SELECT depth, count(*) AS n_nodes,
+              round(CAST(sum(bal) AS DOUBLE), 4) AS total_bal
+       FROM tree GROUP BY depth ORDER BY depth"""
+
   val oracles: Map[String, String] = Map(
     "sql_text_star_revenue" -> sqlTextStarRevenue,
+    "sql_recursive_cte" -> sqlRecursiveCte,
     "subquery_lateral" ->
       """SELECT o.o_orderkey, o.o_orderstatus, l.max_price, l.n_lines
          FROM orders o,

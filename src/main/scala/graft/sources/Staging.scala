@@ -525,6 +525,68 @@ object Staging {
         .orderBy("doc_id")
     }),
 
+    // Gzipped JSON-lines round-trip (r9): the commonest raw-corpus
+    // interchange format (CommonCrawl WET/WARC derivatives ship as
+    // *.jsonl.gz). Write the documents corpus as gzip JSONL through
+    // the engine's own sink, re-read with a DECLARED schema (no
+    // inference pass), and fingerprint per lang. Scale note: gzip is
+    // NOT splittable — one file is one task — so the write keeps the
+    // source partitioning (many ~even files) rather than coalescing;
+    // at 100 TB the reader's parallelism is exactly the file count,
+    // which is why this sink never writes one giant .gz.
+    "scan_jsonl_gzip_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_jsonl_gz_")
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("text", StringType)))
+      s.read.schema(schema).json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
+
+    // Parquet bloom-filter sink (r9): write orders with a bloom
+    // filter on o_custkey in every row group, then serve a point
+    // lookup for a 5-key set. At 100 TB bloom filters are the
+    // row-group skip index for HIGH-CARDINALITY point predicates
+    // where min/max stats are useless (keys spread across the full
+    // range in every row group — exactly o_custkey's layout here);
+    // the footer check lives in StagingSpec, the result fingerprint
+    // here. The IN-list pushes down to the scan either way; blooms
+    // make the skip decisive instead of stats-blind.
+    "sink_parquet_bloom_filter" -> ((s, d) => {
+      val out = tmpDir("graft_bloom_")
+      Tables.orders(s, d)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        // parquet-mr SKIPS the bloom when every page of the column
+        // dictionary-encodes (the dictionary is already an exact
+        // filter) — true at fixture scale, never at 100 TB where a
+        // high-NDV key blows the dictionary budget; forcing the
+        // production encoding here keeps the staged layout the one
+        // this sink exists to produce (Round9Spec reads the filter
+        // back from the footer)
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(out)
+      val keys = Seq(7L, 700L, 1400L, 2100L, 2800L)
+      s.read.parquet(out)
+        .filter(col("o_custkey").isin(keys: _*))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
+        .orderBy("o_custkey")
+    }),
+
     // Microbatch file source: the fixture directory processed as a
     // bounded stream (AvailableNow), aggregated and drained to a
     // memory sink — equals the batch aggregate (also oracle-checked).
@@ -706,6 +768,17 @@ object Staging {
     "source_streaming_files" ->
       """SELECT l_returnflag, count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scan_jsonl_gzip_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "sink_parquet_bloom_filter" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 4) AS total
+         FROM orders WHERE o_custkey IN (7, 700, 1400, 2100, 2800)
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "corrupt_record_quarantine" ->
       """SELECT count(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_good,
                 count(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_quarantined,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 pins: the bloom-filter sink really writes bloom filters,
+  * the gzip sink really gzips, and the b-bit minhash estimator stays
+  * inside its structural bounds.
+  */
+class Round9Spec extends GraftSuite {
+
+  test("sink_parquet_bloom_filter: footer carries a bloom filter on o_custkey") {
+    // run the key (writes the staged dir), then open the footer with
+    // parquet-hadoop and read the o_custkey bloom filter back: a
+    // written key must test positive, a key far outside the fixture
+    // range should (with bloom-fp probability ~0) test negative.
+    SparkEntry.queries("sink_parquet_bloom_filter")(spark, sf).collect()
+    val dir = new java.io.File("/tmp/graft_scratch/graft_bloom_")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.values.bloomfilter.BloomFilter
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath),
+        new Configuration()))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_custkey")
+        .getOrElse(fail("o_custkey column missing from footer"))
+      val bloom: BloomFilter = reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(colMeta)
+      assert(bloom != null, "no bloom filter written for o_custkey — " +
+        "the parquet.bloom.filter.enabled#o_custkey option was dropped")
+      val someKey = Tables.orders(spark, sf)
+        .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+      assert(bloom.findHash(bloom.hash(someKey)),
+        s"bloom misses written key $someKey")
+      assert(!bloom.findHash(bloom.hash(999999999L)),
+        "bloom claims a key far outside the fixture range (fp fluke " +
+          "or a degenerate always-true filter)")
+    } finally reader.close()
+  }
+
+  test("scan_jsonl_gzip_roundtrip: sink writes real .json.gz files") {
+    SparkEntry.queries("scan_jsonl_gzip_roundtrip")(spark, sf).collect()
+    val dir = new java.io.File("/tmp/graft_scratch/graft_jsonl_gz_")
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected gzip json parts, got ${parts.map(_.getName).toSeq}")
+    // magic bytes: gzip members start 0x1f 0x8b
+    val head = java.nio.file.Files.readAllBytes(parts.head.toPath).take(2)
+    assert(head.sameElements(Array(0x1f.toByte, 0x8b.toByte)),
+      "part file is not actually gzip-compressed")
+  }
+
+  test("dedup_bbit_minhash: estimator structurally bounded") {
+    val out = SparkEntry.queries("dedup_bbit_minhash")(spark, sf).collect()
+    assert(out.nonEmpty, "banded candidates exist at every fixture SF")
+    out.foreach { r =>
+      val (m, est) = (r.getInt(3), r.getDouble(4))
+      assert(m >= 0 && m <= 8, s"bit matches $m out of [0,8]")
+      assert(est >= 0.0 && est <= 1.0, s"estimate $est out of [0,1]")
+      // Ĵ = max(0, 2m/8 − 1): quarter-grid values only
+      assert(math.abs(est * 4 - math.round(est * 4)) < 1e-12,
+        s"estimate $est is not on the b=1, k=8 quarter grid")
+    }
+  }
+}
