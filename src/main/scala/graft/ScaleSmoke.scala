@@ -134,6 +134,33 @@ object ScaleSmoke {
             posexplode(expr("lsh_sigs(embedding)")).as(Seq("t", "sig")))
           .groupBy("t", "sig").count().count()
       },
+      // r9: the winnowing fingerprint stage of
+      // text_substring_dedup_chars — per-position k-gram md5 (the
+      // scan-side cost of char-grain dedup), window-min selection,
+      // distinct, corpus-wide duplicate count on the hash. Replicated
+      // docs keep IDENTICAL text, so x16 also stresses the hash
+      // inverted index with 16× colliding fingerprints — the
+      // worst-case (every doc duplicated) posture.
+      time(s"$tag/winnow_fingerprint") {
+        val grams = docs
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("len"))
+          .filter(col("len") >= 40)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, len - 39),
+                 p -> named_struct('p', p,
+                                   'h', md5(substring(text, p, 40))))"""
+          )).as("g"))
+          .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+        val w = Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(0, 19)
+        grams.withColumn("m", min(struct(col("h"), col("p"))).over(w))
+          .select(col("doc_id"), col("m.h").as("h"))
+          .distinct()
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("nd") > 1)
+          .groupBy("doc_id").count().count()
+      },
     )
 
     // round-7 shapes: the triangle wedge join over the co-supply graph

@@ -81,6 +81,16 @@ object Curation2 {
       // winnow: per start position the (h, p)-min of the next 20
       // grams (trailing windows truncate identically in the oracle);
       // DISTINCT minima = the fingerprint set
+      // The fingerprint frame feeds BOTH output branches (totals +
+      // dup islands), so the winnowing subtree is computed twice —
+      // DELIBERATELY. A/B at sf0.1 (5 warm reps): recompute 2.5 s vs
+      // eager localCheckpoint 3.9 s — the subtree is pure codegen'd
+      // CPU (md5 + window min) that parallelizes fully, while the
+      // checkpoint pays row serialization + an RDD boundary and
+      // breaks codegen fusion for everything downstream. The CC-loop
+      // precedent does NOT transfer: there the saved work is
+      // ITERATED (8 rounds × plan growth), here it is one extra
+      // linear pass.
       val fps = grams
         .withColumn("m", min(struct(col("h"), col("p"))).over(
           Window.partitionBy("doc_id").orderBy("p")
