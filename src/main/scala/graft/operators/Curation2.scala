@@ -164,6 +164,54 @@ object Curation2 {
         .orderBy("source")
     }),
 
+    // Duplicate-downweighting (r9): the SOFT alternative to dropping
+    // exact duplicates — each doc weighs 1/cluster_size (clusters =
+    // exact md5(text) groups, corpus-wide), so a 5-copy page
+    // contributes one page of training mass spread over its copies
+    // (the duplication-aware mixing used when upsampling curated
+    // sources). Per source: raw vs effective token budgets and the
+    // discount. Exactness: per-doc n_tok/cluster_size is one double
+    // division (identical bits both engines) quantized to
+    // DECIMAL(28,10) pre-sum — the order-independent sum pattern.
+    // Only (md5, source) pairs shuffle.
+    "sample_downweight_duplicates" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cs = h.groupBy("h").agg(count(lit(1)).as("csize"))
+      h.join(cs, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          sum(col("n_tok")).as("raw_tokens"),
+          (floor(sum((col("n_tok") / col("csize"))
+            .cast("decimal(28,10)")).cast("double") * 10000.0) / 10000)
+            .as("eff_tokens"))
+        .withColumn("discount",
+          floor((lit(1.0) - col("eff_tokens") / col("raw_tokens"))
+            * 10000.0) / 10000)
+        .orderBy("source")
+    }),
+
+    // Deterministic hash-rank reservoir (r9): a uniform k-per-group
+    // sample with NO random state — rank docs by md5 of the doc id
+    // and keep the k smallest per language. Mergeable by
+    // construction (min-k of a union = min-k of per-shard min-ks —
+    // the distributed-reservoir property), and Spark 4 plans the
+    // rank filter as map-side + reduce-side WindowGroupLimit, so at
+    // 100 TB each partition forwards at most k rows per group into
+    // the shuffle (the window_rank_topk_per_group plan note).
+    "sample_reservoir_hashrank" -> ((s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(concat(lit("rsv:"), col("doc_id").cast("string"))).as("u"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("lang").orderBy(col("u"), col("doc_id"))))
+        .filter(col("r") <= 20)
+      ranked.select(col("lang"), col("r"), col("doc_id"))
+        .orderBy("lang", "r")
+    }),
+
     // Hashing-trick features: unigrams + word-bigrams hash into D=64
     // buckets (first 2 md5 hex chars mod 64 — the conv↔strpos twin);
     // per sampled doc the bucket-count vector is summarized as
@@ -276,6 +324,37 @@ object Curation2 {
                 n_boilerplate_3grams, max_df
          FROM agg JOIN ds ON agg.source = ds.source
          ORDER BY agg.source""",
+    "sample_downweight_duplicates" ->
+      """WITH h AS (SELECT source, doc_id, md5(text) AS h,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+              cs AS (SELECT h, count(*) AS csize FROM h GROUP BY h),
+              j AS (SELECT source, n_tok, csize
+                    FROM h JOIN cs USING (h)),
+              agg AS (SELECT source, count(*) AS n_docs,
+                             CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+                             floor(CAST(sum(CAST(n_tok / csize
+                                     AS DECIMAL(28,10))) AS DOUBLE)
+                                   * 10000.0) / 10000 AS eff_tokens
+                      FROM j GROUP BY source),
+              uq AS (SELECT source, count(DISTINCT h) AS n_unique
+                     FROM h GROUP BY source)
+         SELECT agg.source, n_docs, n_unique, raw_tokens, eff_tokens,
+                floor((1.0 - eff_tokens / raw_tokens) * 10000.0) / 10000
+                  AS discount
+         FROM agg JOIN uq ON agg.source = uq.source
+         ORDER BY agg.source""",
+    "sample_reservoir_hashrank" ->
+      """WITH r AS (SELECT lang, doc_id,
+                           md5('rsv:' || CAST(doc_id AS VARCHAR)) AS u
+                    FROM documents),
+              rk AS (SELECT lang, doc_id,
+                            row_number() OVER (PARTITION BY lang
+                              ORDER BY u, doc_id) AS r
+                     FROM r)
+         SELECT lang, r, doc_id FROM rk WHERE r <= 20
+         ORDER BY lang, r""",
     "feature_hashed_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 7 = 0),

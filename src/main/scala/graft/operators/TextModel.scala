@@ -183,6 +183,60 @@ object TextModel {
         .orderBy("lang", "source")
     }),
 
+    // Stupid Backoff bigram scoring (r9; Brants et al. 2007, "Large
+    // Language Models in Machine Translation"): S(w2|w1) =
+    // cb(w1,w2)/cu(w1) when the bigram was seen in fit, else
+    // 0.4 · c(w2)/N — the non-normalized backoff that made web-scale
+    // LMs tractable (no discounting pass, counts only). The fit here
+    // runs on a 2 % slice (doc_id % 50 = 0 — the fixture vocabulary
+    // is so small that any larger fit covers every bigram and the
+    // backoff path would never fire; a real Zipf-tailed corpus backs
+    // off at any fit size) and scores the % 11 sample, so unseen
+    // bigrams genuinely occur and the backoff path is exercised and
+    // counted per doc (n_backoff). Scale: the
+    // bigram count table is corpus-sized → plain equi-join on
+    // (w1, w2); the unigram tables are vocab-sized → broadcast; the
+    // total is a 1-row broadcast. Determinism: identical-double ln,
+    // DECIMAL(28,10) per-term quantization, floor-scaled mean.
+    "text_bigram_backoff" -> ((s, d) => {
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val fit = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+      val fitBig = bigrams(fit)
+      val cb = fitBig.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = fitBig.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val cw = fit
+        .select(explode(split(col("text"), " ")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("cw"))
+      val tot = cw.agg(sum(col("cw")).cast("long").as("nn"))
+      bigrams(Tables.documents(s, d).filter(col("doc_id") % 11 === 0))
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(broadcast(cu), Seq("w1"), "left")
+        .join(broadcast(cw), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"),
+          when(col("cb").isNotNull,
+            -log(col("cb").cast("double") / col("cu").cast("double")))
+            .otherwise(-log(lit(0.4) *
+              coalesce(col("cw"), lit(1L)).cast("double")
+              / col("nn").cast("double")))
+            .cast("decimal(28,10)").as("nll"),
+          when(col("cb").isNull, 1L).otherwise(0L).as("bo"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("bo")).as("n_backoff"),
+          trunc4(sum(col("nll")).cast("double") / count(lit(1)))
+            .as("nll_bg"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (r8; Wenzek et al. 2020): score
     // EVERY document with the corpus unigram LM (same scorer as
     // text_unigram_logprob — fit is the full corpus, no sample), then
@@ -257,6 +311,48 @@ object TextModel {
                      FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
                      WHERE doc_id % 11 = 0)
          SELECT doc_id, lang, count(*) AS n_bigrams,
+                CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
+                     AS DOUBLE) / 10000 AS nll_bg
+         FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
+    "text_bigram_backoff" ->
+      """WITH fit AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents
+                      WHERE doc_id % 50 = 0
+                        AND len(string_split(text, ' ')) >= 2),
+              fitbig AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                         FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                               FROM fit)),
+              cb AS (SELECT w1, w2, count(*) AS cb
+                     FROM fitbig GROUP BY w1, w2),
+              cu AS (SELECT w1, count(*) AS cu FROM fitbig GROUP BY w1),
+              cw AS (SELECT w2, count(*) AS cw
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w2
+                           FROM documents WHERE doc_id % 50 = 0)
+                     GROUP BY w2),
+              tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+              sc0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                      FROM documents
+                      WHERE doc_id % 11 = 0
+                        AND len(string_split(text, ' ')) >= 2),
+              big AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+                      FROM (SELECT doc_id, lang, ws,
+                                   unnest(range(1, len(ws))) AS i
+                            FROM sc0)),
+              sc AS (SELECT doc_id, lang,
+                            CAST(CASE WHEN cb IS NOT NULL
+                                 THEN -ln(CAST(cb AS DOUBLE)
+                                          / CAST(cu AS DOUBLE))
+                                 ELSE -ln(0.4 * CAST(coalesce(cw, 1)
+                                                     AS DOUBLE)
+                                          / CAST(nn AS DOUBLE)) END
+                                 AS DECIMAL(28,10)) AS nll,
+                            CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS bo
+                     FROM big
+                     LEFT JOIN cb USING (w1, w2)
+                     LEFT JOIN cu USING (w1)
+                     LEFT JOIN cw USING (w2), tot)
+         SELECT doc_id, lang, count(*) AS n_bigrams,
+                CAST(sum(bo) AS BIGINT) AS n_backoff,
                 CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
                      AS DOUBLE) / 10000 AS nll_bg
          FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",

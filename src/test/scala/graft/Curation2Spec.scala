@@ -72,9 +72,63 @@ class Curation2Spec extends GraftSuite {
     }
   }
 
+  test("sample_downweight_duplicates: effective mass bounded by raw") {
+    val out = SparkEntry.queries("sample_downweight_duplicates")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nd, nu, raw, eff, disc) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(nu <= nd, "unique clusters bounded by docs")
+      assert(eff <= raw + 1e-9, "effective tokens cannot exceed raw")
+      assert(disc >= 0.0 && disc < 1.0, s"discount $disc out of [0,1)")
+    }
+  }
+
+  test("sample_reservoir_hashrank: exactly min(k, group) rows per lang, mergeable") {
+    val out = SparkEntry.queries("sample_reservoir_hashrank")(spark, sf)
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.foreach { case (l, n) =>
+      assert(sizes(l) == math.min(20L, n), s"lang $l sampled ${sizes(l)}")
+    }
+    // mergeability: the min-k of two disjoint half-corpus reservoirs
+    // equals the full reservoir (the distributed-sampling property)
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("rsv:"), col("doc_id").cast("string"))).as("u"))
+    def topk(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("r", row_number().over(
+          Window.partitionBy("lang").orderBy(col("u"), col("doc_id"))))
+        .filter(col("r") <= 20).drop("r")
+    }
+    val whole = topk(base).select("lang", "doc_id").collect().toSet
+    val merged = topk(topk(base.filter(col("doc_id") % 2 === 0))
+        .unionByName(topk(base.filter(col("doc_id") % 2 =!= 0))))
+      .select("lang", "doc_id").collect().toSet
+    assert(whole == merged, "hash-rank reservoir is not mergeable")
+  }
+
+  test("text_bigram_backoff: backoff path fires and counts are bounded") {
+    val out = SparkEntry.queries("text_bigram_backoff")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        "backoff count bounded by bigram count")
+      assert(r.getDouble(4) > 0.0, "mean surprise must be positive")
+    }
+    assert(out.map(_.getLong(3)).sum > 0,
+      "the 2% fit must leave unseen bigrams — backoff never fired")
+  }
+
   test("round-9 keys are deterministic across runs") {
     for (k <- Seq("text_substring_dedup_chars", "text_boilerplate_ngrams",
-        "feature_hashed_ngrams")) {
+        "feature_hashed_ngrams", "sample_downweight_duplicates",
+        "sample_reservoir_hashrank", "text_bigram_backoff")) {
       val a = SparkEntry.queries(k)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(k)(spark, sf).collect().toSeq
       assert(a == b, s"$k is not run-to-run deterministic")
