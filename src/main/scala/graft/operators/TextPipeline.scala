@@ -240,6 +240,46 @@ object TextPipeline {
         .orderBy("shard", "pack_id")
     }),
 
+    // Fixed-size overlapping chunking (round 9, VERDICT r8 #6): the
+    // RAG/embedding-prep primitive between `text_sequence_pack` and
+    // `text_dedup_paragraph`. Chunk width 120 chars, stride 80 (40
+    // overlap so no boundary-straddling span is lost); the LAST chunk
+    // truncates at the doc end and every doc yields ≥ 1 chunk.
+    // n_chunks = 1 + ceil(max(len−120, 0)/80) — integer-exact in both
+    // engines via (extra+79) div 80. Chunk ids are DETERMINISTIC
+    // content-free addresses md5(doc_id#idx) (stable across reruns &
+    // re-partitioning — the id an embedding row joins back on), while
+    // chunk_md5 hashes the chunk TEXT (the dedup key downstream).
+    // Scale: pure per-row generator — no shuffle at all before the
+    // final presentation sort; ~len/80 rows/doc, each carrying only
+    // hashes + offsets (the chunk text itself is dropped before any
+    // exchange). At 100 TB this is a map-only pass that pipelines
+    // straight into the embedding UDF batch.
+    "text_chunk_sliding" -> ((s, d) => {
+      val C = 120; val S = 80
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("text"), explode(expr(
+          s"""transform(
+                sequence(0L, (greatest(len - $C, 0) + ${S - 1}) div $S),
+                i -> named_struct('i', i, 'p', cast(i * $S + 1 as int)))"""
+        )).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.i").as("chunk_idx"),
+          md5(concat(col("doc_id").cast("string"), lit("#"),
+            col("c.i").cast("string"))).as("chunk_id"),
+          col("c.p").cast("long").as("start_char"),
+          expr(s"substring(text, c.p, $C)").as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_idx"), col("chunk_id"),
+          col("start_char"),
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          md5(col("chunk")).as("chunk_md5"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic importance-weighted sampling (round 6): the
     // training-mix reweighting primitive. Every doc gets an inclusion
     // probability p = min(1, n_chars/4000) (longer docs up-weighted)
@@ -339,6 +379,25 @@ object TextPipeline {
                      AS DOUBLE) / 10000 AS fill
          FROM c GROUP BY shard, cum_prev // 2048
          ORDER BY shard, pack_id""",
+    "text_chunk_sliding" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents),
+              g AS (SELECT doc_id, text,
+                           unnest(generate_series(0,
+                             (greatest(len - 120, 0) + 79) // 80)) AS i
+                    FROM base),
+              c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                           CAST(i * 80 + 1 AS BIGINT) AS start_char,
+                           substr(text, CAST(i * 80 + 1 AS INT), 120)
+                             AS chunk
+                    FROM g)
+         SELECT doc_id, chunk_idx,
+                md5(doc_id || '#' || chunk_idx) AS chunk_id,
+                start_char,
+                CAST(length(chunk) AS BIGINT) AS chunk_chars,
+                md5(chunk) AS chunk_md5,
+                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
+         FROM c ORDER BY doc_id, chunk_idx""",
     "sample_importance_weighted" ->
       """WITH k AS (SELECT lang, n_chars,
                            substr(md5(text), 1, 6)

@@ -69,4 +69,33 @@ class Round9Spec extends GraftSuite {
         s"estimate $est is not on the b=1, k=8 quarter grid")
     }
   }
+
+  test("text_chunk_sliding: chunks tile every doc at stride 80, last " +
+    "chunk ends exactly at len, ids deterministic") {
+    val rows = SparkEntry.queries("text_chunk_sliding")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == docs.keySet,
+      "every doc must yield at least one chunk")
+    rows.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val len = docs(id).length
+      val sorted = cs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) == 1L, s"doc $id: first start != 1")
+      sorted.iterator.sliding(2).withPartial(false).foreach { p =>
+        assert(p(1).getLong(3) - p(0).getLong(3) == 80L,
+          s"doc $id: stride != 80")
+        assert(p(0).getLong(4) == 120L,
+          s"doc $id: non-last chunk truncated")
+      }
+      val last = sorted.last
+      assert(last.getLong(3) + last.getLong(4) - 1 == len,
+        s"doc $id: last chunk must end at len=$len")
+      // id is the content-free address, md5 the content hash
+      val r0 = sorted.head
+      assert(r0.getString(2) ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id#0"))
+      assert(r0.getString(5) == org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(docs(id).substring(0, math.min(120, len))))
+    }
+  }
 }
