@@ -41,6 +41,7 @@ object SparkEntry {
     (operators.Spatial.queries, operators.Spatial.oracles),
     (operators.Similarity2.queries, operators.Similarity2.oracles),
     (operators.Curation2.queries, operators.Curation2.oracles),
+    (operators.Analytics5.queries, operators.Analytics5.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 statistical operators: survival analysis, distributional
+  * data-quality testing, deterministic bootstrap resampling, and
+  * lexical-diversity corpus profiling.
+  *
+  *   - `analytics_survival_km`: Kaplan–Meier (1958) right-censored
+  *     survival over customer lifetimes — THE churn/retention
+  *     estimator that `analytics_retention`'s uncensored cohort grid
+  *     cannot express (a customer still active at corpus end is
+  *     CENSORED, not churned; treating them as churned biases every
+  *     naive retention curve downward).
+  *   - `dq_benford_test`: Benford's-law first-digit audit + χ² stat
+  *     over order totals — the classic fabricated-data tripwire for
+  *     financial columns.
+  *   - `sample_poisson_bootstrap`: 16 deterministic Poisson(1)
+  *     bootstrap replicates (the online-bootstrap trick: per-row
+  *     hash-derived weights instead of resampling — Oza & Russell
+  *     2001, Chamandy et al. 2012 "Estimating Uncertainty for
+  *     Massive Data Streams", the way error bars are computed at
+  *     100 TB because true resampling would shuffle the corpus R
+  *     times).
+  *   - `text_lexical_diversity`: type-token ratio, hapax ratio and
+  *     Herdan's C per document — standard lexical-richness signals a
+  *     quality-filtering pipeline thresholds on (template/boilerplate
+  *     text scores low, natural prose high).
+  *
+  * Determinism strategy (the repo-standard twins): every per-row
+  * double term is quantized to DECIMAL(28,10) BEFORE any sum so
+  * aggregation order cannot matter; md5-prefix → uniform doubles use
+  * the conv ↔ strpos-polynomial twin (48 bits, double-exact); Benford
+  * shares and the Poisson(1) CDF are pasted as shortest-repr double
+  * LITERALS in both engines (never recomputed via log10/exp, whose
+  * libm rounding is not contractually identical); final doubles are
+  * floor(x·10⁴)/10⁴ on identical bits.
+  *
+  * Scale notes (100 TB): KM shuffles one row per customer, then one
+  * per (segment, lifetime-bucket) — the curve itself is
+  * segments × ~85 rows, window work is negligible; Benford is one
+  * partial-aggregated 9-group count; the bootstrap explodes ×16 but
+  * carries only (key-hash, weight, price) into a 16-group partial
+  * aggregate — map-side combine collapses it before any exchange;
+  * lexical diversity is one (doc_id, word) partial aggregate, text
+  * never shuffles.
+  */
+object Analytics5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Benford expected shares log10(1+1/d), d = 1..9 — shortest-repr
+    * doubles so Spark and DuckDB parse bit-identical constants. */
+  private val BenfordP: Seq[String] = Seq(
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+
+  /** Poisson(1) CDF at k = 0..7: P(W ≤ k) = e⁻¹·Σ_{j≤k} 1/j! —
+    * inverse-CDF thresholds for the bootstrap weights (weights > 8
+    * have probability < 1e-8; the tail is truncated identically in
+    * both engines). */
+  private val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
+  private val benfordArr = BenfordP.map(_ + "D").mkString("array(", ", ", ")")
+  private val benfordList = BenfordP.mkString("[", ", ", "]")
+  private val poissonArr = PoissonCdf.map(_ + "D").mkString("array(", ", ", ")")
+  private val poissonList = PoissonCdf.mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // Kaplan–Meier product-limit estimator, right-censored. A
+    // customer's lifetime is last−first order date in 30-day buckets;
+    // the event (churn) is OBSERVED iff the last order predates the
+    // corpus horizon by > 90 days, else the lifetime is censored at
+    // its last observed point. Per (mktsegment, t): risk set n_t
+    // (everyone whose exit time ≥ t, via total − running-ended),
+    // events d_t, censored c_t, and the running log-survival
+    // Σ ln((n−d)/n) — kept in log space END-TO-END (the product form
+    // would need a product aggregate neither engine shares; the
+    // monotone log transform loses nothing). ln terms are quantized
+    // DECIMAL(28,10) pre-sum; a terminal all-exit bucket would hit
+    // ln(0), clamped to ln(1e-12) so the query stays total.
+    "analytics_survival_km" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+      val cut = cust.agg(date_sub(max(col("last_d")), 90).as("cutoff"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg"))
+      val exits = cust.crossJoin(broadcast(cut)).join(seg, "o_custkey")
+        .select(col("seg"),
+          expr("CAST(datediff(last_d, first_d) div 30 AS BIGINT)").as("t"),
+          when(col("last_d") <= col("cutoff"), 1L).otherwise(0L).as("ev"))
+      val byT = exits.groupBy("seg", "t")
+        .agg(sum(col("ev")).as("d_events"),
+          (count(lit(1)) - sum(col("ev"))).as("n_censored"))
+      val wSeg = Window.partitionBy("seg")
+      val wPrev = Window.partitionBy("seg").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("seg").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT
+        .withColumn("n_risk",
+          sum(col("d_events") + col("n_censored")).over(wSeg) -
+            coalesce(sum(col("d_events") + col("n_censored")).over(wPrev),
+              lit(0L)))
+        .withColumn("lnq",
+          log(greatest(
+            (col("n_risk") - col("d_events")).cast("double") /
+              col("n_risk").cast("double"),
+            lit(1e-12))).cast("decimal(28,10)"))
+        .select(col("seg"), col("t"), col("n_risk"),
+          col("d_events"), col("n_censored"),
+          (floor(sum(col("lnq")).over(wRun).cast("double") * 10000.0)
+            / 10000).as("log_surv"))
+        .orderBy("seg", "t")
+    }),
+
+    // Benford first-digit audit: leading digit comes from the
+    // CANONICAL decimal rendering (cast to DECIMAL(18,2) first —
+    // both engines print decimals identically, where raw
+    // double-to-string formatting differs), counts left-join a
+    // generated 1..9 digit spine so absent digits report 0, and the
+    // χ² statistic Σ (obs−exp)²/exp is one 9-term quantized sum
+    // repeated on every row for a single-schema result.
+    "dq_benford_test" -> ((s, d) => {
+      val obs = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val spine = s.range(1, 10)
+        .select(col("id").cast("string").as("digit"))
+      val wAll = Window.partitionBy(lit(1))
+      spine.join(obs, Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .withColumn("p", expr(
+          s"element_at($benfordArr, CAST(digit AS INT))"))
+        .withColumn("n", sum(col("n_obs")).over(wAll))
+        .withColumn("exp_n", col("n").cast("double") * col("p"))
+        .withColumn("term",
+          (((col("n_obs").cast("double") - col("exp_n")) *
+            (col("n_obs").cast("double") - col("exp_n"))) / col("exp_n"))
+            .cast("decimal(28,10)"))
+        .select(col("digit"), col("n_obs"),
+          (floor(col("exp_n") * 10000.0) / 10000).as("exp_n"),
+          (floor((col("n_obs").cast("double") / col("n").cast("double"))
+            * 10000.0) / 10000).as("obs_share"),
+          (floor(sum(col("term")).over(wAll).cast("double") * 10000.0)
+            / 10000).as("chi2"))
+        .orderBy("digit")
+    }),
+
+    // Deterministic Poisson(1) bootstrap: replicate r's weight for a
+    // row is the inverse-CDF of a 48-bit md5(o_orderkey#r) uniform —
+    // reproducible across reruns, partitionings, and cluster sizes
+    // (the coin is the key, not a task seed), and mergeable because
+    // weights are per-row independent. Per replicate: effective row
+    // count (≈ n: E[W]=1), zero-weight rows (≈ n/e), and the weighted
+    // revenue total through exact DECIMAL arithmetic. The spread of
+    // boot_total across the 16 replicates IS the standard error of
+    // total revenue — no resampling shuffle ever happens.
+    "sample_poisson_bootstrap" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .select(col("o_orderkey"), col("price"),
+          explode(expr("sequence(0L, 15L)")).as("rep"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),
+             '#', CAST(rep AS STRING))), 1, 12), 16, 10) AS DOUBLE)
+             / 281474976710656.0"""))
+        .withColumn("w", expr(
+          s"CAST(size(filter($poissonArr, t -> u >= t)) AS BIGINT)"))
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("w")).as("n_eff"),
+          sum(when(col("w") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          (floor(sum(col("price") * col("w")).cast("double") * 10000.0)
+            / 10000).as("boot_total"))
+        .orderBy("rep")
+    }),
+
+    // Lexical richness per document: tokens N, types V, type-token
+    // ratio V/N, hapax-legomena share, Herdan's C = ln V / ln N (the
+    // length-robust variant a filter actually thresholds on, since
+    // raw TTR shrinks with N). One (doc_id, word) partial aggregate;
+    // ln on integer-valued doubles, ratio floored on identical bits.
+    "text_lexical_diversity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"), col("n_hapax"),
+          (floor((col("n_types").cast("double") / col("n_tok").cast("double"))
+            * 10000.0) / 10000).as("ttr"),
+          (floor((col("n_hapax").cast("double") / col("n_types").cast("double"))
+            * 10000.0) / 10000).as("hapax_ratio"),
+          (floor(expr("""ln(CAST(n_types AS DOUBLE)) /
+              nullif(ln(CAST(n_tok AS DOUBLE)), 0.0)""") * 10000.0)
+            / 10000).as("herdan_c"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "analytics_survival_km" ->
+      """WITH cust AS (SELECT o_custkey,
+                              CAST(min(o_orderdate) AS DATE) AS first_d,
+                              CAST(max(o_orderdate) AS DATE) AS last_d
+                       FROM orders GROUP BY o_custkey),
+              cut AS (SELECT max(last_d) - 90 AS cutoff FROM cust),
+              ex AS (SELECT c.c_mktsegment AS seg,
+                            CAST(date_diff('day', first_d, last_d) // 30
+                                 AS BIGINT) AS t,
+                            CASE WHEN last_d <= cutoff THEN 1 ELSE 0 END
+                              AS ev
+                     FROM cust CROSS JOIN cut
+                          JOIN customer c ON c.c_custkey = cust.o_custkey),
+              byt AS (SELECT seg, t,
+                             CAST(sum(ev) AS BIGINT) AS d_events,
+                             CAST(count(*) - sum(ev) AS BIGINT)
+                               AS n_censored
+                      FROM ex GROUP BY seg, t),
+              r AS (SELECT seg, t, d_events, n_censored,
+                           CAST(sum(d_events + n_censored)
+                                  OVER (PARTITION BY seg)
+                                - coalesce(sum(d_events + n_censored)
+                                    OVER (PARTITION BY seg ORDER BY t
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+                             AS n_risk
+                    FROM byt),
+              l AS (SELECT *,
+                           CAST(ln(greatest(
+                               CAST(n_risk - d_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE), 1e-12))
+                             AS DECIMAL(28,10)) AS lnq
+                    FROM r)
+         SELECT seg, t, n_risk, d_events, n_censored,
+                floor(CAST(sum(lnq) OVER (PARTITION BY seg ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) * 10000.0) / 10000 AS log_surv
+         FROM l ORDER BY seg, t""",
+    "dq_benford_test" ->
+      s"""WITH obs AS (SELECT substr(CAST(CAST(o_totalprice
+                                AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                                AS digit,
+                              count(*) AS n_obs
+                       FROM orders GROUP BY 1),
+              spine AS (SELECT CAST(i AS VARCHAR) AS digit
+                        FROM (SELECT unnest(generate_series(1, 9)) AS i)),
+              j AS (SELECT spine.digit,
+                           CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+                           $benfordList[CAST(spine.digit AS INT)] AS p
+                    FROM spine LEFT JOIN obs ON spine.digit = obs.digit),
+              t AS (SELECT digit, n_obs, p,
+                           CAST(sum(n_obs) OVER () AS BIGINT) AS n
+                    FROM j),
+              q AS (SELECT *,
+                           CAST(n AS DOUBLE) * p AS exp_n,
+                           CAST(((CAST(n_obs AS DOUBLE)
+                                   - CAST(n AS DOUBLE) * p)
+                                 * (CAST(n_obs AS DOUBLE)
+                                   - CAST(n AS DOUBLE) * p))
+                                / (CAST(n AS DOUBLE) * p)
+                             AS DECIMAL(28,10)) AS term
+                    FROM t)
+         SELECT digit, n_obs,
+                floor(exp_n * 10000.0) / 10000 AS exp_n,
+                floor((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 10000.0) / 10000 AS obs_share,
+                floor(CAST(sum(term) OVER () AS DOUBLE) * 10000.0) / 10000
+                  AS chi2
+         FROM q ORDER BY digit""",
+    "sample_poisson_bootstrap" ->
+      s"""WITH e AS (SELECT o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                            unnest(generate_series(0, 15)) AS rep
+                     FROM orders),
+              u AS (SELECT rep, price,
+                           list_aggregate(list_transform(range(1, 13),
+                             j -> (strpos('0123456789abcdef',
+                                    substr(md5(o_orderkey || '#' || rep),
+                                           CAST(j AS INT), 1)) - 1)
+                                  * pow(16, 12 - j)), 'sum')
+                             / 281474976710656.0 AS u
+                    FROM e),
+              w AS (SELECT rep, price,
+                           CAST(len(list_filter($poissonList,
+                                  t -> u >= t)) AS BIGINT) AS w
+                    FROM u)
+         SELECT CAST(rep AS BIGINT) AS rep,
+                count(*) AS n_rows,
+                CAST(sum(w) AS BIGINT) AS n_eff,
+                CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_zero,
+                floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
+                  AS boot_total
+         FROM w GROUP BY rep ORDER BY rep""",
+    "text_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+              pw AS (SELECT doc_id, w, count(*) AS c
+                     FROM tok GROUP BY doc_id, w),
+              a AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tok,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_hapax
+                    FROM pw GROUP BY doc_id)
+         SELECT doc_id, n_tok, n_types, n_hapax,
+                floor((CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                      * 10000.0) / 10000 AS ttr,
+                floor((CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE))
+                      * 10000.0) / 10000 AS hapax_ratio,
+                floor((ln(CAST(n_types AS DOUBLE))
+                       / nullif(ln(CAST(n_tok AS DOUBLE)), 0.0))
+                      * 10000.0) / 10000 AS herdan_c
+         FROM a ORDER BY doc_id""")
+}

@@ -1,0 +1,83 @@
+package graft
+
+/** Semantic invariants for the round-9 statistical operators — the
+  * properties the hash oracle can't see (monotonicity, probability
+  * bounds, estimator behavior).
+  */
+class Analytics5Spec extends GraftSuite {
+
+  test("analytics_survival_km: log-survival non-increasing, risk set " +
+    "telescopes exactly") {
+    val rows = SparkEntry.queries("analytics_survival_km")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // risk set: n_risk(t_{i+1}) = n_risk(t_i) − d_i − c_i
+      sorted.iterator.sliding(2).withPartial(false).foreach { p =>
+        assert(p(1).getLong(2) ==
+          p(0).getLong(2) - p(0).getLong(3) - p(0).getLong(4),
+          s"$seg: risk set must shrink by exactly the exits")
+        assert(p(1).getDouble(5) <= p(0).getDouble(5) + 1e-9,
+          s"$seg: log-survival must be non-increasing")
+      }
+      assert(sorted.head.getDouble(5) <= 0.0 + 1e-9,
+        s"$seg: log-survival starts <= 0")
+      // every exit is counted once: first n_risk = total exits
+      assert(sorted.head.getLong(2) ==
+        sorted.map(r => r.getLong(3) + r.getLong(4)).sum,
+        s"$seg: first risk set must equal total customers")
+    }
+  }
+
+  test("dq_benford_test: 9 digits, shares sum to 1, chi2 constant and " +
+    "non-negative") {
+    val rows = SparkEntry.queries("dq_benford_test")(spark, sf).collect()
+    assert(rows.length == 9, "digit spine must produce exactly 9 rows")
+    assert(rows.map(_.getString(0)).toSet == (1 to 9).map(_.toString).toSet)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2,
+      s"observed shares sum to $shareSum, expected ~1 (floor-quantized)")
+    val chi2s = rows.map(_.getDouble(4)).distinct
+    assert(chi2s.length == 1, "chi2 must be identical on every row")
+    assert(chi2s.head >= 0.0)
+  }
+
+  test("sample_poisson_bootstrap: 16 replicates, E[W]=1 concentration, " +
+    "zero-weight share near 1/e") {
+    val rows = SparkEntry.queries("sample_poisson_bootstrap")(spark, sf)
+      .collect()
+    assert(rows.length == 16)
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "every replicate sees every row")
+      // Poisson(1): n_eff/n within ±10% of 1, n_zero/n within ±10%
+      // of 1/e (n >= 1500 at the smallest fixture → ~2.6% sd)
+      val eff = r.getLong(2).toDouble / n
+      val zero = r.getLong(3).toDouble / n
+      assert(math.abs(eff - 1.0) < 0.1, s"rep ${r.getLong(0)}: n_eff/n=$eff")
+      assert(math.abs(zero - math.exp(-1.0)) < 0.1,
+        s"rep ${r.getLong(0)}: n_zero/n=$zero")
+      assert(r.getDouble(4) > 0.0)
+    }
+    // replicates must actually differ (distinct hash streams)
+    assert(rows.map(_.getDouble(4)).distinct.length > 1,
+      "bootstrap totals are identical across replicates — weights " +
+        "are not replicate-dependent")
+  }
+
+  test("text_lexical_diversity: bounds hapax <= types <= tokens and " +
+    "ratios in (0,1]") {
+    val rows = SparkEntry.queries("text_lexical_diversity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h <= v && v <= n, s"doc ${r.getLong(0)}: $h <= $v <= $n")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0 + 1e-9,
+        s"doc ${r.getLong(0)}: Herdan C out of [0,1]")
+    }
+  }
+}
