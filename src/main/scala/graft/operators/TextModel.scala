@@ -237,6 +237,54 @@ object TextModel {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney bigram LM (r9; Kneser & Ney 1995, Chen &
+    // Goodman 1999 — THE standard n-gram smoother, beside the
+    // Stupid-Backoff key above which is its count-only web-scale
+    // cousin): P(w2|w1) = (c(w1,w2) − D)/c(w1·) +
+    // D·N1+(w1,·)/c(w1·) · N1+(·,w2)/B, D = 0.75. The continuation
+    // probability N1+(·,w2)/B (how many CONTEXTS a word follows, not
+    // how often it occurs — the "San Francisco" insight) is what
+    // Stupid Backoff's raw-unigram fallback gets wrong. Fit = score
+    // corpus, so c(w1,w2) ≥ 1 and the discounted term ≥ 0.25/c(w1·)
+    // — max(·,0) provably never fires at D = 0.75 and is omitted.
+    // Scale: the bigram table is corpus-sized → plain equi-join; the
+    // three context tables (c(w1·)+N1+(w1,·), N1+(·,w2), B) are
+    // vocab-sized / 1-row → broadcast-pinned. Per-bigram −ln P is
+    // DECIMAL(28,10) pre-sum; op order in the P expression mirrors
+    // the oracle text token-for-token.
+    "text_kneser_ney_bigram" -> ((s, d) => {
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val big = bigrams(Tables.documents(s, d))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val ctx = big.groupBy("w1")
+        .agg(count(lit(1)).as("cu"), countDistinct(col("w2")).as("n1f"))
+      val bwd = cb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val btot = cb.agg(count(lit(1)).as("bb"))
+      big
+        .join(cb, Seq("w1", "w2"))
+        .join(broadcast(ctx), Seq("w1"))
+        .join(broadcast(bwd), Seq("w2"))
+        .crossJoin(broadcast(btot))
+        .select(col("doc_id"), col("lang"), expr(
+          """CAST(-ln((CAST(cb AS DOUBLE) - 0.75) / CAST(cu AS DOUBLE)
+                      + (0.75 * CAST(n1f AS DOUBLE) / CAST(cu AS DOUBLE))
+                        * (CAST(n1b AS DOUBLE) / CAST(bb AS DOUBLE)))
+                  AS DECIMAL(28,10))""").as("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          trunc4(sum(col("nll")).cast("double") / count(lit(1)))
+            .as("nll_kn"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (r8; Wenzek et al. 2020): score
     // EVERY document with the corpus unigram LM (same scorer as
     // text_unigram_logprob — fit is the full corpus, no sample), then
@@ -355,6 +403,36 @@ object TextModel {
                 CAST(sum(bo) AS BIGINT) AS n_backoff,
                 CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
                      AS DOUBLE) / 10000 AS nll_bg
+         FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
+    "text_kneser_ney_bigram" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+              big AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+                      FROM (SELECT doc_id, lang, ws,
+                                   unnest(range(1, len(ws))) AS i
+                            FROM docs)),
+              cb AS (SELECT w1, w2, count(*) AS cb
+                     FROM big GROUP BY w1, w2),
+              ctx AS (SELECT w1, count(*) AS cu,
+                             count(DISTINCT w2) AS n1f
+                      FROM big GROUP BY w1),
+              bwd AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+              btot AS (SELECT count(*) AS bb FROM cb),
+              sc AS (SELECT doc_id, lang,
+                            CAST(-ln((CAST(cb AS DOUBLE) - 0.75)
+                                       / CAST(cu AS DOUBLE)
+                                     + (0.75 * CAST(n1f AS DOUBLE)
+                                        / CAST(cu AS DOUBLE))
+                                       * (CAST(n1b AS DOUBLE)
+                                          / CAST(bb AS DOUBLE)))
+                                 AS DECIMAL(28,10)) AS nll
+                     FROM big JOIN cb USING (w1, w2)
+                          JOIN ctx USING (w1)
+                          JOIN bwd USING (w2), btot)
+         SELECT doc_id, lang, count(*) AS n_bigrams,
+                CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) * 10000)
+                     AS DOUBLE) / 10000 AS nll_kn
          FROM sc GROUP BY doc_id, lang ORDER BY doc_id""",
     "text_zipf_slope" ->
       """WITH cnt AS (SELECT lang, w, count(*) AS c

@@ -66,4 +66,37 @@ class TextModelSpec extends GraftSuite {
       assert(nll >= -1e-4, s"doc $id negative mean surprise: $nll")
     }
   }
+
+  test("text_kneser_ney_bigram: P(·|w1) is a proper distribution over " +
+    "the vocab for every context, scores positive") {
+    import org.apache.spark.sql.functions._
+    val out = TextModel.queries("text_kneser_ney_bigram")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(3) >= -1e-4,
+      s"doc ${r.getLong(0)}: mean -ln P must be >= 0 (P <= 1)"))
+    // recompute the fit tables on the driver (fixture corpus is tiny)
+    // and check exact normalization: Σ_w2∈V P(w2|w1) = 1 — the
+    // property interpolated KN guarantees and Stupid Backoff doesn't.
+    val bigs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .flatMap(ws => ws.init.zip(ws.tail))
+    val cbM = bigs.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cuM = bigs.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1fM = cbM.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1bM = cbM.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val bb = cbM.size.toDouble
+    val vocab = bigs.map(_._2).distinct
+    val d = 0.75
+    cuM.keys.take(25).foreach { w1 =>
+      val cu = cuM(w1).toDouble
+      val lam = d * n1fM(w1) / cu
+      val total = vocab.map { w2 =>
+        val disc = cbM.get((w1, w2)).map(c => (c - d) / cu).getOrElse(0.0)
+        disc + lam * (n1bM.getOrElse(w2, 0) / bb)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"context '$w1': KN probabilities sum to $total, not 1")
+    }
+  }
 }
