@@ -78,6 +78,25 @@ object GraphOps {
       .distinct()
   }
 
+  /** Unipartite co-PURCHASE graph: undirected edge (p1, p2) when two
+    * sampled parts appear in the same order. Sparser and less cliquey
+    * than the co-supply projection (orders hold ~4 items vs a
+    * supplier's ~80 parts) — degrees straddle the k-core threshold,
+    * which is what makes peeling non-trivial. Same scale story: the
+    * self-join is keyed on l_orderkey (equi, never all-pairs), output
+    * bounded by Σ_orders C(items, 2). */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String,
+                                     mod: Int): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % mod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    ps.as("a").join(ps.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
   private def coSupplyEdgesSql(mod: Int): String =
     s"""ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
                FROM lineitem WHERE l_partkey % $mod = 0),
@@ -177,9 +196,92 @@ object GraphOps {
           min(col("deg")).as("deg_min"), max(col("deg")).as("deg_max"))
         .orderBy("deg_bucket")
     }),
+
+    // k-core decomposition by iterative peeling (r9; Seidman 1983,
+    // Batagelj–Zaveršnik): drop every node with degree < k, induce
+    // the surviving subgraph, repeat. Declared semantics is the
+    // 6-round peel profile of the k=8 core over the CO-PURCHASE
+    // graph (parts sharing an order, sampled mod 10 — the co-supply
+    // graph is supplier-clique-dense and nothing ever peels; this
+    // one has degrees 3..23 around k, so the cascade is real:
+    // 172→157 nodes over the rounds at sf0.01). Rounds are FIXED,
+    // not convergence-driven — the distributed contract: each round
+    // is one degree aggregate + two semi-joins, so the round count
+    // bounds the shuffle count, exactly how Pregel-style engines
+    // budget it. Output per round: surviving node/edge counts — the
+    // shell-vs-core peel profile.
+    // Scale: each round's survivor edge set is localCheckpoint'ed
+    // (the dedup_cluster_cc iterative-loop precedent) — WITHOUT it
+    // every round re-references the previous round's subtree ~4×
+    // (degree u-side, degree v-side, induce base, stats), so the
+    // lazy plan grows ~4^rounds and Catalyst analysis, not the data,
+    // becomes the bottleneck (measured: the fully-declarative form
+    // never finished analysis at sf0.01; checkpointed it's seconds).
+    // The oracle needs the same medicine: AS MATERIALIZED on every
+    // round CTE, or DuckDB's inliner re-expands e_{r-1} per
+    // reference and dies the same exponential death.
+    "graph_kcore" -> ((s, d) => {
+      val k = 8
+      var e = coPurchaseEdges(s, d, 10).localCheckpoint()
+      var stats: DataFrame = null
+      for (r <- 1 to 6) {
+        val deg = e.select(col("u").as("n"))
+          .union(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select("n")
+        e = e
+          .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+        val st = e.select(col("u").as("n"))
+          .union(e.select(col("v").as("n"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"),
+            col("n_edges"))
+        stats = if (stats == null) st else stats.unionAll(st)
+      }
+      stats.orderBy("round")
+    }),
   )
 
+  /** Generated k-core oracle: the same 6 peel rounds as an explicit
+    * CTE chain (e0 → e6), one survivors row per round. Every round
+    * CTE is AS MATERIALIZED — DuckDB's default inlining re-expands
+    * e_{r-1} once per reference, which is the same ~4^rounds blowup
+    * the Spark side avoids with localCheckpoint. */
+  private def kcoreSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n, count(*) AS deg
+                  FROM (SELECT u AS n FROM e${r - 1}
+                        UNION ALL SELECT v FROM e${r - 1})
+                  GROUP BY n),
+          k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 8),
+          e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+                  WHERE u IN (SELECT n FROM k$r)
+                    AND v IN (SELECT n FROM k$r))"""
+    }.mkString(",\n")
+    val sel = (1 to 6).map { r =>
+      s"""SELECT $r AS round,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM (SELECT u AS n FROM e$r
+                        UNION SELECT v FROM e$r)) AS n_nodes,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                        l_partkey AS pk
+                                 FROM lineitem WHERE l_partkey % 10 = 0),
+            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                                FROM ps a JOIN ps b
+                                  ON a.ok = b.ok AND a.pk < b.pk),
+            e0 AS MATERIALIZED (SELECT u, v FROM ed),
+            $rounds
+       SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges
+       FROM ($sel) ORDER BY round"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                l_suppkey * 2 + 1 AS sn

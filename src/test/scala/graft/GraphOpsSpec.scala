@@ -57,4 +57,30 @@ class GraphOpsSpec extends GraftSuite {
     assert(math.abs(total - n) < 1e-6 * n,
       s"mass leaked: $total vs $n nodes")
   }
+
+  test("graph_kcore: rounds non-increasing and exactly match a " +
+    "driver-side reference peel") {
+    val got = operators.GraphOps.queries("graph_kcore")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length == 6)
+    got.iterator.sliding(2).withPartial(false).foreach { p =>
+      assert(p(1)._1 <= p(0)._1 && p(1)._2 <= p(0)._2,
+        "peel must be monotone non-increasing")
+    }
+    // reference peel over the same co-purchase edge set, in plain
+    // Scala collections
+    var e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (1 to 6).map { _ =>
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      val keep = deg.filter(_._2 >= 8).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+      val nodes = e.flatMap(p => Set(p._1, p._2))
+      (nodes.size.toLong, e.size.toLong)
+    }
+    assert(got.toSeq == expect,
+      s"peel profile mismatch: got=${got.toSeq} expect=$expect")
+  }
 }
