@@ -248,6 +248,72 @@ object Curation2 {
           col("top_cnt"), col("l2_norm"))
         .orderBy("doc_id")
     }),
+
+    // RAG corpus build end-to-end (r9): chunk → embed → retrieve as
+    // ONE declared plan, composing three verified primitives —
+    // sliding chunking (text_chunk_sliding geometry: 120/80),
+    // hashing-trick embeddings (feature_hashed_ngrams family: D=16
+    // dims, dim = first md5 hex digit of the token, so the vector is
+    // the token-distribution signature — a real embedding method,
+    // not noise), and top-3 retrieval. Retrieval runs as an INVERTED
+    // INDEX join: vectors stay relational (chunk, dim, count)
+    // triples, probe postings broadcast, the dim-keyed equi-join
+    // yields only pairs sharing a dimension, and the integer dot
+    // product Σ c_p·c_c is EXACT pre-normalization — the classic
+    // document-at-a-time sparse retrieval shape (what a 100 TB
+    // engine does instead of densifying: postings join + pair
+    // aggregate; no O(|probes|·|corpus|) dense cross join, no
+    // doubles until the final cosine division). Probes = chunks of
+    // doc_id%97 docs, candidates = chunks of doc_id%5 docs, other
+    // docs only.
+    "pipeline_chunk_embed_e2e" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("text"), explode(expr(
+          """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+               i -> named_struct('i', i, 'p', cast(i * 80 + 1 as int)))"""
+        )).as("c"))
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("c.i").cast("string")).as("cid"),
+          expr("substring(text, c.p, 120)").as("chunk"))
+      val emb = chunks
+        .select(col("doc_id"), col("cid"),
+          explode(split(col("chunk"), " ")).as("w"))
+        .select(col("doc_id"), col("cid"),
+          expr("CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) " +
+            "AS BIGINT)").as("dim"))
+        .groupBy("doc_id", "cid", "dim").agg(count(lit(1)).as("c"))
+      val probes = emb.filter(col("doc_id") % 97 === 0)
+      val cands = emb.filter(col("doc_id") % 5 === 0)
+      // per-side norms: the probe table is tiny → broadcast; the
+      // candidate-norm join stays a ccid equi-join (corpus-sized —
+      // broadcasting ALL chunk norms would not survive 100 TB)
+      val pn = probes.groupBy(col("cid").as("pcid"))
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("pn"))
+      val cn = cands.groupBy(col("cid").as("ccid"))
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("cn"))
+      val dots = cands.as("c")
+        .join(broadcast(probes.as("p")),
+          col("p.dim") === col("c.dim") &&
+            col("p.doc_id") =!= col("c.doc_id"))
+        .groupBy(col("p.cid").as("pcid"), col("c.cid").as("ccid"))
+        .agg(sum(col("p.c") * col("c.c")).as("dot"))
+      val scored = dots
+        .join(broadcast(pn), Seq("pcid"))
+        .join(cn, Seq("ccid"))
+        .withColumn("cos",
+          floor((col("dot").cast("double") / (col("pn") * col("cn")))
+            * 10000.0) / 10000)
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("pcid")
+            .orderBy(col("cos").desc, col("ccid"))))
+        .filter(col("rank") <= 3)
+        .select(col("pcid"), col("rank"), col("ccid"), col("dot"),
+          col("cos"))
+        .orderBy("pcid", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,5 +447,48 @@ object Curation2 {
          SELECT agg.doc_id, n_nz, top_bucket, top_cnt, l2_norm
          FROM agg JOIN top ON agg.doc_id = top.doc_id AND rn = 1
          ORDER BY agg.doc_id""",
+    "pipeline_chunk_embed_e2e" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents),
+              ch AS (SELECT doc_id, doc_id || '#' || i AS cid,
+                            substr(text, CAST(i * 80 + 1 AS INT), 120)
+                              AS chunk
+                     FROM (SELECT doc_id, text,
+                                  unnest(generate_series(0,
+                                    (greatest(len - 120, 0) + 79) // 80))
+                                    AS i
+                           FROM base)),
+              tokd AS (SELECT doc_id, cid,
+                              CAST(strpos('0123456789abcdef',
+                                     substr(md5(w), 1, 1)) AS BIGINT)
+                                AS dim
+                       FROM (SELECT doc_id, cid,
+                                    unnest(string_split(chunk, ' ')) AS w
+                             FROM ch)),
+              emb AS (SELECT doc_id, cid, dim, count(*) AS c
+                      FROM tokd GROUP BY doc_id, cid, dim),
+              probes AS (SELECT * FROM emb WHERE doc_id % 97 = 0),
+              cands AS (SELECT * FROM emb WHERE doc_id % 5 = 0),
+              pnrm AS (SELECT cid AS pcid,
+                              sqrt(CAST(sum(c * c) AS DOUBLE)) AS pn
+                       FROM probes GROUP BY cid),
+              cnrm AS (SELECT cid AS ccid,
+                              sqrt(CAST(sum(c * c) AS DOUBLE)) AS cn
+                       FROM cands GROUP BY cid),
+              dots AS (SELECT p.cid AS pcid, c.cid AS ccid,
+                              CAST(sum(p.c * c.c) AS BIGINT) AS dot
+                       FROM cands c JOIN probes p
+                         ON p.dim = c.dim AND p.doc_id <> c.doc_id
+                       GROUP BY p.cid, c.cid),
+              sc AS (SELECT pcid, ccid, dot,
+                            floor((CAST(dot AS DOUBLE) / (pn * cn))
+                                  * 10000.0) / 10000 AS cos
+                     FROM dots JOIN pnrm USING (pcid)
+                          JOIN cnrm USING (ccid)),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY pcid
+                            ORDER BY cos DESC, ccid) AS rank
+                     FROM sc)
+         SELECT pcid, CAST(rank AS INTEGER) AS rank, ccid, dot, cos
+         FROM rk WHERE rank <= 3 ORDER BY pcid, rank""",
   )
 }

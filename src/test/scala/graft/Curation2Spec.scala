@@ -134,4 +134,30 @@ class Curation2Spec extends GraftSuite {
       assert(a == b, s"$k is not run-to-run deterministic")
     }
   }
+
+  test("pipeline_chunk_embed_e2e: ranks contiguous, cosine bounded, " +
+    "probe/candidate doc sampling respected") {
+    val rows = SparkEntry.queries("pipeline_chunk_embed_e2e")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "at least one probe chunk must retrieve")
+    def docOf(cid: String): Long = cid.split("#")(0).toLong
+    rows.groupBy(_.getString(0)).foreach { case (pcid, rs) =>
+      assert(docOf(pcid) % 97 == 0, s"probe $pcid outside the %97 sample")
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to ranks.length), s"$pcid: ranks $ranks")
+      assert(ranks.length <= 3)
+      rs.foreach { r =>
+        val ccid = r.getString(2)
+        assert(docOf(ccid) % 5 == 0, s"cand $ccid outside the %5 sample")
+        assert(docOf(ccid) != docOf(pcid), "self-doc retrieval leaked")
+        assert(r.getLong(3) >= 1L, "joined pairs share a dim → dot >= 1")
+        assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0 + 1e-9,
+          s"cosine ${r.getDouble(4)} out of (0,1]")
+      }
+      // ranking is by descending quantized cosine
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$pcid: cosines not non-increasing down the ranks")
+    }
+  }
 }
