@@ -187,6 +187,53 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Theil–Sen robust trend (r9; Theil 1950, Sen 1968): the slope
+    // estimate is the LOWER MEDIAN of all pairwise slopes
+    // (v_j−v_i)/(x_j−x_i) of the daily series — up to ~29% of the
+    // points can be arbitrarily corrupted before the estimate moves
+    // (OLS breaks at one outlier; `timeseries_trend_ma`'s window
+    // mean smooths them but still absorbs them). Daily means are
+    // integer-quantized (×10⁴, the trend_ma idiom) BEFORE pairing so
+    // every slope is an exact int/int division; the median is an
+    // order statistic under the (slope, xa, xb) total order — rank
+    // (n+1) div 2, no interpolation, no float-boundary semantics.
+    // Scale: pairs explode per SERIES (C(len,2)), not per corpus —
+    // the self-join is equi on the series key, so a 100 TB corpus of
+    // many bounded-length series parallelizes per key; a single
+    // very long series would switch to the O(n log n) K-th-slope
+    // selection algorithm instead (documented trade, not needed at
+    // 30-point series).
+    "timeseries_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("dv"))
+        .select(col("event_type"),
+          datediff(col("day").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("x"),
+          floor(col("dv") * 10000).cast("long").as("v4i"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.x").as("xa"), col("b.x").as("xb"),
+          ((col("b.v4i") - col("a.v4i")).cast("double")
+            / (col("b.x") - col("a.x")).cast("double")).as("m"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("m"), col("xa"), col("xb"))))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .join(broadcast(nd), Seq("event_type"))
+        .select(col("event_type"), col("n_days"),
+          col("np").as("n_pairs"),
+          (floor(col("m")) / 10000.0).as("ts_slope"))
+        .orderBy("event_type")
+    }),
+
     // Lexical richness per document: tokens N, types V, type-token
     // ratio V/N, hapax-legomena share, Herdan's C = ln V / ln N (the
     // length-robust variant a filter actually thresholds on, since
@@ -306,6 +353,36 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "timeseries_theil_sen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                    AS DOUBLE) / count(*) AS dv
+                        FROM events GROUP BY 1, 2),
+              q AS (SELECT event_type,
+                           CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(day AS DATE)) AS BIGINT) AS x,
+                           CAST(floor(dv * 10000) AS BIGINT) AS v4i
+                    FROM daily),
+              p AS (SELECT a.event_type AS event_type, a.x AS xa,
+                           b.x AS xb,
+                           CAST(b.v4i - a.v4i AS DOUBLE)
+                             / CAST(b.x - a.x AS DOUBLE) AS m
+                    FROM q a JOIN q b
+                      ON a.event_type = b.event_type AND a.x < b.x),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY m, xa, xb) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS np
+                    FROM p),
+              nd AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                              AS n_days
+                     FROM q GROUP BY event_type)
+         SELECT r.event_type AS event_type, n_days,
+                CAST(np AS BIGINT) AS n_pairs,
+                floor(m) / 10000.0 AS ts_slope
+         FROM r JOIN nd ON r.event_type = nd.event_type
+         WHERE rn = (np + 1) // 2
+         ORDER BY r.event_type""",
     "text_lexical_diversity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),

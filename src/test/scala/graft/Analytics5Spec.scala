@@ -66,6 +66,46 @@ class Analytics5Spec extends GraftSuite {
         "are not replicate-dependent")
   }
 
+  test("timeseries_theil_sen: n_pairs = C(n_days,2) and the slope " +
+    "matches a driver-side lower-median mirror") {
+    val rows = SparkEntry.queries("timeseries_theil_sen")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // driver mirror: daily quantized means → pairwise slopes → lower
+    // median under the (m, xa, xb) total order
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day",
+            org.apache.spark.sql.functions.col("ts"))).as("day"),
+        org.apache.spark.sql.functions.col("value")
+          .cast("decimal(18,2)").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDecimal(2)))
+    val daily = ev.groupBy(t => (t._1, t._2)).map { case ((ty, dy), g) =>
+      val s = g.map(_._3).reduce(_.add(_)) // exact decimal sum
+      val dv = s.doubleValue() / g.length
+      (ty, dy.toEpochDay - java.time.LocalDate.parse("2024-01-01")
+        .toEpochDay, math.floor(dv * 10000).toLong)
+    }.toSeq
+    rows.foreach { r =>
+      val (ty, nDays, nPairs) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nPairs == nDays * (nDays - 1) / 2,
+        s"$ty: pair count must be C(n_days, 2) on a gap-free series")
+      val pts = daily.filter(_._1 == ty).map(t => (t._2, t._3)).sorted
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(j)._2 - pts(i)._2).toDouble
+        / (pts(j)._1 - pts(i)._1).toDouble,
+        pts(i)._1, pts(j)._1)).sorted
+      val med = slopes(((slopes.length + 1) / 2) - 1)._1
+      assert(r.getDouble(3) == math.floor(med) / 10000.0,
+        s"$ty: slope ${r.getDouble(3)} != mirror ${math.floor(med) / 10000.0}")
+    }
+  }
+
   test("text_lexical_diversity: bounds hapax <= types <= tokens and " +
     "ratios in (0,1]") {
     val rows = SparkEntry.queries("text_lexical_diversity")(spark, sf)
