@@ -284,6 +284,15 @@ object Curation2 {
           expr("CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) " +
             "AS BIGINT)").as("dim"))
         .groupBy("doc_id", "cid", "dim").agg(count(lit(1)).as("c"))
+      // Four consumers (probes, cands, and their norm aggregates)
+      // re-derive the chunk+tokenize+md5 subtree — DELIBERATELY
+      // recomputed. A/B at sf0.1 (isolated, 3 reps): recompute
+      // 5.7–6.8 s vs localCheckpoint 6.6–7.2 s — the subtree is pure
+      // codegen'd CPU that parallelizes fully, and the probe/cand
+      // branches prune it down (the checkpoint materializes the FULL
+      // emb first and pays the RDD boundary). Same verdict as the
+      // text_substring_dedup_chars A/B; the kcore/CC exception is
+      // ITERATED reuse, which this plan doesn't have.
       val probes = emb.filter(col("doc_id") % 97 === 0)
       val cands = emb.filter(col("doc_id") % 5 === 0)
       // per-side norms: the probe table is tiny → broadcast; the

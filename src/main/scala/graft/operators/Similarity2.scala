@@ -171,6 +171,74 @@ object Similarity2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Maximal Marginal Relevance re-ranking (r9; Carbonell & Goldstein
+    // 1998 — the diversity-aware retrieval layer every RAG stack puts
+    // on top of raw ANN top-k): greedily pick k=5 of the top-20
+    // candidates, step t maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)
+    // with λ=0.7 — relevance traded against redundancy with what's
+    // already selected. The greedy recurrence is UNROLLED into 5
+    // relational steps (each: one max-sim aggregate against the
+    // selected set + one per-probe argmax window) — k bounds the
+    // unroll, so the shuffle count is fixed at plan time; the
+    // candidate and pairwise-sim frames are localCheckpoint'ed once
+    // (bounded: probes×20 and probes×20×19 rows) so the 5 steps
+    // re-reference cheap leaves instead of re-deriving the
+    // brute-force scoring subtree (the graph_kcore lesson). Scores
+    // quantized floor-1e-4 with cid tiebreaks → fully deterministic
+    // greedy path, mirrored step-for-step by MATERIALIZED CTEs in
+    // the oracle.
+    "sim_mmr_diversify" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 5)
+      val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel",
+          floor(expr("cosine_sim(qe, embedding)") * 10000.0) / 10000)
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("qid"), col("vec_id").as("cid"), col("rel"),
+          col("embedding"))
+        .localCheckpoint()
+      val psim = cand.as("a").join(cand.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.qid").as("qid"), col("a.cid").as("ca"),
+          col("b.cid").as("cb"),
+          (floor(expr("cosine_sim(a.embedding, b.embedding)") * 10000.0)
+            / 10000).as("sim"))
+        .localCheckpoint()
+      var picked = cand
+        .withColumn("r2", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("rel").desc, col("cid"))))
+        .filter(col("r2") === 1)
+        .select(col("qid"), col("cid"), col("rel"),
+          col("rel").as("score"), lit(1L).as("pick"))
+      for (t <- 2 to 5) {
+        val ms = psim
+          .join(picked.select(col("qid"), col("cid").as("cb")),
+            Seq("qid", "cb"))
+          .groupBy(col("qid"), col("ca"))
+          .agg(max(col("sim")).as("msim"))
+          .withColumnRenamed("ca", "cid")
+        val pick = cand.select(col("qid"), col("cid"), col("rel"))
+          .join(picked.select("qid", "cid"), Seq("qid", "cid"),
+            "left_anti")
+          .join(ms, Seq("qid", "cid"))
+          .withColumn("score",
+            floor((lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+              * 10000.0) / 10000)
+          .withColumn("r2", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("cid"))))
+          .filter(col("r2") === 1)
+          .select(col("qid"), col("cid"), col("rel"), col("score"),
+            lit(t.toLong).as("pick"))
+        picked = picked.unionByName(pick)
+      }
+      picked.select(col("qid"), col("pick"), col("cid"), col("rel"),
+        col("score")).orderBy("qid", "pick")
+    }),
+
     // SemDeDup: k-means cells → pairwise cosine inside each cell only →
     // drop every vector that has a smaller-id neighbor above the
     // threshold. 0.35 is fixture-calibrated (the synthetic embeddings
@@ -412,7 +480,69 @@ object Similarity2 {
                           AND co.vec_id <> d.qid
                       GROUP BY d.qid, co.vec_id)"""
 
+  /** Generated MMR oracle: the same 5 greedy steps as MATERIALIZED
+    * CTE chain (s1 → r5), mirroring the unrolled Spark plan
+    * step-for-step; cosine mirrors the cosine_sim kernel via the
+    * sim_cosine_topk list-op twin. */
+  private def mmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""m$t AS (SELECT p.qid AS qid, p.ca AS cid, max(p.sim) AS msim
+                 FROM psim p JOIN r${t - 1} s
+                   ON p.qid = s.qid AND p.cb = s.cid
+                 GROUP BY p.qid, p.ca),
+          sc$t AS (SELECT c.qid AS qid, c.cid AS cid, c.rel AS rel,
+                          floor((0.7 * c.rel - 0.3 * m.msim) * 10000.0)
+                            / 10000 AS score
+                   FROM candr c JOIN m$t m
+                     ON c.qid = m.qid AND c.cid = m.cid
+                   WHERE NOT EXISTS (SELECT 1 FROM r${t - 1} s
+                                     WHERE s.qid = c.qid
+                                       AND s.cid = c.cid)),
+          s$t AS MATERIALIZED (SELECT qid, cid, rel, score, $t AS pick
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, cid) AS r2
+                        FROM sc$t) WHERE r2 = 1),
+          r$t AS MATERIALIZED (SELECT * FROM r${t - 1}
+                  UNION ALL SELECT * FROM s$t)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         nv AS MATERIALIZED (SELECT vec_id, v,
+              sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                AS nrm
+            FROM e),
+         qv AS (SELECT vec_id AS qid, v AS qvec, nrm AS qnrm
+                FROM nv WHERE vec_id < 5),
+         scall AS (SELECT qid, vec_id AS cid, v, nrm,
+                floor(list_aggregate(list_transform(
+                        range(1, len(qvec) + 1), i -> qvec[i] * v[i]),
+                      'sum') / (qnrm * nrm) * 10000.0) / 10000 AS rel
+            FROM qv JOIN nv ON vec_id <> qid),
+         candr AS MATERIALIZED (SELECT qid, cid, v, nrm, rel
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, cid) AS rn
+                  FROM scall) WHERE rn <= 20),
+         psim AS MATERIALIZED (SELECT a.qid AS qid, a.cid AS ca,
+                b.cid AS cb,
+                floor(list_aggregate(list_transform(
+                        range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                      'sum') / (a.nrm * b.nrm) * 10000.0) / 10000 AS sim
+            FROM candr a JOIN candr b
+              ON a.qid = b.qid AND a.cid <> b.cid),
+         s1 AS MATERIALIZED (SELECT qid, cid, rel, rel AS score,
+                1 AS pick
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, cid) AS r2
+                  FROM candr) WHERE r2 = 1),
+         r1 AS (SELECT * FROM s1),
+         $steps
+       SELECT qid, CAST(pick AS BIGINT) AS pick, cid, rel, score
+       FROM r5 ORDER BY qid, pick"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_mmr_diversify" -> mmrSql,
     "dedup_semantic_cluster" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -103,4 +103,47 @@ class SimilaritySpec extends GraftSuite {
       assert(math.abs(r.getDouble(2) - expected(r.getInt(0))) <= 1e-4)
     }
   }
+
+  test("sim_mmr_diversify: exactly matches a driver-side greedy " +
+    "mirror and is more diverse than plain top-5") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("sim_mmr_diversify")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q4(x: Double): Double = math.floor(x * 10000.0) / 10000
+    (0L until 5L).foreach { qid =>
+      val rel = vecs.keys.filter(_ != qid).map(c =>
+        c -> q4(cos(vecs(qid), vecs(c)))).toSeq
+      val cand = rel.sortBy { case (c, r) => (-r, c) }.take(20)
+      val relM = cand.toMap
+      var sel = Vector(cand.head._1)
+      (2 to 5).foreach { _ =>
+        val pick = cand.map(_._1).filterNot(sel.contains).map { c =>
+          val msim = sel.map(sv => q4(cos(vecs(c), vecs(sv)))).max
+          c -> q4(0.7 * relM(c) - 0.3 * msim)
+        }.minBy { case (c, s) => (-s, c) }._1
+        sel :+= pick
+      }
+      val got = out.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(got.toSeq == sel,
+        s"probe $qid: engine picks ${got.toSeq} != mirror $sel")
+      // diversity: MMR's max intra-set sim <= plain top-5's
+      def maxSim(set: Seq[Long]): Double = (for {
+        a <- set; b <- set if a < b
+      } yield cos(vecs(a), vecs(b))).max
+      val top5 = cand.take(5).map(_._1)
+      assert(maxSim(sel) <= maxSim(top5) + 1e-9,
+        s"probe $qid: MMR set is not more diverse than plain top-5")
+    }
+  }
 }
