@@ -268,10 +268,99 @@ object ScaleSmoke {
       },
     )
 
+    // round-9 shapes: the inverted-index retrieval join of
+    // pipeline_chunk_embed_e2e (corpus candidates grow K×, the probe
+    // batch stays FIXED — the production retrieval posture), one
+    // k-core peel round (degree agg + two semi-joins; replica-
+    // disjoint key spaces like triangle_wedge — graphs grow, they
+    // don't densify), and the Theil–Sen pairwise-slope self-join
+    // (replicas = disjoint SERIES: series count grows, each stays
+    // bounded, so pairs grow linearly — the documented contract).
+    def shapes5(tag: String, docs: => org.apache.spark.sql.DataFrame,
+        mult: Int) = Seq(
+      time(s"$tag/postings_topk") {
+        // mirrors pipeline_chunk_embed_e2e's pruned retrieval: D=256
+        // hash dims + the 30%-df stop-dim cut. The UNPRUNED D=16
+        // variant measured 9.4 s × 6.6 at K=16 here — every probe
+        // paired with every candidate, the postings join degenerated
+        // to the dense cross join; the df cut is what makes the
+        // inverted index an index.
+        def embOf(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("len"))
+          .select(col("doc_id"), col("text"), explode(expr(
+            """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+                 i -> cast(i * 80 + 1 as int))""")).as("p"))
+          .select(col("doc_id"),
+            concat(col("doc_id"), lit("#"), col("p")).as("cid"),
+            explode(split(expr("substring(text, p, 120)"), " ")).as("w"))
+          .select(col("doc_id"), col("cid"),
+            expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
+              .as("dim"))
+          .groupBy("doc_id", "cid", "dim").agg(count(lit(1)).as("c"))
+        val probes = embOf(docs1.filter(col("doc_id") % 97 === 0))
+        val cands = embOf(docs)
+        val nc = cands.agg(countDistinct(col("cid")).as("nc"))
+        val keep = cands.groupBy("dim").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nc))
+          .filter(col("df") * 10 <= col("nc") * 3)
+          .select("dim")
+        cands.join(broadcast(keep), Seq("dim")).as("c")
+          .join(broadcast(probes.join(broadcast(keep), Seq("dim")).as("p")),
+            col("p.dim") === col("c.dim") &&
+              col("p.doc_id") =!= col("c.doc_id"))
+          .groupBy(col("p.cid"), col("c.cid"))
+          .agg(sum(col("p.c") * col("c.c")).as("dot"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p.cid").orderBy(col("dot").desc, col("c.cid"))))
+          .filter(col("rn") <= 3).count()
+      },
+      time(s"$tag/kcore_round") {
+        val ps = (1 to mult).map(i =>
+          Tables.lineitem(spark, sfDir)
+            .filter(col("l_partkey") % 10 === 0)
+            .select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok"),
+              (col("l_partkey") + lit(i.toLong * 10000000L)).as("pk")))
+          .reduce(_ unionByName _).distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        val deg = e.select(col("u").as("n"))
+          .union(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 8).select("n")
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .count()
+      },
+      time(s"$tag/pairwise_slopes") {
+        val daily = (1 to mult).map(i =>
+          Tables.events(spark, sfDir)
+            .select(concat(col("event_type"), lit("_" + i)).as("k"),
+              date_trunc("day", col("ts")).as("day"),
+              col("value")))
+          .reduce(_ unionByName _)
+          .groupBy("k", "day")
+          .agg(floor(sum(col("value").cast("decimal(18,2)")).cast("double")
+            * 100).cast("long").as("v"))
+          .withColumn("x", datediff(col("day").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long"))
+        daily.as("a").join(daily.as("b"),
+            col("a.k") === col("b.k") && col("a.x") < col("b.x"))
+          .select(col("a.k").as("k"),
+            ((col("b.v") - col("a.v")).cast("double")
+              / (col("b.x") - col("a.x")).cast("double")).as("m"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy("m")))
+          .groupBy("k").agg(count(lit(1))).count()
+      },
+    )
+
     val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++
-      shapes3("x1", 1) ++ shapes4("x1", emb1)
+      shapes3("x1", 1) ++ shapes4("x1", emb1) ++ shapes5("x1", docs1, 1)
     val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK) ++
-      shapes3(s"x$k", k) ++ shapes4(s"x$k", embK)
+      shapes3(s"x$k", k) ++ shapes4(s"x$k", embK) ++
+      shapes5(s"x$k", docsK, k)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns

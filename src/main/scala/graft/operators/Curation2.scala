@@ -252,20 +252,29 @@ object Curation2 {
     // RAG corpus build end-to-end (r9): chunk → embed → retrieve as
     // ONE declared plan, composing three verified primitives —
     // sliding chunking (text_chunk_sliding geometry: 120/80),
-    // hashing-trick embeddings (feature_hashed_ngrams family: D=16
-    // dims, dim = first md5 hex digit of the token, so the vector is
-    // the token-distribution signature — a real embedding method,
-    // not noise), and top-3 retrieval. Retrieval runs as an INVERTED
-    // INDEX join: vectors stay relational (chunk, dim, count)
-    // triples, probe postings broadcast, the dim-keyed equi-join
-    // yields only pairs sharing a dimension, and the integer dot
-    // product Σ c_p·c_c is EXACT pre-normalization — the classic
-    // document-at-a-time sparse retrieval shape (what a 100 TB
-    // engine does instead of densifying: postings join + pair
-    // aggregate; no O(|probes|·|corpus|) dense cross join, no
-    // doubles until the final cosine division). Probes = chunks of
-    // doc_id%97 docs, candidates = chunks of doc_id%5 docs, other
-    // docs only.
+    // hashing-trick embeddings (feature_hashed_ngrams family: D=256
+    // dims, dim = first two md5 hex digits of the token ≈ one dim
+    // per vocab word, so the vector is the token-distribution
+    // signature) and top-3 retrieval. Retrieval runs as an INVERTED
+    // INDEX join with STOP-DIM pruning: dims whose candidate-corpus
+    // document frequency exceeds 30% are dropped from BOTH sides
+    // before scoring (the stopword/idf cut every production sparse
+    // retriever applies — ScaleSmoke measured the unpruned D=16
+    // variant pairing every probe with every candidate, i.e. the
+    // postings join degenerated to the dense cross join it's meant
+    // to avoid; pruning cuts pairs 13× at sf0.01 and the cut is
+    // df-proportional so it holds at any corpus size). Vectors stay
+    // relational (chunk, dim, count) triples, probe postings and the
+    // ≤256-row keep-list broadcast, the dim-keyed equi-join yields
+    // only pairs sharing a KEPT (discriminative) dim, and the
+    // integer dot product Σ c_p·c_c is EXACT pre-normalization — no
+    // doubles until the final cosine division; norms are computed
+    // over the pruned vectors (stop-dim removal is part of the
+    // embedding, as stopword removal precedes indexing). A probe
+    // whose every dim is a stop-dim retrieves nothing and drops out
+    // — honest, visible behavior (4 of 19 probe chunks at sf0.01).
+    // Probes = chunks of doc_id%97 docs, candidates = chunks of
+    // doc_id%5 docs, other docs only.
     "pipeline_chunk_embed_e2e" -> ((s, d) => {
       val chunks = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
@@ -281,20 +290,30 @@ object Curation2 {
         .select(col("doc_id"), col("cid"),
           explode(split(col("chunk"), " ")).as("w"))
         .select(col("doc_id"), col("cid"),
-          expr("CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) " +
-            "AS BIGINT)").as("dim"))
+          expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
+            .as("dim"))
         .groupBy("doc_id", "cid", "dim").agg(count(lit(1)).as("c"))
-      // Four consumers (probes, cands, and their norm aggregates)
-      // re-derive the chunk+tokenize+md5 subtree — DELIBERATELY
-      // recomputed. A/B at sf0.1 (isolated, 3 reps): recompute
-      // 5.7–6.8 s vs localCheckpoint 6.6–7.2 s — the subtree is pure
-      // codegen'd CPU that parallelizes fully, and the probe/cand
-      // branches prune it down (the checkpoint materializes the FULL
-      // emb first and pays the RDD boundary). Same verdict as the
-      // text_substring_dedup_chars A/B; the kcore/CC exception is
-      // ITERATED reuse, which this plan doesn't have.
-      val probes = emb.filter(col("doc_id") % 97 === 0)
-      val cands = emb.filter(col("doc_id") % 5 === 0)
+      // Consumers re-derive the chunk+tokenize+md5 subtree —
+      // DELIBERATELY recomputed. A/B at sf0.1 (isolated, 3 reps):
+      // recompute 5.7–6.8 s vs localCheckpoint 6.6–7.2 s — the
+      // subtree is pure codegen'd CPU that parallelizes fully, and
+      // the probe/cand branches prune it down (the checkpoint
+      // materializes the FULL emb first and pays the RDD boundary).
+      // Same verdict as the text_substring_dedup_chars A/B; the
+      // kcore/CC exception is ITERATED reuse, which this plan
+      // doesn't have.
+      val probesAll = emb.filter(col("doc_id") % 97 === 0)
+      val candsAll = emb.filter(col("doc_id") % 5 === 0)
+      // stop-dim cut: candidate-corpus df per dim (one bounded
+      // aggregate — ≤256 rows out), keep df ≤ 30% of candidate
+      // chunks; exact integer comparison df·10 ≤ nc·3
+      val nc = candsAll.agg(countDistinct(col("cid")).as("nc"))
+      val keep = candsAll.groupBy("dim").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nc))
+        .filter(col("df") * 10 <= col("nc") * 3)
+        .select("dim")
+      val probes = probesAll.join(broadcast(keep), Seq("dim"))
+      val cands = candsAll.join(broadcast(keep), Seq("dim"))
       // per-side norms: the probe table is tiny → broadcast; the
       // candidate-norm join stays a ccid equi-join (corpus-sized —
       // broadcasting ALL chunk norms would not survive 100 TB)
@@ -468,16 +487,28 @@ object Curation2 {
                                     AS i
                            FROM base)),
               tokd AS (SELECT doc_id, cid,
-                              CAST(strpos('0123456789abcdef',
-                                     substr(md5(w), 1, 1)) AS BIGINT)
-                                AS dim
+                              (CAST(strpos('0123456789abcdef',
+                                      substr(md5(w), 1, 1)) - 1
+                                    AS BIGINT)) * 16
+                              + (CAST(strpos('0123456789abcdef',
+                                       substr(md5(w), 2, 1)) - 1
+                                     AS BIGINT)) AS dim
                        FROM (SELECT doc_id, cid,
                                     unnest(string_split(chunk, ' ')) AS w
                              FROM ch)),
               emb AS (SELECT doc_id, cid, dim, count(*) AS c
                       FROM tokd GROUP BY doc_id, cid, dim),
-              probes AS (SELECT * FROM emb WHERE doc_id % 97 = 0),
-              cands AS (SELECT * FROM emb WHERE doc_id % 5 = 0),
+              probes0 AS (SELECT * FROM emb WHERE doc_id % 97 = 0),
+              cands0 AS (SELECT * FROM emb WHERE doc_id % 5 = 0),
+              nc AS (SELECT count(DISTINCT cid) AS nc FROM cands0),
+              keep AS (SELECT dim FROM
+                         (SELECT dim, count(*) AS df
+                          FROM cands0 GROUP BY dim) CROSS JOIN nc
+                       WHERE df * 10 <= nc * 3),
+              probes AS (SELECT probes0.* FROM probes0
+                         JOIN keep USING (dim)),
+              cands AS (SELECT cands0.* FROM cands0
+                        JOIN keep USING (dim)),
               pnrm AS (SELECT cid AS pcid,
                               sqrt(CAST(sum(c * c) AS DOUBLE)) AS pn
                        FROM probes GROUP BY cid),
