@@ -187,6 +187,60 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Neyman-allocated stratified sampling (r9; Neyman 1934 — the
+    // survey-sampling optimum): a 600-row budget is split across
+    // strata ∝ N_h·S_h (big AND volatile strata get more), then the
+    // sample is drawn deterministically by md5(key)-rank within each
+    // stratum — reproducible across reruns and partitionings, unlike
+    // rand(). Against proportional allocation this minimizes the
+    // variance of the stratified mean — the principled version of
+    // what `sample_stratified_exact` does uniformly. S_h comes from
+    // EXACT decimal sums (Σp, Σp² as DECIMAL(38,4)) so the variance
+    // is merge-order-independent; the alloc division mirrors the
+    // oracle token-for-token; floor() allocation may undershoot the
+    // budget by ≤ strata−1 rows (documented, visible in the output).
+    // Scale: pass 1 is a strata-row aggregate, pass 2 a broadcast
+    // alloc join + per-stratum rank filter (the WindowGroupLimit
+    // family) — nothing corpus-sized ever sits on the driver.
+    "sample_neyman_allocation" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("h"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val stats = o.groupBy("h")
+        .agg(count(lit(1)).as("nh"), sum(col("p")).as("sp"),
+          sum((col("p") * col("p")).cast("decimal(38,4)")).as("spp"))
+        .withColumn("varh", expr(
+          """(CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                / CAST(nh AS DOUBLE)) / CAST(nh - 1 AS DOUBLE)"""))
+        .withColumn("sh", sqrt(col("varh")))
+        .withColumn("nsh", col("nh").cast("double") * col("sh"))
+      val tot = stats.agg(
+        sum(col("nsh").cast("decimal(28,6)")).as("tns"))
+      val alloc = stats.crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          floor(lit(600.0) * col("nsh") / col("tns").cast("double"))
+            .cast("long"))
+      val samp = o
+        .join(broadcast(alloc.select("h", "alloc")), Seq("h"))
+        .withColumn("rk", row_number().over(Window.partitionBy("h")
+          .orderBy(md5(col("o_orderkey").cast("string")),
+            col("o_orderkey"))))
+        .filter(col("rk") <= col("alloc"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("p")).as("ssum"))
+      alloc.join(samp, Seq("h"))
+        .select(col("h"), col("nh"),
+          (floor(col("sh") * 10000.0) / 10000).as("s_h"),
+          col("alloc"), col("n_sampled"),
+          (floor((col("ssum").cast("double")
+            / col("n_sampled").cast("double")) * 10000.0) / 10000)
+            .as("sample_mean"),
+          (floor((col("sp").cast("double") / col("nh").cast("double"))
+            * 10000.0) / 10000).as("pop_mean"))
+        .orderBy("h")
+    }),
+
     // Theil–Sen robust trend (r9; Theil 1950, Sen 1968): the slope
     // estimate is the LOWER MEDIAN of all pairwise slopes
     // (v_j−v_i)/(x_j−x_i) of the daily series — up to ~29% of the
@@ -353,6 +407,44 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "sample_neyman_allocation" ->
+      """WITH o AS (SELECT o_orderpriority AS h, o_orderkey,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                    FROM orders),
+              st AS (SELECT h, count(*) AS nh,
+                            sum(p) AS sp,
+                            sum(CAST(p * p AS DECIMAL(38,4))) AS spp
+                     FROM o GROUP BY h),
+              sv AS (SELECT h, nh, sp,
+                            sqrt((CAST(spp AS DOUBLE)
+                                  - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                                    / CAST(nh AS DOUBLE))
+                                 / CAST(nh - 1 AS DOUBLE)) AS sh
+                     FROM st),
+              ns AS (SELECT *, CAST(nh AS DOUBLE) * sh AS nsh FROM sv),
+              tt AS (SELECT sum(CAST(nsh AS DECIMAL(28,6))) AS tns
+                     FROM ns),
+              al AS (SELECT h, nh, sp, sh,
+                            CAST(floor(600.0 * nsh / CAST(tns AS DOUBLE))
+                              AS BIGINT) AS alloc
+                     FROM ns CROSS JOIN tt),
+              rk AS (SELECT o.h AS h, p, alloc,
+                            row_number() OVER (PARTITION BY o.h
+                              ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                       o_orderkey) AS rk
+                     FROM o JOIN al ON o.h = al.h),
+              sm AS (SELECT h, count(*) AS n_sampled, sum(p) AS ssum
+                     FROM rk WHERE rk <= alloc GROUP BY h)
+         SELECT al.h AS h, nh,
+                floor(sh * 10000.0) / 10000 AS s_h,
+                alloc,
+                CAST(n_sampled AS BIGINT) AS n_sampled,
+                floor((CAST(ssum AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+                      * 10000.0) / 10000 AS sample_mean,
+                floor((CAST(sp AS DOUBLE) / CAST(nh AS DOUBLE))
+                      * 10000.0) / 10000 AS pop_mean
+         FROM al JOIN sm ON al.h = sm.h
+         ORDER BY al.h""",
     "timeseries_theil_sen" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
                                CAST(sum(CAST(value AS DECIMAL(18,2)))

@@ -92,6 +92,41 @@ object Features {
         .orderBy("seg")
     }),
 
+    // Weight-of-evidence encoding (r9) — the credit-scoring-standard
+    // categorical encoder beside the smoothed target encoder above:
+    // WoE_c = ln( ((pos_c + 0.5)/pos_tot) / ((neg_c + 0.5)/neg_tot) )
+    // (0.5 = the Yates/Laplace half-count that keeps empty cells
+    // finite), plus the information value IV = Σ (p_c − q_c)·WoE_c —
+    // the feature-screening statistic (IV < 0.02 = drop the column).
+    // Binary target: order status F (fulfilled) vs rest. Same scale
+    // shape as target_encode: one bounded per-category aggregate +
+    // one 1-row broadcast; IV terms DECIMAL(28,10) pre-sum.
+    "feature_woe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("cat"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val per = o.groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .withColumn("neg", col("n") - col("pos"))
+      val tot = per.agg(sum(col("pos")).as("post"),
+        sum(col("neg")).as("negt"))
+      val wAll = Window.partitionBy(lit(1))
+      per.crossJoin(broadcast(tot))
+        .withColumn("woe", expr(
+          """ln(((CAST(pos AS DOUBLE) + 0.5) / CAST(post AS DOUBLE))
+                / ((CAST(neg AS DOUBLE) + 0.5) / CAST(negt AS DOUBLE)))"""))
+        .withColumn("ivt",
+          ((col("pos").cast("double") / col("post").cast("double")
+            - col("neg").cast("double") / col("negt").cast("double"))
+            * col("woe")).cast("decimal(28,10)"))
+        .select(col("cat"), col("n"), col("pos"),
+          (floor(col("woe") * 10000.0) / 10000).as("woe"),
+          (floor(sum(col("ivt")).over(wAll).cast("double") * 10000.0)
+            / 10000).as("iv_total"))
+        .orderBy("cat")
+    }),
+
     // End-to-end feature-prep funnel (r7): join label + categoricals
     // → two-pass scaling → one-hot → smoothed target encode → group
     // holdout split, landing the training-table fingerprint per
@@ -129,6 +164,35 @@ object Features {
   )
 
   val oracles: Map[String, String] = Map(
+    "feature_woe_encode" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                           END AS y
+                    FROM orders),
+              per AS (SELECT cat, count(*) AS n,
+                             CAST(sum(y) AS BIGINT) AS pos,
+                             CAST(count(*) - sum(y) AS BIGINT) AS neg
+                      FROM o GROUP BY cat),
+              tot AS (SELECT CAST(sum(pos) AS BIGINT) AS post,
+                             CAST(sum(neg) AS BIGINT) AS negt
+                      FROM per),
+              w AS (SELECT cat, n, pos, neg, post, negt,
+                           ln(((CAST(pos AS DOUBLE) + 0.5)
+                                / CAST(post AS DOUBLE))
+                              / ((CAST(neg AS DOUBLE) + 0.5)
+                                 / CAST(negt AS DOUBLE))) AS woe
+                    FROM per CROSS JOIN tot),
+              v AS (SELECT *,
+                           CAST((CAST(pos AS DOUBLE) / CAST(post AS DOUBLE)
+                                 - CAST(neg AS DOUBLE)
+                                   / CAST(negt AS DOUBLE)) * woe
+                             AS DECIMAL(28,10)) AS ivt
+                    FROM w)
+         SELECT cat, n, pos,
+                floor(woe * 10000.0) / 10000 AS woe,
+                floor(CAST(sum(ivt) OVER () AS DOUBLE) * 10000.0) / 10000
+                  AS iv_total
+         FROM v ORDER BY cat""",
     "feature_scale_standardize" ->
       """WITH stats AS (
            SELECT c_mktsegment AS seg,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -243,7 +244,81 @@ object GraphOps {
       }
       stats.orderBy("round")
     }),
+
+    // Synchronous label propagation communities (r9; Raghavan et al.
+    // 2007): every node starts as its own label; each round a node
+    // adopts the MAJORITY label among its neighbors (tiebreak:
+    // smallest label — the determinism knob the async original
+    // lacks). 4 FIXED rounds over the co-purchase graph; distinct
+    // from dedup_cluster_cc's min-label connected components —
+    // LP finds dense sub-communities INSIDE a component (CC gives 1
+    // label per component; LP's majority vote splits it along weak
+    // cuts). Same Pregel budget contract and checkpoint-per-round
+    // plan hygiene as graph_kcore; one (dst, lbl) aggregate + one
+    // per-node argmax window per round. Output: the 20 largest
+    // communities + total community count.
+    "graph_community_labelprop" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
+      val adj = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      var lab = adj.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      for (_ <- 1 to 4) {
+        lab = adj.join(lab, col("src") === col("node"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window.partitionBy("dst")
+            .orderBy(col("cnt").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("lbl"))
+          .localCheckpoint()
+      }
+      val one = Window.partitionBy(lit(1))
+      lab.groupBy("lbl").agg(count(lit(1)).as("size"))
+        .withColumn("n_comms", count(lit(1)).over(one))
+        .withColumn("rank", row_number().over(
+          one.orderBy(col("size").desc, col("lbl"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"),
+          col("lbl").as("community"), col("size").as("csize"),
+          col("n_comms"))
+        .orderBy("rank")
+    }),
   )
+
+  /** Generated label-propagation oracle: 4 majority-vote rounds as a
+    * MATERIALIZED CTE chain (same exponential-inlining medicine as
+    * kcoreSql). */
+  private def labelPropSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT a.dst AS node, l.lbl AS lbl,
+                  count(*) AS cnt
+                  FROM adj a JOIN l${r - 1} l ON a.src = l.node
+                  GROUP BY a.dst, l.lbl),
+          l$r AS MATERIALIZED (SELECT node, lbl
+                  FROM (SELECT *, row_number() OVER (PARTITION BY node
+                          ORDER BY cnt DESC, lbl) AS rn
+                        FROM c$r) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                        l_partkey AS pk
+                                 FROM lineitem WHERE l_partkey % 10 = 0),
+            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                                FROM ps a JOIN ps b
+                                  ON a.ok = b.ok AND a.pk < b.pk),
+            adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+                                 UNION ALL SELECT v, u FROM ed),
+            l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+                                FROM adj),
+            $rounds,
+            sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY lbl)
+       SELECT rank, community, csize, n_comms FROM (
+         SELECT CAST(row_number() OVER (ORDER BY csize DESC, lbl)
+                     AS BIGINT) AS rank,
+                lbl AS community, csize,
+                CAST(count(*) OVER () AS BIGINT) AS n_comms
+         FROM sz) WHERE rank <= 20 ORDER BY rank"""
+  }
 
   /** Generated k-core oracle: the same 6 peel rounds as an explicit
     * CTE chain (e0 → e6), one survivors row per round. Every round
@@ -282,6 +357,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
+    "graph_community_labelprop" -> labelPropSql,
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                l_suppkey * 2 + 1 AS sn

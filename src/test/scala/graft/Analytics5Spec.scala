@@ -66,6 +66,48 @@ class Analytics5Spec extends GraftSuite {
         "are not replicate-dependent")
   }
 
+  test("sample_neyman_allocation: budget respected, realized sample " +
+    "matches allocation, allocation ordered by N_h*S_h") {
+    val rows = SparkEntry.queries("sample_neyman_allocation")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val allocs = rows.map(_.getLong(3))
+    assert(allocs.sum <= 600,
+      s"floor allocation must not exceed the 600 budget: ${allocs.sum}")
+    assert(allocs.sum > 600 - rows.length,
+      "floor allocation can undershoot by at most strata-1 rows")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3),
+        s"stratum ${r.getString(0)}: realized sample != allocation")
+      assert(r.getLong(3) <= r.getLong(1), "allocation exceeds stratum")
+      assert(r.getDouble(2) > 0.0, "S_h must be positive")
+    }
+    // allocation must be monotone in N_h*S_h
+    val byScore = rows.sortBy(r => r.getLong(1) * r.getDouble(2))
+    assert(byScore.map(_.getLong(3)).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)),
+      "allocation not monotone in N_h*S_h")
+  }
+
+  test("feature_woe_encode: IV constant and non-negative, WoE sign " +
+    "tracks the class-share ratio") {
+    val rows = SparkEntry.queries("feature_woe_encode")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val ivs = rows.map(_.getDouble(4)).distinct
+    assert(ivs.length == 1, "IV must be one corpus-level number")
+    assert(ivs.head >= -1e-4, s"IV ${ivs.head} below zero")
+    val post = rows.map(_.getLong(2)).sum
+    val negt = rows.map(r => r.getLong(1) - r.getLong(2)).sum
+    rows.foreach { r =>
+      val (n, pos) = (r.getLong(1), r.getLong(2))
+      val ratio = ((pos + 0.5) / post) / ((n - pos + 0.5) / negt)
+      assert(math.signum(r.getDouble(3)) == math.signum(math.log(ratio))
+        || math.abs(r.getDouble(3)) < 1e-3,
+        s"${r.getString(0)}: WoE sign inconsistent with share ratio")
+    }
+  }
+
   test("timeseries_theil_sen: n_pairs = C(n_days,2) and the slope " +
     "matches a driver-side lower-median mirror") {
     val rows = SparkEntry.queries("timeseries_theil_sen")(spark, sf)

@@ -83,4 +83,35 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.toSeq == expect,
       s"peel profile mismatch: got=${got.toSeq} expect=$expect")
   }
+
+  test("graph_community_labelprop: exactly matches a driver-side " +
+    "4-round majority-vote mirror") {
+    val got = operators.GraphOps.queries("graph_community_labelprop")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)), "sizes not ranked descending")
+    // mirror in plain collections
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lab).groupBy(identity)
+          .map { case (l, v) => l -> v.length }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity)
+      .map { case (l, v) => (l, v.size.toLong) }.toSeq
+    val expTop = sizes.sortBy { case (l, sz) => (-sz, l) }.take(20)
+      .zipWithIndex.map { case ((l, sz), i) =>
+        (i + 1L, l, sz, sizes.length.toLong) }
+    assert(got.toSeq == expTop,
+      s"label-prop mismatch: got=${got.take(3).toSeq}… " +
+        s"expect=${expTop.take(3)}…")
+  }
 }
