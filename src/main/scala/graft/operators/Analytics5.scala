@@ -187,6 +187,94 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Two-sample Kolmogorov–Smirnov over every segment pair (r9):
+    // D = sup |F1 − F2|, THE nonparametric train/test drift check.
+    // Computed EXACTLY in integers: pool both samples per pair, order
+    // by (price, seg, key) — declared tiebreak, so the sup is over a
+    // total order — and track running counts c1, c2; the statistic is
+    // max |c1·n2 − c2·n1| / (n1·n2), an integer max over the pooled
+    // stream divided once at the end (floor-scaled via INTEGER
+    // division — no doubles anywhere, hash-exact by construction).
+    // Scale: the 10 segment pairs come from a broadcast nested-loop
+    // against a 10-row pair table (each data row fans out ×4); the
+    // window runs per pair over its pooled sample — at 100 TB you'd
+    // histogram first (KS on quantile sketches), the documented
+    // approximation; the exact form here IS the oracle-checkable
+    // semantics.
+    "analytics_ks_test" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val segs = op.select("seg").distinct()
+      val pairs = segs.select(col("seg").as("s1"))
+        .join(segs.select(col("seg").as("s2")), col("s1") < col("s2"))
+      val pooled = op.join(broadcast(pairs),
+        col("seg") === col("s1") || col("seg") === col("s2"))
+      val wRun = Window.partitionBy("s1", "s2")
+        .orderBy(col("p"), col("seg"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("s1", "s2")
+      pooled
+        .withColumn("i1", when(col("seg") === col("s1"), 1L).otherwise(0L))
+        .withColumn("i2", when(col("seg") === col("s2"), 1L).otherwise(0L))
+        .withColumn("c1", sum(col("i1")).over(wRun))
+        .withColumn("c2", sum(col("i2")).over(wRun))
+        .withColumn("n1", sum(col("i1")).over(wAll))
+        .withColumn("n2", sum(col("i2")).over(wAll))
+        .groupBy("s1", "s2")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("maxd"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          (expr("maxd * 10000 div (n1 * n2)").cast("double") / 10000.0)
+            .as("ks_d"))
+        .orderBy("s1", "s2")
+    }),
+
+    // Population Stability Index (r9) — THE production
+    // distribution-drift metric (credit scoring, model monitoring):
+    // PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) between a base epoch
+    // (orders before 1998) and the current one, over 10 fixed
+    // 50k-wide price buckets; shares carry the (cnt+0.5)/(n+5)
+    // smoothing so empty buckets stay finite. Bucketing is integer
+    // floor division, shares are integer-derived doubles, terms
+    // DECIMAL(28,10) pre-sum. One bounded 10-bucket aggregate per
+    // epoch — the 100 TB cost is two scans collapsing map-side.
+    "dq_psi_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(expr(
+          "least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9L)")
+          .as("bucket"),
+          when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+            1L).otherwise(0L).as("base"))
+      val spine = s.range(0, 10).select(col("id").as("bucket"))
+      val per = spine.join(
+        o.groupBy("bucket").agg(sum(col("base")).as("nb"),
+          (count(lit(1)) - sum(col("base"))).as("nc")),
+        Seq("bucket"), "left")
+        .withColumn("nb", coalesce(col("nb"), lit(0L)))
+        .withColumn("nc", coalesce(col("nc"), lit(0L)))
+      val wAll = Window.partitionBy(lit(1))
+      per
+        .withColumn("tb", sum(col("nb")).over(wAll))
+        .withColumn("tc", sum(col("nc")).over(wAll))
+        .withColumn("p", expr(
+          "(CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)"))
+        .withColumn("q", expr(
+          "(CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)"))
+        .withColumn("term", ((col("p") - col("q")) *
+          log(col("p") / col("q"))).cast("decimal(28,10)"))
+        .select(col("bucket"), col("nb"), col("nc"),
+          (floor(col("p") * 10000.0) / 10000).as("base_share"),
+          (floor(col("q") * 10000.0) / 10000).as("cur_share"),
+          (floor(sum(col("term")).over(wAll).cast("double") * 10000.0)
+            / 10000).as("psi_total"))
+        .orderBy("bucket")
+    }),
+
     // Neyman-allocated stratified sampling (r9; Neyman 1934 — the
     // survey-sampling optimum): a 600-row budget is split across
     // strata ∝ N_h·S_h (big AND volatile strata get more), then the
@@ -407,6 +495,78 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "analytics_ks_test" ->
+      """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+              segs AS (SELECT DISTINCT seg FROM op),
+              pairs AS (SELECT a.seg AS s1, b.seg AS s2
+                        FROM segs a JOIN segs b ON a.seg < b.seg),
+              pooled AS (SELECT s1, s2, seg, o_orderkey, p,
+                                CASE WHEN seg = s1 THEN 1 ELSE 0 END
+                                  AS i1,
+                                CASE WHEN seg = s2 THEN 1 ELSE 0 END
+                                  AS i2
+                         FROM op JOIN pairs
+                           ON seg = s1 OR seg = s2),
+              r AS (SELECT s1, s2,
+                           sum(i1) OVER (PARTITION BY s1, s2
+                             ORDER BY p, seg, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS c1,
+                           sum(i2) OVER (PARTITION BY s1, s2
+                             ORDER BY p, seg, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS c2,
+                           sum(i1) OVER (PARTITION BY s1, s2) AS n1,
+                           sum(i2) OVER (PARTITION BY s1, s2) AS n2
+                    FROM pooled),
+              agg AS (SELECT s1, s2,
+                             CAST(max(n1) AS BIGINT) AS n1,
+                             CAST(max(n2) AS BIGINT) AS n2,
+                             CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)
+                               AS maxd
+                      FROM r GROUP BY s1, s2)
+         SELECT s1, s2, n1, n2,
+                CAST(maxd * 10000 // (n1 * n2) AS DOUBLE) / 10000.0
+                  AS ks_d
+         FROM agg ORDER BY s1, s2""",
+    "dq_psi_drift" ->
+      """WITH o AS (SELECT least(CAST(floor(o_totalprice / 50000.0)
+                                 AS BIGINT), 9) AS bucket,
+                           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                THEN 1 ELSE 0 END AS base
+                    FROM orders),
+              cnt AS (SELECT bucket, CAST(sum(base) AS BIGINT) AS nb,
+                             CAST(count(*) - sum(base) AS BIGINT) AS nc
+                      FROM o GROUP BY bucket),
+              spine AS (SELECT CAST(i AS BIGINT) AS bucket
+                        FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+              per AS (SELECT spine.bucket AS bucket,
+                             coalesce(nb, 0) AS nb,
+                             coalesce(nc, 0) AS nc
+                      FROM spine LEFT JOIN cnt
+                        ON spine.bucket = cnt.bucket),
+              t AS (SELECT *, CAST(sum(nb) OVER () AS BIGINT) AS tb,
+                           CAST(sum(nc) OVER () AS BIGINT) AS tc
+                    FROM per),
+              sh AS (SELECT *,
+                            (CAST(nb AS DOUBLE) + 0.5)
+                              / (CAST(tb AS DOUBLE) + 5.0) AS p,
+                            (CAST(nc AS DOUBLE) + 0.5)
+                              / (CAST(tc AS DOUBLE) + 5.0) AS q
+                     FROM t),
+              v AS (SELECT *, CAST((p - q) * ln(p / q)
+                             AS DECIMAL(28,10)) AS term
+                    FROM sh)
+         SELECT bucket, CAST(nb AS BIGINT) AS nb,
+                CAST(nc AS BIGINT) AS nc,
+                floor(p * 10000.0) / 10000 AS base_share,
+                floor(q * 10000.0) / 10000 AS cur_share,
+                floor(CAST(sum(term) OVER () AS DOUBLE) * 10000.0) / 10000
+                  AS psi_total
+         FROM v ORDER BY bucket""",
     "sample_neyman_allocation" ->
       """WITH o AS (SELECT o_orderpriority AS h, o_orderkey,
                            CAST(o_totalprice AS DECIMAL(18,2)) AS p

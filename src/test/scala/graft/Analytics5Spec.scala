@@ -66,6 +66,49 @@ class Analytics5Spec extends GraftSuite {
         "are not replicate-dependent")
   }
 
+  test("analytics_ks_test: all 10 segment pairs, D in [0,1], exact " +
+    "match vs a driver-side ECDF mirror") {
+    val rows = SparkEntry.queries("analytics_ks_test")(spark, sf)
+      .collect()
+    assert(rows.length == 10, "C(5,2) segment pairs expected")
+    rows.foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // mirror one pair exactly
+    val r0 = rows.head
+    val (s1, s2) = (r0.getString(0), r0.getString(1))
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .filter(t => t._1 == s1 || t._1 == s2)
+      .sortBy(t => (t._3, t._1, t._2))
+    val n1 = data.count(_._1 == s1).toLong
+    val n2 = data.count(_._1 == s2).toLong
+    var c1 = 0L; var c2 = 0L; var maxd = 0L
+    data.foreach { t =>
+      if (t._1 == s1) c1 += 1 else c2 += 1
+      maxd = math.max(maxd, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(r0.getLong(2) == n1 && r0.getLong(3) == n2)
+    assert(r0.getDouble(4) == (maxd * 10000L / (n1 * n2)).toDouble / 10000.0,
+      s"KS D mismatch for ($s1,$s2)")
+  }
+
+  test("dq_psi_drift: 10 buckets, PSI non-negative (per-term " +
+    "Gibbs inequality), shares sum to ~1") {
+    val rows = SparkEntry.queries("dq_psi_drift")(spark, sf).collect()
+    assert(rows.length == 10)
+    val psis = rows.map(_.getDouble(5)).distinct
+    assert(psis.length == 1 && psis.head >= 0.0,
+      s"PSI must be one non-negative number, got ${psis.toSeq}")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.02)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.02)
+  }
+
   test("sample_neyman_allocation: budget respected, realized sample " +
     "matches allocation, allocation ordered by N_h*S_h") {
     val rows = SparkEntry.queries("sample_neyman_allocation")(spark, sf)
