@@ -310,4 +310,50 @@ class PlanShapeSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"within-cell pairs must come from the cid equi-join:\n$plan")
   }
+
+  test("pipeline_chunk_embed_e2e: postings join broadcasts probes + " +
+    "keep-list, candidate norms never broadcast, no cartesian") {
+    val plan = executedPlan("pipeline_chunk_embed_e2e")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"probe postings, keep-list(s), and probe norms must all " +
+        s"broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"retrieval must stay a dim-keyed equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"the candidate-norm join must stay a shuffle join (an " +
+        s"all-chunk-norm broadcast would not survive 100 TB):\n$plan")
+  }
+
+  test("analytics_survival_km: one scan of orders, segment join is " +
+    "broadcast, no cartesian beyond the 1-row cutoff") {
+    val plan = executedPlan("analytics_survival_km")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the customer-segment join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no corpus-sized shuffle join expected at this shape:\n$plan")
+  }
+
+  test("sample_poisson_bootstrap: the x16 replicate explode partial-" +
+    "aggregates map-side (no raw-row shuffle)") {
+    val plan = executedPlan("sample_poisson_bootstrap")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial+final aggregation expected around the rep shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("analytics_ks_test: pair fan-out is a broadcast nested-loop " +
+    "against the 10-row pair table only") {
+    // split off the "== Initial Plan ==" AQE echo — the pre-adaptive
+    // pairs join shows as CartesianProduct there but executes as a
+    // broadcast nested loop in the final plan
+    val plan = executedPlan("analytics_ks_test")
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the OR-predicate pair join rides a broadcast of 10 rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian allowed in the FINAL plan:\n$plan")
+  }
 }
