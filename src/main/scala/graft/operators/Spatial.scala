@@ -75,6 +75,61 @@ object Spatial {
         .orderBy("qid", "rn")
     }),
 
+    // DBSCAN density classification (r9; Ester et al. 1996): every
+    // point counts its ε=5° neighbors through the same 3×3 grid
+    // equi-join as kNN (no all-pairs — the join IS the index);
+    // core = ≥ 4 neighbors, border = non-core within ε of a core,
+    // noise = the rest. This neighbor-counting pass is THE expensive
+    // stage of distributed DBSCAN (the cluster-merge that follows is
+    // connected components over core points — dedup_cluster_cc's
+    // machinery, deliberately not duplicated here). Two grid joins
+    // total: all-points density, then non-core×core reachability;
+    // both hash-partition on (cell_x, cell_y). Output: the 3-class
+    // census with mean neighbor count per class.
+    "spatial_dbscan_core" -> ((s, d) => {
+      val pts = points(s, d)
+      val off = s.range(-1, 2).select(col("id").cast("int").as("dx"))
+        .crossJoin(s.range(-1, 2).select(col("id").cast("int").as("dy")))
+      def probe(src: DataFrame) = src
+        .select(col("pid").as("qid"), col("lon").as("qlon"),
+          col("lat").as("qlat"), col("cx").as("qcx"), col("cy").as("qcy"))
+        .crossJoin(broadcast(off))
+      val dist = sqrt(
+        (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+          + (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      val nbrs = probe(pts).join(pts,
+          col("qcx") + col("dx") === col("cx")
+            && col("qcy") + col("dy") === col("cy")
+            && col("qid") =!= col("pid"))
+        .filter(dist < 5.0)
+        .groupBy("qid").agg(count(lit(1)).as("n_nbr"))
+      val cls = pts
+        .join(nbrs.withColumnRenamed("qid", "pid"), Seq("pid"), "left")
+        .withColumn("n_nbr", coalesce(col("n_nbr"), lit(0L)))
+        .withColumn("is_core", col("n_nbr") >= 4)
+      val corePts = cls.filter(col("is_core"))
+        .select("pid", "lon", "lat", "cx", "cy")
+      val reach = probe(cls.filter(!col("is_core"))
+          .select("pid", "lon", "lat", "cx", "cy"))
+        .join(corePts,
+          col("qcx") + col("dx") === col("cx")
+            && col("qcy") + col("dy") === col("cy"))
+        .filter(dist < 5.0)
+        .select(col("qid").as("pid")).distinct()
+        .withColumn("reached", lit(true))
+      cls.join(reach, Seq("pid"), "left")
+        .withColumn("cls",
+          when(col("is_core"), "core")
+            .when(coalesce(col("reached"), lit(false)), "border")
+            .otherwise("noise"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_points"),
+          (floor((sum(col("n_nbr")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("avg_nbr"))
+        .orderBy("cls")
+    }),
+
     // Cell-density heatmap + per-cell extent — the profiling
     // aggregate that sizes the grid (and decides which cells need
     // salting) before the join above runs. One groupBy, no join.
@@ -130,6 +185,44 @@ object Spatial {
   )
 
   val oracles: Map[String, String] = Map(
+    "spatial_dbscan_core" ->
+      s"""WITH $pointsSql,
+              offs AS (SELECT dx, dy
+                       FROM (VALUES (-1), (0), (1)) o1(dx),
+                            (VALUES (-1), (0), (1)) o2(dy)),
+              q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat,
+                           cx + dx AS pcx, cy + dy AS pcy
+                    FROM cells, offs),
+              nbrs AS (SELECT qid, count(*) AS n_nbr
+                       FROM q JOIN cells
+                         ON pcx = cx AND pcy = cy AND qid <> pid
+                       WHERE sqrt((lon - qlon) * (lon - qlon)
+                                  + (lat - qlat) * (lat - qlat)) < 5.0
+                       GROUP BY qid),
+              cls AS (SELECT pid, lon, lat, cx, cy,
+                             CAST(coalesce(n_nbr, 0) AS BIGINT) AS n_nbr,
+                             coalesce(n_nbr, 0) >= 4 AS is_core
+                      FROM cells LEFT JOIN nbrs ON pid = qid),
+              q2 AS (SELECT pid AS qid, lon AS qlon, lat AS qlat,
+                            cx + dx AS pcx, cy + dy AS pcy
+                     FROM cls, offs WHERE NOT is_core),
+              reach AS (SELECT DISTINCT qid
+                        FROM q2 JOIN (SELECT lon, lat, cx, cy FROM cls
+                                      WHERE is_core) c
+                          ON pcx = cx AND pcy = cy
+                        WHERE sqrt((lon - qlon) * (lon - qlon)
+                                   + (lat - qlat) * (lat - qlat)) < 5.0),
+              lab AS (SELECT pid, n_nbr,
+                             CASE WHEN is_core THEN 'core'
+                                  WHEN pid IN (SELECT qid FROM reach)
+                                    THEN 'border'
+                                  ELSE 'noise' END AS cls
+                      FROM cls)
+         SELECT cls, count(*) AS n_points,
+                floor((CAST(sum(n_nbr) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000
+                  AS avg_nbr
+         FROM lab GROUP BY cls ORDER BY cls""",
     "spatial_knn_grid" ->
       s"""WITH $pointsSql,
               offs AS (SELECT dx, dy

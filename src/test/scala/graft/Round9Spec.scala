@@ -98,4 +98,38 @@ class Round9Spec extends GraftSuite {
         .DigestUtils.md5Hex(docs(id).substring(0, math.min(120, len))))
     }
   }
+
+  test("spatial_dbscan_core: census matches a brute-force driver " +
+    "mirror (no grid)") {
+    val got = SparkEntry.queries("spatial_dbscan_core")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    // brute force without the grid — proves the 3x3 expansion loses
+    // no neighbors (cell 10 > eps 5 by construction)
+    val pts = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).map { k =>
+        (k, (k * 7919 % 3600) / 10.0 - 180.0,
+          (k * 104729 % 1700) / 10.0 - 85.0)
+      }
+    val nbrCnt = pts.map { case (k, lo, la) =>
+      k -> pts.count { case (k2, lo2, la2) =>
+        k2 != k && math.sqrt((lo2 - lo) * (lo2 - lo)
+          + (la2 - la) * (la2 - la)) < 5.0
+      }.toLong
+    }.toMap
+    val core = nbrCnt.filter(_._2 >= 4).keySet
+    val border = pts.filter(p => !core(p._1)).filter { case (k, lo, la) =>
+      pts.exists { case (k2, lo2, la2) => core(k2) &&
+        math.sqrt((lo2 - lo) * (lo2 - lo)
+          + (la2 - la) * (la2 - la)) < 5.0 }
+    }.map(_._1).toSet
+    val noise = pts.map(_._1).filterNot(core).filterNot(border).toSet
+    val exp = Map(
+      "core" -> core.size.toLong, "border" -> border.size.toLong,
+      "noise" -> noise.size.toLong).filter(_._2 > 0)
+    assert(got.keySet == exp.keySet, s"classes ${got.keySet} vs $exp")
+    exp.foreach { case (c, n) =>
+      assert(got(c)._1 == n, s"$c: ${got(c)._1} != $n")
+    }
+  }
 }
