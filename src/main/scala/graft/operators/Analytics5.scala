@@ -234,6 +234,95 @@ object Analytics5 {
         .orderBy("s1", "s2")
     }),
 
+    // Mann–Whitney U / Wilcoxon rank-sum over every segment pair
+    // (r9) — the rank-based companion of analytics_ks_test (and the
+    // nonparametric alternative to analytics_ab_ttest): U detects a
+    // LOCATION shift where KS detects any shape change. Exact in
+    // integers end-to-end, ties handled by midrank: within a pair's
+    // pooled order, a tie group's 2·midrank = first+last row number
+    // (integer!), so 2·R1 and 2·U1 = 2n1n2 + n1(n1+1) − 2R1 stay
+    // integers; U1 is emitted as the exact half-integer and the
+    // rank-biserial effect size 1 − 2U1/(n1n2) is one double
+    // division on identical bits (floor-scaled). Same broadcast
+    // pair fan-out as KS.
+    "analytics_mann_whitney" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val segs = op.select("seg").distinct()
+      val pairs = segs.select(col("seg").as("s1"))
+        .join(segs.select(col("seg").as("s2")), col("s1") < col("s2"))
+      val pooled = op.join(broadcast(pairs),
+        col("seg") === col("s1") || col("seg") === col("s2"))
+      val wP = Window.partitionBy("s1", "s2")
+        .orderBy(col("p"), col("seg"), col("o_orderkey"))
+      val wT = Window.partitionBy("s1", "s2", "p")
+      pooled
+        .withColumn("rn", row_number().over(wP))
+        .withColumn("fst", min(col("rn")).over(wT))
+        .withColumn("lst", max(col("rn")).over(wT))
+        .groupBy("s1", "s2")
+        .agg(
+          sum(when(col("seg") === col("s1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("seg") === col("s2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("seg") === col("s1"),
+            col("fst").cast("long") + col("lst").cast("long"))
+            .otherwise(0L)).as("r1x2"))
+        .withColumn("two_u1",
+          lit(2L) * col("n1") * col("n2")
+            + col("n1") * (col("n1") + lit(1L)) - col("r1x2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          (col("two_u1").cast("double") / 2.0).as("u1"),
+          (floor((lit(1.0) - col("two_u1").cast("double")
+            / (col("n1") * col("n2")).cast("double")) * 10000.0)
+            / 10000).as("rank_biserial"))
+        .orderBy("s1", "s2")
+    }),
+
+    // Chi-square test of independence on the segment × priority
+    // contingency table (r9) — "is order priority independent of
+    // customer segment?", the categorical-association audit beside
+    // dq_benford_test's goodness-of-fit. Expected counts
+    // row·col/total from exact integer marginals (one double product
+    // + division, identical bits); per-cell (O−E)²/E quantized
+    // DECIMAL(28,10) pre-sum; χ² and dof repeated per row. 25-cell
+    // output, two bounded aggregates at any scale.
+    "analytics_chi2_independence" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderpriority").as("prio"))
+      val cells = j.groupBy("seg", "prio").agg(count(lit(1)).as("n"))
+      val wSeg = Window.partitionBy("seg")
+      val wPrio = Window.partitionBy("prio")
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("rowt", sum(col("n")).over(wSeg))
+        .withColumn("colt", sum(col("n")).over(wPrio))
+        .withColumn("tot", sum(col("n")).over(wAll))
+        .withColumn("e", expr(
+          "CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(tot AS DOUBLE)"))
+        .withColumn("term",
+          (((col("n").cast("double") - col("e"))
+            * (col("n").cast("double") - col("e"))) / col("e"))
+            .cast("decimal(28,10)"))
+        .withColumn("ncells", count(lit(1)).over(wAll))
+        .withColumn("nseg",
+          size(collect_set(col("seg")).over(wAll)).cast("long"))
+        .withColumn("nprio",
+          size(collect_set(col("prio")).over(wAll)).cast("long"))
+        .select(col("seg"), col("prio"), col("n"),
+          (floor(col("e") * 10000.0) / 10000).as("expected"),
+          (floor(sum(col("term")).over(wAll).cast("double") * 10000.0)
+            / 10000).as("chi2"),
+          ((col("nseg") - 1L) * (col("nprio") - 1L)).as("dof"))
+        .orderBy("seg", "prio")
+    }),
+
     // Population Stability Index (r9) — THE production
     // distribution-drift metric (credit scoring, model monitoring):
     // PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) between a base epoch
@@ -532,6 +621,73 @@ object Analytics5 {
                 CAST(maxd * 10000 // (n1 * n2) AS DOUBLE) / 10000.0
                   AS ks_d
          FROM agg ORDER BY s1, s2""",
+    "analytics_mann_whitney" ->
+      """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+              segs AS (SELECT DISTINCT seg FROM op),
+              pairs AS (SELECT a.seg AS s1, b.seg AS s2
+                        FROM segs a JOIN segs b ON a.seg < b.seg),
+              pooled AS (SELECT s1, s2, seg, o_orderkey, p
+                         FROM op JOIN pairs
+                           ON seg = s1 OR seg = s2),
+              rk AS (SELECT s1, s2, seg, p,
+                            row_number() OVER (PARTITION BY s1, s2
+                              ORDER BY p, seg, o_orderkey) AS rn
+                     FROM pooled),
+              tg AS (SELECT s1, s2, seg,
+                            min(rn) OVER (PARTITION BY s1, s2, p) AS fst,
+                            max(rn) OVER (PARTITION BY s1, s2, p) AS lst
+                     FROM rk),
+              agg AS (SELECT s1, s2,
+                             CAST(sum(CASE WHEN seg = s1 THEN 1 ELSE 0
+                                      END) AS BIGINT) AS n1,
+                             CAST(sum(CASE WHEN seg = s2 THEN 1 ELSE 0
+                                      END) AS BIGINT) AS n2,
+                             CAST(sum(CASE WHEN seg = s1 THEN fst + lst
+                                      ELSE 0 END) AS BIGINT) AS r1x2
+                      FROM tg GROUP BY s1, s2),
+              u AS (SELECT *,
+                           2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS two_u1
+                    FROM agg)
+         SELECT s1, s2, n1, n2,
+                CAST(two_u1 AS DOUBLE) / 2.0 AS u1,
+                floor((1.0 - CAST(two_u1 AS DOUBLE)
+                       / CAST(n1 * n2 AS DOUBLE)) * 10000.0) / 10000
+                  AS rank_biserial
+         FROM u ORDER BY s1, s2""",
+    "analytics_chi2_independence" ->
+      """WITH j AS (SELECT c.c_mktsegment AS seg,
+                           o_orderpriority AS prio
+                    FROM orders o JOIN customer c
+                      ON o.o_custkey = c.c_custkey),
+              cells AS (SELECT seg, prio, count(*) AS n
+                        FROM j GROUP BY seg, prio),
+              m AS (SELECT *,
+                           CAST(sum(n) OVER (PARTITION BY seg)
+                             AS BIGINT) AS rowt,
+                           CAST(sum(n) OVER (PARTITION BY prio)
+                             AS BIGINT) AS colt,
+                           CAST(sum(n) OVER () AS BIGINT) AS tot
+                    FROM cells),
+              e AS (SELECT *,
+                           CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE)
+                             / CAST(tot AS DOUBLE) AS e
+                    FROM m),
+              t AS (SELECT *,
+                           CAST(((CAST(n AS DOUBLE) - e)
+                                 * (CAST(n AS DOUBLE) - e)) / e
+                             AS DECIMAL(28,10)) AS term
+                    FROM e)
+         SELECT seg, prio, n,
+                floor(e * 10000.0) / 10000 AS expected,
+                floor(CAST(sum(term) OVER () AS DOUBLE) * 10000.0) / 10000
+                  AS chi2,
+                CAST(((SELECT count(DISTINCT seg) FROM cells) - 1)
+                     * ((SELECT count(DISTINCT prio) FROM cells) - 1)
+                  AS BIGINT) AS dof
+         FROM t ORDER BY seg, prio""",
     "dq_psi_drift" ->
       """WITH o AS (SELECT least(CAST(floor(o_totalprice / 50000.0)
                                  AS BIGINT), 9) AS bucket,

@@ -98,6 +98,56 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("analytics_mann_whitney: U bounded by n1*n2, effect size in " +
+    "[-1,1], exact match vs a midrank driver mirror") {
+    val rows = SparkEntry.queries("analytics_mann_whitney")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (n1, n2) = (r.getLong(2), r.getLong(3))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= (n1 * n2).toDouble)
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9)
+    }
+    val r0 = rows.head
+    val (s1, s2) = (r0.getString(0), r0.getString(1))
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .filter(t => t._1 == s1 || t._1 == s2)
+      .sortBy(t => (t._3, t._1, t._2))
+    val n1 = data.count(_._1 == s1).toLong
+    val n2 = data.count(_._1 == s2).toLong
+    // midranks: tie group shares (first+last)/2
+    val byP = data.zipWithIndex.groupBy(_._1._3)
+    var r1x2 = 0L
+    byP.foreach { case (_, g) =>
+      val fst = g.map(_._2).min + 1L; val lst = g.map(_._2).max + 1L
+      r1x2 += g.count(_._1._1 == s1) * (fst + lst)
+    }
+    val twoU1 = 2L * n1 * n2 + n1 * (n1 + 1) - r1x2
+    assert(r0.getDouble(4) == twoU1.toDouble / 2.0,
+      s"U1 mismatch for ($s1,$s2)")
+  }
+
+  test("analytics_chi2_independence: 25 cells, chi2 constant >= 0, " +
+    "dof = 16, expected sums to total") {
+    val rows = SparkEntry.queries("analytics_chi2_independence")(
+      spark, sf).collect()
+    assert(rows.length == 25)
+    val chi2s = rows.map(_.getDouble(4)).distinct
+    assert(chi2s.length == 1 && chi2s.head >= 0.0)
+    assert(rows.forall(_.getLong(5) == 16L))
+    val nTot = rows.map(_.getLong(2)).sum
+    val eTot = rows.map(_.getDouble(3)).sum
+    assert(math.abs(eTot - nTot) < 0.1 * rows.length,
+      s"expected counts must sum to the total: $eTot vs $nTot")
+  }
+
   test("dq_psi_drift: 10 buckets, PSI non-negative (per-term " +
     "Gibbs inequality), shares sum to ~1") {
     val rows = SparkEntry.queries("dq_psi_drift")(spark, sf).collect()
