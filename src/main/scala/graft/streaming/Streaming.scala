@@ -148,6 +148,36 @@ object Streaming {
       }
     }),
 
+    // Streaming RAG ingest (r9): the chunk stage of
+    // pipeline_chunk_embed_e2e as a STREAM — documents arrive as
+    // files, each micro-batch chunks them (120/80 sliding geometry,
+    // a stateless per-row generator: zero streaming state) and the
+    // per-language chunk/token/char census aggregates in complete
+    // mode (one row per language of state). This is how a corpus
+    // build keeps the chunk index warm as crawls land: the generator
+    // is embarrassingly parallel per file, the only state is the
+    // bounded language census. Batch-equivalence with the chunk CTE
+    // is the oracle.
+    "stream_chunk_ingest" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val chunks = s.readStream.schema(schema)
+        .parquet(s"$d/documents.*")
+        .select(col("lang"), col("text"), length(col("text")).as("len"))
+        .select(col("lang"), col("text"), explode(expr(
+          """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+               i -> cast(i * 80 + 1 as int))""")).as("p"))
+        .select(col("lang"),
+          expr("substring(text, p, 120)").as("chunk"))
+        .select(col("lang"),
+          length(col("chunk")).cast("long").as("chars"),
+          size(split(col("chunk"), " ")).cast("long").as("toks"))
+      drain(chunks.groupBy("lang")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("toks")).as("n_tokens"),
+            sum(col("chars")).as("n_chars")), "complete")
+        .orderBy("lang")
+    }),
+
     // Tumbling 1-hour windows × event_type (epoch-aligned — equivalent
     // to date_trunc('hour') batch grouping).
     "stream_tumbling_window" -> ((s, d) =>
@@ -597,6 +627,22 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    "stream_chunk_ingest" ->
+      """WITH base AS (SELECT lang, text, length(text) AS len
+                       FROM documents),
+              ch AS (SELECT lang,
+                            substr(text, CAST(i * 80 + 1 AS INT), 120)
+                              AS chunk
+                     FROM (SELECT lang, text,
+                                  unnest(generate_series(0,
+                                    (greatest(len - 120, 0) + 79) // 80))
+                                    AS i
+                           FROM base))
+         SELECT lang, count(*) AS n_chunks,
+                CAST(sum(len(string_split(chunk, ' '))) AS BIGINT)
+                  AS n_tokens,
+                CAST(sum(length(chunk)) AS BIGINT) AS n_chars
+         FROM ch GROUP BY lang ORDER BY lang""",
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",

@@ -187,4 +187,27 @@ class StreamingSpec extends GraftSuite {
     assert(offsets != null && offsets.length >= 2,
       "restart must append an offset epoch to the shared checkpoint")
   }
+
+  test("stream_chunk_ingest census equals the batch chunker's") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streaming
+      .queries("stream_chunk_ingest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val exp = Tables.documents(spark, sf)
+      .select(col("lang"), col("text"), length(col("text")).as("len"))
+      .select(col("lang"), col("text"), explode(expr(
+        """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+             i -> cast(i * 80 + 1 as int))""")).as("p"))
+      .select(col("lang"), expr("substring(text, p, 120)").as("chunk"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("chunk"), " ")).cast("long")).as("t"),
+        sum(length(col("chunk")).cast("long")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == exp,
+      s"streaming census diverges from the batch chunker: $got vs $exp")
+  }
 }
