@@ -187,6 +187,75 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Covariance/correlation matrix (r9) — the PCA / feature-screen
+    // prep step: all pairwise moments of (price, acctbal, order-day)
+    // from ONE aggregate pass (Σx, Σx², Σx·y as exact DECIMALs — at
+    // 100 TB this is a single map-side-combined scan producing one
+    // 10-column row; no melt + self-join, no per-pair scans), then
+    // the 3×3 matrix materializes by cross-joining a 9-row literal
+    // pair spine and selecting the right sums per cell with CASE —
+    // identical branch arithmetic in both engines. cov =
+    // (Σxy − ΣxΣy/n)/(n−1), corr = cov/√(var_i·var_j), floor-scaled.
+    "profile_correlation_matrix" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_totalprice").cast("decimal(18,2)").as("p"),
+          col("c_acctbal").cast("decimal(18,2)").as("a"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("decimal(18,2)").as("t"))
+      val m = j.agg(
+        count(lit(1)).as("n"),
+        sum(col("p")).as("sp"), sum(col("a")).as("sa"),
+        sum(col("t")).as("st"),
+        sum((col("p") * col("p")).cast("decimal(38,4)")).as("spp"),
+        sum((col("a") * col("a")).cast("decimal(38,4)")).as("saa"),
+        sum((col("t") * col("t")).cast("decimal(38,4)")).as("stt"),
+        sum((col("p") * col("a")).cast("decimal(38,4)")).as("spa"),
+        sum((col("p") * col("t")).cast("decimal(38,4)")).as("spt"),
+        sum((col("a") * col("t")).cast("decimal(38,4)")).as("sat"))
+      val spine = s.createDataFrame(Seq(
+        ("price", "price"), ("price", "acctbal"), ("price", "order_day"),
+        ("acctbal", "price"), ("acctbal", "acctbal"),
+        ("acctbal", "order_day"), ("order_day", "price"),
+        ("order_day", "acctbal"), ("order_day", "order_day")))
+        .toDF("vi", "vj")
+      def s1(v: String) =
+        s"""CASE $v WHEN 'price' THEN CAST(sp AS DOUBLE)
+                    WHEN 'acctbal' THEN CAST(sa AS DOUBLE)
+                    ELSE CAST(st AS DOUBLE) END"""
+      def s2(v: String) =
+        s"""CASE $v WHEN 'price' THEN CAST(spp AS DOUBLE)
+                    WHEN 'acctbal' THEN CAST(saa AS DOUBLE)
+                    ELSE CAST(stt AS DOUBLE) END"""
+      val sxy =
+        """CASE WHEN vi = vj THEN
+                  CASE vi WHEN 'price' THEN CAST(spp AS DOUBLE)
+                          WHEN 'acctbal' THEN CAST(saa AS DOUBLE)
+                          ELSE CAST(stt AS DOUBLE) END
+                WHEN (vi = 'price' AND vj = 'acctbal')
+                  OR (vi = 'acctbal' AND vj = 'price')
+                  THEN CAST(spa AS DOUBLE)
+                WHEN (vi = 'price' AND vj = 'order_day')
+                  OR (vi = 'order_day' AND vj = 'price')
+                  THEN CAST(spt AS DOUBLE)
+                ELSE CAST(sat AS DOUBLE) END"""
+      def covExpr(sxyE: String, sxE: String, syE: String) =
+        s"""(($sxyE) - ($sxE) * ($syE) / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE)"""
+      spine.crossJoin(broadcast(m))
+        .withColumn("cov", expr(covExpr(sxy, s1("vi"), s1("vj"))))
+        .withColumn("vari", expr(covExpr(s2("vi"), s1("vi"), s1("vi"))))
+        .withColumn("varj", expr(covExpr(s2("vj"), s1("vj"), s1("vj"))))
+        .select(col("vi"), col("vj"),
+          (floor(col("cov") * 10000.0) / 10000).as("cov"),
+          (floor((col("cov") / sqrt(col("vari") * col("varj")))
+            * 10000.0) / 10000).as("corr"))
+        .orderBy("vi", "vj")
+    }),
+
     // Two-sample Kolmogorov–Smirnov over every segment pair (r9):
     // D = sup |F1 − F2|, THE nonparametric train/test drift check.
     // Computed EXACTLY in integers: pool both samples per pair, order
@@ -584,6 +653,95 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "profile_correlation_matrix" ->
+      """WITH j AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                           CAST(c_acctbal AS DECIMAL(18,2)) AS a,
+                           CAST(date_diff('day', DATE '1995-01-01',
+                                CAST(o_orderdate AS DATE))
+                             AS DECIMAL(18,2)) AS t
+                    FROM orders o JOIN customer c
+                      ON o.o_custkey = c.c_custkey),
+              m AS (SELECT count(*) AS n,
+                           sum(p) AS sp, sum(a) AS sa, sum(t) AS st,
+                           sum(CAST(p * p AS DECIMAL(38,4))) AS spp,
+                           sum(CAST(a * a AS DECIMAL(38,4))) AS saa,
+                           sum(CAST(t * t AS DECIMAL(38,4))) AS stt,
+                           sum(CAST(p * a AS DECIMAL(38,4))) AS spa,
+                           sum(CAST(p * t AS DECIMAL(38,4))) AS spt,
+                           sum(CAST(a * t AS DECIMAL(38,4))) AS sat
+                    FROM j),
+              spine AS (SELECT * FROM (VALUES
+                ('price', 'price'), ('price', 'acctbal'),
+                ('price', 'order_day'), ('acctbal', 'price'),
+                ('acctbal', 'acctbal'), ('acctbal', 'order_day'),
+                ('order_day', 'price'), ('order_day', 'acctbal'),
+                ('order_day', 'order_day')) v(vi, vj)),
+              c AS (SELECT vi, vj,
+                           ((CASE WHEN vi = vj THEN
+                                CASE vi WHEN 'price'
+                                          THEN CAST(spp AS DOUBLE)
+                                        WHEN 'acctbal'
+                                          THEN CAST(saa AS DOUBLE)
+                                        ELSE CAST(stt AS DOUBLE) END
+                              WHEN (vi = 'price' AND vj = 'acctbal')
+                                OR (vi = 'acctbal' AND vj = 'price')
+                                THEN CAST(spa AS DOUBLE)
+                              WHEN (vi = 'price' AND vj = 'order_day')
+                                OR (vi = 'order_day' AND vj = 'price')
+                                THEN CAST(spt AS DOUBLE)
+                              ELSE CAST(sat AS DOUBLE) END)
+                             - (CASE vi WHEN 'price'
+                                          THEN CAST(sp AS DOUBLE)
+                                        WHEN 'acctbal'
+                                          THEN CAST(sa AS DOUBLE)
+                                        ELSE CAST(st AS DOUBLE) END)
+                               * (CASE vj WHEN 'price'
+                                            THEN CAST(sp AS DOUBLE)
+                                          WHEN 'acctbal'
+                                            THEN CAST(sa AS DOUBLE)
+                                          ELSE CAST(st AS DOUBLE) END)
+                               / CAST(n AS DOUBLE))
+                            / CAST(n - 1 AS DOUBLE) AS cov,
+                           ((CASE vi WHEN 'price'
+                                       THEN CAST(spp AS DOUBLE)
+                                     WHEN 'acctbal'
+                                       THEN CAST(saa AS DOUBLE)
+                                     ELSE CAST(stt AS DOUBLE) END
+                             - (CASE vi WHEN 'price'
+                                          THEN CAST(sp AS DOUBLE)
+                                        WHEN 'acctbal'
+                                          THEN CAST(sa AS DOUBLE)
+                                        ELSE CAST(st AS DOUBLE) END)
+                               * (CASE vi WHEN 'price'
+                                            THEN CAST(sp AS DOUBLE)
+                                          WHEN 'acctbal'
+                                            THEN CAST(sa AS DOUBLE)
+                                          ELSE CAST(st AS DOUBLE) END)
+                               / CAST(n AS DOUBLE))
+                            / CAST(n - 1 AS DOUBLE)) AS vari,
+                           ((CASE vj WHEN 'price'
+                                       THEN CAST(spp AS DOUBLE)
+                                     WHEN 'acctbal'
+                                       THEN CAST(saa AS DOUBLE)
+                                     ELSE CAST(stt AS DOUBLE) END
+                             - (CASE vj WHEN 'price'
+                                          THEN CAST(sp AS DOUBLE)
+                                        WHEN 'acctbal'
+                                          THEN CAST(sa AS DOUBLE)
+                                        ELSE CAST(st AS DOUBLE) END)
+                               * (CASE vj WHEN 'price'
+                                            THEN CAST(sp AS DOUBLE)
+                                          WHEN 'acctbal'
+                                            THEN CAST(sa AS DOUBLE)
+                                          ELSE CAST(st AS DOUBLE) END)
+                               / CAST(n AS DOUBLE))
+                            / CAST(n - 1 AS DOUBLE)) AS varj
+                    FROM spine CROSS JOIN m)
+         SELECT vi, vj,
+                floor(cov * 10000.0) / 10000 AS cov,
+                floor((cov / sqrt(vari * varj)) * 10000.0) / 10000
+                  AS corr
+         FROM c ORDER BY vi, vj""",
     "analytics_ks_test" ->
       """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
                             CAST(o_totalprice AS DECIMAL(18,2)) AS p

@@ -98,6 +98,24 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("profile_correlation_matrix: symmetric, unit diagonal, corr " +
+    "bounded") {
+    val rows = SparkEntry.queries("profile_correlation_matrix")(
+      spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.size == 9)
+    rows.foreach { case ((vi, vj), (cov, corr)) =>
+      assert(rows((vj, vi)) == ((cov, corr)),
+        s"matrix not symmetric at ($vi,$vj)")
+      assert(math.abs(corr) <= 1.0 + 1e-9)
+      if (vi == vj) {
+        assert(corr == 1.0, s"diagonal corr must be exactly 1: $corr")
+        assert(cov > 0.0, "variances positive")
+      }
+    }
+  }
+
   test("analytics_mann_whitney: U bounded by n1*n2, effect size in " +
     "[-1,1], exact match vs a midrank driver mirror") {
     val rows = SparkEntry.queries("analytics_mann_whitney")(spark, sf)
