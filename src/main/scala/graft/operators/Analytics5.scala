@@ -187,6 +187,43 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Maximum drawdown (r9) — the classic peak-to-trough risk metric,
+    // here over each segment's daily-mean-order-value series: running
+    // peak via an expanding window max, drawdown = peak − current,
+    // max drawdown + its FIRST date (argmax with earliest-day
+    // tiebreak). Distinct from timeseries_cusum_drift (cumulative
+    // deviation from a target) — drawdown measures regression from a
+    // high-water mark. Daily means are ×10⁴-quantized to longs
+    // first, so peak/drawdown/argmax are pure integer window ops —
+    // hash-exact; one groupBy + one ordered window per segment.
+    "timeseries_max_drawdown" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("seg"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double") / count(lit(1))).as("mv"))
+        .select(col("seg"), col("day"),
+          floor(col("mv") * 10000).cast("long").as("v"))
+      val wRun = Window.partitionBy("seg").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = daily
+        .withColumn("peak", max(col("v")).over(wRun))
+        .withColumn("dd", col("peak") - col("v"))
+        .withColumn("rn", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("dd").desc, col("day"))))
+      ranked.filter(col("rn") === 1)
+        .join(daily.groupBy("seg").agg(count(lit(1)).as("n_days"),
+          max(col("v")).as("peak_all")), Seq("seg"))
+        .select(col("seg"), col("n_days"),
+          (col("peak_all").cast("double") / 10000.0).as("peak_value"),
+          (col("dd").cast("double") / 10000.0).as("max_drawdown"),
+          col("day").as("dd_date"))
+        .orderBy("seg")
+    }),
+
     // Covariance/correlation matrix (r9) — the PCA / feature-screen
     // prep step: all pairwise moments of (price, acctbal, order-day)
     // from ONE aggregate pass (Σx, Σx², Σx·y as exact DECIMALs — at
@@ -653,6 +690,37 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "timeseries_max_drawdown" ->
+      """WITH daily AS (SELECT c.c_mktsegment AS seg,
+                               CAST(date_trunc('month', o_orderdate)
+                                 AS DATE) AS day,
+                               CAST(sum(CAST(o_totalprice
+                                      AS DECIMAL(18,2))) AS DOUBLE)
+                                 / count(*) AS mv
+                        FROM orders o JOIN customer c
+                          ON o.o_custkey = c.c_custkey
+                        GROUP BY 1, 2),
+              q AS (SELECT seg, day,
+                           CAST(floor(mv * 10000) AS BIGINT) AS v
+                    FROM daily),
+              r AS (SELECT seg, day, v,
+                           max(v) OVER (PARTITION BY seg ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS peak
+                    FROM q),
+              dd AS (SELECT seg, day, peak - v AS dd,
+                            row_number() OVER (PARTITION BY seg
+                              ORDER BY peak - v DESC, day) AS rn
+                     FROM r),
+              agg AS (SELECT seg, count(*) AS n_days,
+                             CAST(max(v) AS BIGINT) AS peak_all
+                      FROM q GROUP BY seg)
+         SELECT dd.seg AS seg, n_days,
+                CAST(peak_all AS DOUBLE) / 10000.0 AS peak_value,
+                CAST(dd AS DOUBLE) / 10000.0 AS max_drawdown,
+                day AS dd_date
+         FROM dd JOIN agg ON dd.seg = agg.seg
+         WHERE rn = 1 ORDER BY dd.seg""",
     "profile_correlation_matrix" ->
       """WITH j AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
                            CAST(c_acctbal AS DECIMAL(18,2)) AS a,

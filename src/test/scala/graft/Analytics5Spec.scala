@@ -98,6 +98,20 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("timeseries_max_drawdown: drawdown bounded by peak, date " +
+    "inside the series") {
+    val rows = SparkEntry.queries("timeseries_max_drawdown")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, dd) = (r.getDouble(2), r.getDouble(3))
+      assert(dd >= 0.0 && dd <= peak,
+        s"${r.getString(0)}: drawdown $dd outside [0, peak=$peak]")
+      assert(r.getLong(1) > 0)
+      assert(r.getDate(4) != null)
+    }
+  }
+
   test("profile_correlation_matrix: symmetric, unit diagonal, corr " +
     "bounded") {
     val rows = SparkEntry.queries("profile_correlation_matrix")(
