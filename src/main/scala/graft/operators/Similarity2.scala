@@ -239,6 +239,58 @@ object Similarity2 {
         col("score")).orderBy("qid", "pick")
     }),
 
+    // Farthest-point (k-center / k-means++-style) coreset selection
+    // (r9; Gonzalez 1985 — 2-approximation to k-center; the
+    // diversity-sampling primitive behind coreset curation, the
+    // geometric dual of sim_mmr_diversify's relevance-diversity
+    // trade): seed = vec_id 0, then 7 greedy rounds each picking the
+    // point MAXIMIZING its min-distance to the selected set. The
+    // min-distance column updates INCREMENTALLY — md_t = min(md_t−1,
+    // d(·, new_pick)) — so each round is one broadcast of the single
+    // new pick + one argmax window, never a re-scan against the whole
+    // selected set; md is localCheckpoint'ed per round (the
+    // kcore/MMR plan-growth lesson). Distances are exact squared-L2
+    // folds mirrored by the list-op twin; quantized floor-1e-4 with
+    // vec_id tiebreak → deterministic greedy path. Output: pick
+    // order, vec_id, and the covering radius profile (each pick's
+    // distance-at-selection — the k-center objective trace).
+    "sample_farthest_point_coreset" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(dbl("embedding")).as("v"))
+        .localCheckpoint()
+      val d2 = "aggregate(zip_with(v, sv, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (acc, t) -> acc + t)"
+      var picked = e.filter(col("vec_id") === 0L)
+        .select(col("vec_id"), col("v").as("sv"))
+        .select(col("vec_id"), col("sv"), lit(1L).as("pick"),
+          lit(0.0).as("sel_dist"))
+      var md = e.crossJoin(broadcast(
+          picked.select(col("sv"))))
+        .select(col("vec_id"), col("v"),
+          (floor(expr(d2) * 10000.0) / 10000).as("md"))
+        .filter(col("vec_id") =!= 0L)
+        .localCheckpoint()
+      for (t <- 2 to 8) {
+        val next = md
+          .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
+            .orderBy(col("md").desc, col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v").as("sv"),
+            lit(t.toLong).as("pick"), col("md").as("sel_dist"))
+          .localCheckpoint()
+        picked = picked.unionByName(next)
+        md = md
+          .join(broadcast(next.select(col("vec_id").as("nid"),
+            col("sv"))), col("vec_id") =!= col("nid"))
+          .select(col("vec_id"), col("v"),
+            least(col("md"), floor(expr(d2) * 10000.0) / 10000)
+              .as("md"))
+          .localCheckpoint()
+      }
+      picked.select(col("pick"), col("vec_id"), col("sel_dist"))
+        .orderBy("pick")
+    }),
+
     // SemDeDup: k-means cells → pairwise cosine inside each cell only →
     // drop every vector that has a smaller-id neighbor above the
     // threshold. 0.35 is fixture-calibrated (the synthetic embeddings
@@ -541,8 +593,49 @@ object Similarity2 {
        FROM r5 ORDER BY qid, pick"""
   }
 
+  /** Generated farthest-point-coreset oracle: the same 7 greedy
+    * rounds with incremental min-distance, MATERIALIZED per round. */
+  private def fpcSql: String = {
+    def dist(vE: String, svE: String) =
+      s"""floor(list_aggregate(list_transform(range(1, len($vE) + 1),
+            i -> ($vE[i] - $svE[i]) * ($vE[i] - $svE[i])),
+          'sum') * 10000.0) / 10000"""
+    val rounds = (2 to 8).map { t =>
+      val prev = t - 1
+      s"""p$t AS MATERIALIZED (SELECT vec_id, $t AS pick,
+              md AS sel_dist
+              FROM (SELECT *, row_number() OVER (ORDER BY md DESC,
+                      vec_id) AS rn FROM md$prev) WHERE rn = 1),
+          md$t AS MATERIALIZED (
+            SELECT m.vec_id AS vec_id, m.v AS v,
+                   least(m.md, ${dist("m.v", "s.sv")}) AS md
+            FROM md$prev m CROSS JOIN
+                 (SELECT e.v AS sv FROM p$t JOIN e
+                    ON p$t.vec_id = e.vec_id) s
+            WHERE m.vec_id <> (SELECT vec_id FROM p$t))"""
+    }.mkString(",\n")
+    val sel = (2 to 8).map(t =>
+      s"SELECT CAST(pick AS BIGINT) AS pick, vec_id, sel_dist FROM p$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         md1 AS MATERIALIZED (
+           SELECT e.vec_id AS vec_id, e.v AS v,
+                  ${dist("e.v", "s.sv")} AS md
+           FROM e CROSS JOIN (SELECT v AS sv FROM e WHERE vec_id = 0) s
+           WHERE e.vec_id <> 0),
+         $rounds
+       SELECT pick, vec_id, sel_dist FROM (
+         SELECT CAST(1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+                0.0 AS sel_dist
+         UNION ALL
+         $sel) ORDER BY pick"""
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrSql,
+    "sample_farthest_point_coreset" -> fpcSql,
     "dedup_semantic_cluster" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -553,6 +553,43 @@ object Staging {
         .orderBy("lang")
     }),
 
+    // Quoted-CSV round-trip (r9): the writer-robustness twin of the
+    // gzip-JSONL key. Adversarial field content is CONSTRUCTED
+    // in-engine — commas, double quotes, and embedded newlines
+    // injected deterministically into the document text — written
+    // through the CSV sink (quoteAll + escaped quotes + multiLine),
+    // and read back with the multiLine parser. The declared result
+    // aggregates the RE-READ frame; the oracle computes the same
+    // aggregate from the constructed strings directly (no file I/O),
+    // so any quoting/escaping loss in the writer→parser cycle
+    // hash-mismatches. The classic failure this guards: a newline in
+    // an unquoted field splits the record, a bare quote shifts every
+    // following column.
+    "sink_csv_quoted_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_csv_q_")
+      val adv = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          concat(lit("\""), regexp_replace(col("text"), " ", ","),
+            lit("\"\n"), col("source")).as("payload"))
+      adv.write.mode("overwrite")
+        .option("quoteAll", "true").option("escape", "\"")
+        .csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("payload", StringType)))
+      s.read.schema(schema)
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("payload_chars"),
+          sum(when(col("payload").contains("\n"), 1L).otherwise(0L))
+            .as("n_multiline"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    }),
+
     // Parquet bloom-filter sink (r9): write orders with a bloom
     // filter on o_custkey in every row group, then serve a point
     // lookup for a 5-key set. At 100 TB bloom filters are the
@@ -773,6 +810,17 @@ object Staging {
                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang ORDER BY lang""",
+    "sink_csv_quoted_roundtrip" ->
+      """WITH adv AS (SELECT doc_id, lang,
+                             '"' || replace(text, ' ', ',') || '"'
+                               || chr(10) || source AS payload
+                      FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(length(payload)) AS BIGINT) AS payload_chars,
+                CAST(sum(CASE WHEN contains(payload, chr(10))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+                CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM adv GROUP BY lang ORDER BY lang""",
     "sink_parquet_bloom_filter" ->
       """SELECT o_custkey, count(*) AS n_orders,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -99,6 +99,53 @@ class Round9Spec extends GraftSuite {
     }
   }
 
+  test("sample_farthest_point_coreset: maximin trace non-increasing, " +
+    "picks distinct, matches a driver greedy mirror") {
+    val rows = SparkEntry.queries("sample_farthest_point_coreset")(
+      spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    assert(rows.head.getLong(1) == 0L, "seed must be vec_id 0")
+    assert(rows.map(_.getLong(1)).distinct.length == 8)
+    val dists = rows.drop(1).map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"k-center objective trace must be non-increasing: ${dists.toSeq}")
+    // driver mirror of the greedy
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def q4(x: Double) = math.floor(x * 10000.0) / 10000
+    def d2(a: Array[Double], b: Array[Double]) =
+      q4(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    var md = vecs.filter(_._1 != 0L)
+      .map { case (k, v) => k -> d2(v, vecs(0L)) }
+    var exp = Vector((1L, 0L, 0.0))
+    (2 to 8).foreach { t =>
+      val (pick, pd) = md.toSeq.minBy { case (k, m) => (-m, k) }
+      exp :+= ((t.toLong, pick, pd))
+      md = (md - pick).map { case (k, m) =>
+        k -> math.min(m, d2(vecs(k), vecs(pick))) }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toVector == exp, "greedy path diverges from the mirror")
+  }
+
+  test("sink_csv_quoted_roundtrip: written parts really contain " +
+    "escaped quotes and embedded newlines") {
+    SparkEntry.queries("sink_csv_quoted_roundtrip")(spark, sf).collect()
+    val dir = new java.io.File("/tmp/graft_scratch/graft_csv_q_")
+    val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(raw.contains("\"\""),
+      "payload quotes must be escaped as doubled quotes")
+    // physical lines exceed logical records because payloads embed \n
+    val nLines = raw.count(_ == '\n')
+    val nRecords = raw.split("\n").count(_.startsWith("\""))
+    assert(nLines > nRecords,
+      s"embedded newlines missing: $nLines lines vs $nRecords records")
+  }
+
   test("spatial_dbscan_core: census matches a brute-force driver " +
     "mirror (no grid)") {
     val got = SparkEntry.queries("spatial_dbscan_core")(spark, sf)
