@@ -200,6 +200,9 @@ object Similarity2 {
         .filter(col("rn") <= 20)
         .select(col("qid"), col("vec_id").as("cid"), col("rel"),
           col("embedding"))
+        // ≤ probes×20 rows from here on: single partition so the 5
+        // greedy steps run one task per stage instead of 32 empty ones
+        .coalesce(1)
         .localCheckpoint()
       val psim = cand.as("a").join(cand.as("b"),
           col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
@@ -207,6 +210,7 @@ object Similarity2 {
           col("b.cid").as("cb"),
           (floor(expr("cosine_sim(a.embedding, b.embedding)") * 10000.0)
             / 10000).as("sim"))
+        .coalesce(1)
         .localCheckpoint()
       var picked = cand
         .withColumn("r2", row_number().over(Window.partitionBy("qid")
@@ -233,7 +237,11 @@ object Similarity2 {
           .filter(col("r2") === 1)
           .select(col("qid"), col("cid"), col("rel"), col("score"),
             lit(t.toLong).as("pick"))
-        picked = picked.unionByName(pick)
+        // ≤ 5·t rows, but WITHOUT a per-round checkpoint the lazy
+        // `picked` lineage is re-executed ~2^rounds times (ms join +
+        // anti-join + union each re-reference it): measured 10-11 s
+        // isolated; checkpointed, the whole key is ~2 s
+        picked = picked.unionByName(pick).localCheckpoint()
       }
       picked.select(col("qid"), col("pick"), col("cid"), col("rel"),
         col("score")).orderBy("qid", "pick")
