@@ -187,6 +187,103 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Jensen–Shannon divergence between source unigram distributions
+    // (r9; Lin 1991) — the corpus-similarity matrix behind source
+    // mixing decisions (sample_temperature_mix picks weights; THIS
+    // says which sources are redundant): for every source pair,
+    // JSD(p,q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) over the
+    // union vocabulary — symmetric, bounded by ln 2, zero iff
+    // identical. Distributions from integer counts (p = c/N on
+    // identical bits), zero-mass terms excluded by construction
+    // (x·ln x → 0), per-term DECIMAL(28,10) pre-sum. Vocab-sized
+    // per-pair spine: the pair fan-out is a broadcast of S(S−1)/2
+    // rows, counts partial-aggregate map-side.
+    "text_jsd_source_divergence" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+      val srcs = tot.select("source")
+      val pairs = srcs.select(col("source").as("s1"))
+        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+      val spine = pairs
+        .join(broadcast(cnt.select(col("source"), col("w"))),
+          col("source") === col("s1") || col("source") === col("s2"))
+        .select(col("s1"), col("s2"), col("w")).distinct()
+      val withC = spine
+        .join(broadcast(cnt.select(col("source").as("s1"),
+          col("w"), col("c").as("c1"))), Seq("s1", "w"), "left")
+        .join(broadcast(cnt.select(col("source").as("s2"),
+          col("w"), col("c").as("c2"))), Seq("s2", "w"), "left")
+        .join(broadcast(tot.select(col("source").as("s1"),
+          col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(tot.select(col("source").as("s2"),
+          col("n").as("n2"))), Seq("s2"))
+        .withColumn("p", expr(
+          "CAST(coalesce(c1, 0L) AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(coalesce(c2, 0L) AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+        .withColumn("term", expr(
+          """CAST(
+               CASE WHEN p > 0.0
+                    THEN 0.5 * p * ln((2.0 * p) / (p + q)) ELSE 0.0 END
+             + CASE WHEN q > 0.0
+                    THEN 0.5 * q * ln((2.0 * q) / (p + q)) ELSE 0.0 END
+             AS DECIMAL(28,10))"""))
+      withC.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("n_union_words"),
+          (floor(sum(col("term")).cast("double") * 10000.0) / 10000)
+            .as("jsd"))
+        .orderBy("s1", "s2")
+    }),
+
+    // Association rules over co-purchased parts (r9; Agrawal &
+    // Srikant 1994 — support/confidence/lift, the market-basket
+    // classic and the co-occurrence-mining primitive): baskets =
+    // orders, items = mod-10-sampled parts; DIRECTIONAL rules a→b
+    // with support = n_ab/n_orders, confidence = n_ab/n_a, lift =
+    // confidence/(n_b/n_orders); n_ab ≥ 3 floor, top-20 by
+    // (quantized lift desc, a, b). Pair counts from the
+    // basket-keyed self-join (equi on the order key, never
+    // all-pairs); item counts broadcast back onto the pair table.
+    "analytics_association_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = Tables.orders(s, d)
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      val itemCnt = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairCnt = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairCnt
+        .join(broadcast(itemCnt.select(col("pk").as("ante"),
+          col("n_item").as("n_a"))), Seq("ante"))
+        .join(broadcast(itemCnt.select(col("pk").as("cons"),
+          col("n_item").as("n_b"))), Seq("cons"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support", expr(
+          "CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)"))
+        .withColumn("confidence", expr(
+          "CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+        .withColumn("lift", expr(
+          """(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) / CAST(n_orders AS DOUBLE))"""))
+        .withColumn("lift4", floor(col("lift") * 10000.0) / 10000)
+        .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("lift4").desc, col("ante"), col("cons"))))
+        .filter(col("rn") <= 20)
+        .select(col("rn").cast("long").as("rank"), col("ante"),
+          col("cons"), col("n_ab"),
+          (floor(col("support") * 1000000.0) / 1000000).as("support"),
+          (floor(col("confidence") * 10000.0) / 10000).as("confidence"),
+          col("lift4").as("lift"))
+        .orderBy("rank")
+    }),
+
     // Maximum drawdown (r9) — the classic peak-to-trough risk metric,
     // here over each segment's daily-mean-order-value series: running
     // peak via an expanding window max, drawdown = peak − current,
@@ -690,6 +787,84 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "text_jsd_source_divergence" ->
+      """WITH cnt AS (SELECT source, w, count(*) AS c
+                      FROM (SELECT source,
+                                   unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY source, w),
+              tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                      FROM cnt GROUP BY source),
+              srcs AS (SELECT DISTINCT source FROM tot),
+              pairs AS (SELECT a.source AS s1, b.source AS s2
+                        FROM srcs a JOIN srcs b ON a.source < b.source),
+              spine AS (SELECT DISTINCT s1, s2, w
+                        FROM pairs JOIN cnt
+                          ON cnt.source = s1 OR cnt.source = s2),
+              wc AS (SELECT s1, s2, spine.w AS w,
+                            coalesce(a.c, 0) AS c1,
+                            coalesce(b.c, 0) AS c2,
+                            ta.n AS n1, tb.n AS n2
+                     FROM spine
+                     LEFT JOIN cnt a ON a.source = s1 AND a.w = spine.w
+                     LEFT JOIN cnt b ON b.source = s2 AND b.w = spine.w
+                     JOIN tot ta ON ta.source = s1
+                     JOIN tot tb ON tb.source = s2),
+              pq AS (SELECT s1, s2,
+                            CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p,
+                            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS q
+                     FROM wc),
+              t AS (SELECT s1, s2,
+                           CAST(
+                             CASE WHEN p > 0.0
+                                  THEN 0.5 * p * ln((2.0 * p) / (p + q))
+                                  ELSE 0.0 END
+                           + CASE WHEN q > 0.0
+                                  THEN 0.5 * q * ln((2.0 * q) / (p + q))
+                                  ELSE 0.0 END
+                             AS DECIMAL(28,10)) AS term
+                    FROM pq)
+         SELECT s1, s2, count(*) AS n_union_words,
+                floor(CAST(sum(term) AS DOUBLE) * 10000.0) / 10000
+                  AS jsd
+         FROM t GROUP BY s1, s2 ORDER BY s1, s2""",
+    "analytics_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+                               l_partkey AS pk
+                        FROM lineitem WHERE l_partkey % 10 = 0),
+              no AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                              AS n_orders
+                     FROM orders),
+              ic AS (SELECT pk, count(*) AS n_item
+                     FROM items GROUP BY pk),
+              pc AS (SELECT a.pk AS ante, b.pk AS cons,
+                            count(*) AS n_ab
+                     FROM items a JOIN items b
+                       ON a.ok = b.ok AND a.pk <> b.pk
+                     GROUP BY a.pk, b.pk
+                     HAVING count(*) >= 3),
+              r AS (SELECT ante, cons, n_ab,
+                           ia.n_item AS n_a, ib.n_item AS n_b, n_orders,
+                           floor((CAST(n_ab AS DOUBLE)
+                                  / CAST(ia.n_item AS DOUBLE))
+                                 / (CAST(ib.n_item AS DOUBLE)
+                                    / CAST(n_orders AS DOUBLE))
+                                 * 10000.0) / 10000 AS lift4
+                    FROM pc
+                    JOIN ic ia ON ia.pk = pc.ante
+                    JOIN ic ib ON ib.pk = pc.cons
+                    CROSS JOIN no),
+              rk AS (SELECT *, row_number() OVER (ORDER BY lift4 DESC,
+                            ante, cons) AS rn
+                     FROM r)
+         SELECT CAST(rn AS BIGINT) AS rank, ante, cons,
+                CAST(n_ab AS BIGINT) AS n_ab,
+                floor((CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                      * 1000000.0) / 1000000 AS support,
+                floor((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * 10000.0) / 10000 AS confidence,
+                lift4 AS lift
+         FROM rk WHERE rn <= 20 ORDER BY rank""",
     "timeseries_max_drawdown" ->
       """WITH daily AS (SELECT c.c_mktsegment AS seg,
                                CAST(date_trunc('month', o_orderdate)

@@ -98,6 +98,39 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("text_jsd_source_divergence: symmetric-by-construction bounds " +
+    "0 <= JSD <= ln 2, all source pairs present") {
+    val rows = SparkEntry.queries("text_jsd_source_divergence")(
+      spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source")
+      .distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1e-4 &&
+        r.getDouble(3) <= math.log(2.0) + 1e-4,
+        s"(${r.getString(0)},${r.getString(1)}): JSD ${r.getDouble(3)} " +
+          s"outside [0, ln 2]")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("analytics_association_rules: rule arithmetic consistent, " +
+    "ranked by lift") {
+    val rows = SparkEntry.queries("analytics_association_rules")(
+      spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lifts = rows.map(_.getDouble(6))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+      "rules must be ranked by descending lift")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 3L, "support floor n_ab >= 3")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
+        "confidence in (0,1]")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+      assert(r.getDouble(6) > 0.0)
+    }
+  }
+
   test("timeseries_max_drawdown: drawdown bounded by peak, date " +
     "inside the series") {
     val rows = SparkEntry.queries("timeseries_max_drawdown")(spark, sf)
