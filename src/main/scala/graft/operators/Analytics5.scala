@@ -187,6 +187,50 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Winsorized mean (r9) — the robust location estimate beside
+    // anomaly_* (which FLAG outliers; this neutralizes them): per
+    // segment, clamp order totals at the exact [p05, p95] ORDER
+    // STATISTICS (rank ceil(n·5/100) / ceil(n·95/100) under the
+    // (price, key) total order — integer ranks, percentile_disc
+    // semantics, no interpolation) and report the exact-DECIMAL mean
+    // of the clamped values vs the raw mean. Thresholds are one
+    // 2-rows-per-segment window pick broadcast back — at 100 TB
+    // you'd swap the rank window for a quantile sketch (documented),
+    // the clamped mean itself stays one map-side-combined aggregate.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val ranked = op
+        .withColumn("rk", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("p"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      // ceil(a·n/100) as (a·n + 99) div 100 — positive operands, so
+      // truncating (Spark div) and flooring (DuckDB //) agree
+      val lo = ranked
+        .filter(col("rk") === expr("CAST((5 * n + 99) div 100 AS INT)"))
+        .select(col("seg"), col("p").as("lo"))
+      val hi = ranked
+        .filter(col("rk") === expr("CAST((95 * n + 99) div 100 AS INT)"))
+        .select(col("seg"), col("p").as("hi"))
+      op.join(broadcast(lo), Seq("seg")).join(broadcast(hi), Seq("seg"))
+        .withColumn("w", least(greatest(col("p"), col("lo")), col("hi")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).cast("double").as("p05"),
+          max(col("hi")).cast("double").as("p95"),
+          (floor((sum(col("p")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("raw_mean"),
+          (floor((sum(col("w")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("winsorized_mean"))
+        .orderBy("seg")
+    }),
+
     // Jensen–Shannon divergence between source unigram distributions
     // (r9; Lin 1991) — the corpus-similarity matrix behind source
     // mixing decisions (sample_temperature_mix picks weights; THIS
@@ -787,6 +831,34 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "agg_winsorized_mean" ->
+      """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+              rkd AS (SELECT seg, o_orderkey, p,
+                             row_number() OVER (PARTITION BY seg
+                               ORDER BY p, o_orderkey) AS rk,
+                             count(*) OVER (PARTITION BY seg) AS n
+                      FROM op),
+              lo AS (SELECT seg, p AS lo FROM rkd
+                     WHERE rk = (5 * n + 99) // 100),
+              hi AS (SELECT seg, p AS hi FROM rkd
+                     WHERE rk = (95 * n + 99) // 100),
+              w AS (SELECT op.seg AS seg, p, lo, hi,
+                           least(greatest(p, lo), hi) AS wp
+                    FROM op JOIN lo ON op.seg = lo.seg
+                            JOIN hi ON op.seg = hi.seg)
+         SELECT seg, count(*) AS n,
+                CAST(max(lo) AS DOUBLE) AS p05,
+                CAST(max(hi) AS DOUBLE) AS p95,
+                floor((CAST(sum(p) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000
+                  AS raw_mean,
+                floor((CAST(sum(wp) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000
+                  AS winsorized_mean
+         FROM w GROUP BY seg ORDER BY seg""",
     "text_jsd_source_divergence" ->
       """WITH cnt AS (SELECT source, w, count(*) AS c
                       FROM (SELECT source,

@@ -98,6 +98,24 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("agg_winsorized_mean: thresholds ordered, winsorized mean " +
+    "between p05 and p95 and pulled toward the center") {
+    val rows = SparkEntry.queries("agg_winsorized_mean")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getDouble(2), r.getDouble(3))
+      val (raw, win) = (r.getDouble(4), r.getDouble(5))
+      assert(p05 < p95, s"${r.getString(0)}: p05 >= p95")
+      assert(win >= p05 - 1e-9 && win <= p95 + 1e-9,
+        s"${r.getString(0)}: winsorized mean outside the clamp band")
+      // clamping a right-skew-free symmetric-ish price distribution
+      // moves the mean only slightly — sanity band, not equality
+      assert(math.abs(win - raw) < 0.2 * raw,
+        s"${r.getString(0)}: winsorized mean implausibly far from raw")
+    }
+  }
+
   test("text_jsd_source_divergence: symmetric-by-construction bounds " +
     "0 <= JSD <= ln 2, all source pairs present") {
     val rows = SparkEntry.queries("text_jsd_source_divergence")(
