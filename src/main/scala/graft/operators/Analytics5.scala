@@ -187,6 +187,62 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Gini decision-stump split scan (r9) — how distributed tree
+    // learners pick a split (the XGBoost/LightGBM histogram-scan
+    // shape): candidate thresholds = the exact ventile order
+    // statistics of o_totalprice (19 integer ranks, percentile_disc
+    // semantics — at 100 TB this grid comes from a quantile sketch,
+    // the documented swap), then ONE pass scores every threshold via
+    // a ≤19-row broadcast cross join + CASE partial aggregation —
+    // weighted Gini impurity (n_l/n)·g_l + (n_r/n)·g_r of the
+    // left/right partition of the binary target (order status F).
+    // All counts integer; ratio arithmetic mirrored token-for-token;
+    // output ranked by quantized impurity (best split first).
+    "agg_gini_split_scan" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val ranked = op
+        .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("p"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val ks = s.range(1, 20).select(col("id").as("k"))
+      val th = ranked.join(broadcast(ks),
+          col("rk") === expr("CAST((k * n + 19) div 20 AS INT)"))
+        .select(col("p").as("t")).distinct()
+      val tot = op.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      op.crossJoin(broadcast(th))
+        .groupBy("t")
+        .agg(sum(when(col("p") <= col("t"), 1L).otherwise(0L)).as("n_l"),
+          sum(when(col("p") <= col("t"), col("y")).otherwise(0L))
+            .as("pos_l"))
+        .crossJoin(broadcast(tot))
+        .withColumn("gini", expr(
+          """(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                      * (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                    - (CAST(n_l - pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                      * (CAST(n_l - pos_l AS DOUBLE)
+                         / CAST(n_l AS DOUBLE)))
+           + (CAST(n - n_l AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - (CAST(pos - pos_l AS DOUBLE)
+                       / CAST(n - n_l AS DOUBLE))
+                      * (CAST(pos - pos_l AS DOUBLE)
+                         / CAST(n - n_l AS DOUBLE))
+                    - (CAST((n - n_l) - (pos - pos_l) AS DOUBLE)
+                       / CAST(n - n_l AS DOUBLE))
+                      * (CAST((n - n_l) - (pos - pos_l) AS DOUBLE)
+                         / CAST(n - n_l AS DOUBLE)))"""))
+        .withColumn("gini4", floor(col("gini") * 1000000.0) / 1000000)
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("gini4"), col("t"))))
+        .select(col("rank").cast("long").as("rank"),
+          col("t").cast("double").as("threshold"), col("n_l"),
+          col("pos_l"), col("gini4").as("gini_weighted"))
+        .orderBy("rank")
+    }),
+
     // Winsorized mean (r9) — the robust location estimate beside
     // anomaly_* (which FLAG outliers; this neutralizes them): per
     // segment, clamp order totals at the exact [p05, p95] ORDER
@@ -831,6 +887,61 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "agg_gini_split_scan" ->
+      """WITH op AS (SELECT o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                            END AS y
+                     FROM orders),
+              rkd AS (SELECT p,
+                             row_number() OVER (ORDER BY p, o_orderkey)
+                               AS rk,
+                             count(*) OVER () AS n
+                      FROM op),
+              th AS (SELECT DISTINCT p AS t
+                     FROM rkd JOIN (SELECT unnest(generate_series(1, 19))
+                                    AS k)
+                       ON rk = (k * n + 19) // 20),
+              tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT)
+                               AS pos
+                      FROM op),
+              agg AS (SELECT t,
+                             CAST(sum(CASE WHEN p <= t THEN 1 ELSE 0
+                                      END) AS BIGINT) AS n_l,
+                             CAST(sum(CASE WHEN p <= t THEN y ELSE 0
+                                      END) AS BIGINT) AS pos_l
+                      FROM op CROSS JOIN th GROUP BY t),
+              g AS (SELECT t, n_l, pos_l, n, pos,
+                           (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - (CAST(pos_l AS DOUBLE)
+                                     / CAST(n_l AS DOUBLE))
+                                    * (CAST(pos_l AS DOUBLE)
+                                       / CAST(n_l AS DOUBLE))
+                                  - (CAST(n_l - pos_l AS DOUBLE)
+                                     / CAST(n_l AS DOUBLE))
+                                    * (CAST(n_l - pos_l AS DOUBLE)
+                                       / CAST(n_l AS DOUBLE)))
+                         + (CAST(n - n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - (CAST(pos - pos_l AS DOUBLE)
+                                     / CAST(n - n_l AS DOUBLE))
+                                    * (CAST(pos - pos_l AS DOUBLE)
+                                       / CAST(n - n_l AS DOUBLE))
+                                  - (CAST((n - n_l) - (pos - pos_l)
+                                          AS DOUBLE)
+                                     / CAST(n - n_l AS DOUBLE))
+                                    * (CAST((n - n_l) - (pos - pos_l)
+                                            AS DOUBLE)
+                                       / CAST(n - n_l AS DOUBLE)))
+                             AS gini
+                    FROM agg CROSS JOIN tot),
+              q AS (SELECT *, floor(gini * 1000000.0) / 1000000
+                             AS gini4
+                    FROM g)
+         SELECT CAST(row_number() OVER (ORDER BY gini4, t) AS BIGINT)
+                  AS rank,
+                CAST(t AS DOUBLE) AS threshold, n_l, pos_l,
+                gini4 AS gini_weighted
+         FROM q ORDER BY rank""",
     "agg_winsorized_mean" ->
       """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
                             CAST(o_totalprice AS DECIMAL(18,2)) AS p

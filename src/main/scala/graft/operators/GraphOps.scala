@@ -245,6 +245,47 @@ object GraphOps {
       stats.orderBy("round")
     }),
 
+    // Multi-source BFS layering (r9) — the fourth Pregel shape beside
+    // PageRank (value iteration), CC/label-prop (label exchange), and
+    // k-core (peeling): hop distance from a 3-node seed set over the
+    // co-purchase graph, 6 FIXED frontier-expansion rounds. Each
+    // round: frontier ⋈ adjacency (equi on src) → candidate next
+    // layer → anti-join against everything already labeled → new
+    // frontier, checkpoint (dist table + frontier are the only state
+    // — this is exactly how Pregel BFS bounds memory). Seeds are the
+    // 3 smallest node ids picked DECLARATIVELY (rank window, no
+    // driver collect). Output: nodes per hop layer + the unreached
+    // count (disconnected mass) — the reachability profile.
+    "graph_bfs_layers" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
+      val adj = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      val nodes = adj.select(col("src").as("node")).distinct()
+      val seeds = nodes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy("node")))
+        .filter(col("rn") <= 3).select("node")
+      var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint()
+      var frontier = dist.select("node").localCheckpoint()
+      for (r <- 1 to 6) {
+        val next = adj
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint()
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next.select("node").localCheckpoint()
+      }
+      val layers = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      val unreached = nodes.join(dist.select("node"), Seq("node"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("dist"), col("n_nodes"))
+      layers.unionByName(unreached).filter(col("n_nodes") > 0)
+        .orderBy("dist")
+    }),
+
     // Synchronous label propagation communities (r9; Raghavan et al.
     // 2007): every node starts as its own label; each round a node
     // adopts the MAJORITY label among its neighbors (tiebreak:
@@ -355,9 +396,46 @@ object GraphOps {
        FROM ($sel) ORDER BY round"""
   }
 
+  /** Generated BFS oracle: 6 frontier rounds, MATERIALIZED per round
+    * (the kcore/labelProp inliner medicine). */
+  private def bfsSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""nx$r AS MATERIALIZED (SELECT DISTINCT a.dst AS node
+              FROM adj a JOIN f${r - 1} f ON a.src = f.node
+              WHERE a.dst NOT IN (SELECT node FROM d${r - 1})),
+          d$r AS MATERIALIZED (SELECT node, dist FROM d${r - 1}
+              UNION ALL SELECT node, $r AS dist FROM nx$r),
+          f$r AS MATERIALIZED (SELECT node FROM nx$r)"""
+    }.mkString(",\n")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                        l_partkey AS pk
+                                 FROM lineitem WHERE l_partkey % 10 = 0),
+            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                                FROM ps a JOIN ps b
+                                  ON a.ok = b.ok AND a.pk < b.pk),
+            adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+                                 UNION ALL SELECT v, u FROM ed),
+            nodes AS MATERIALIZED (SELECT DISTINCT src AS node
+                                   FROM adj),
+            seeds AS MATERIALIZED (SELECT node FROM
+                (SELECT node, row_number() OVER (ORDER BY node) AS rn
+                 FROM nodes) WHERE rn <= 3),
+            d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+            f0 AS MATERIALIZED (SELECT node FROM d0),
+            $rounds
+       SELECT dist, n_nodes FROM (
+         SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+         FROM d6 GROUP BY dist
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT) AS dist, count(*) AS n_nodes
+         FROM nodes WHERE node NOT IN (SELECT node FROM d6))
+       WHERE n_nodes > 0 ORDER BY dist"""
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
     "graph_community_labelprop" -> labelPropSql,
+    "graph_bfs_layers" -> bfsSql,
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                l_suppkey * 2 + 1 AS sn

@@ -98,6 +98,22 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("agg_gini_split_scan: impurity bounded by the Gini max, " +
+    "partitions consistent, ranked ascending") {
+    val rows = SparkEntry.queries("agg_gini_split_scan")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 19)
+    val ginis = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(ginis.zip(ginis.tail).forall { case (a, b) => a <= b },
+      "rank 1 must be the lowest impurity")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 0.5 + 1e-9,
+        s"binary Gini impurity must lie in [0, 0.5]: ${r.getDouble(4)}")
+      assert(r.getLong(3) <= r.getLong(2),
+        "left positives cannot exceed left count")
+    }
+  }
+
   test("agg_winsorized_mean: thresholds ordered, winsorized mean " +
     "between p05 and p95 and pulled toward the center") {
     val rows = SparkEntry.queries("agg_winsorized_mean")(spark, sf)

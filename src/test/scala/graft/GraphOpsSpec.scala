@@ -84,6 +84,33 @@ class GraphOpsSpec extends GraftSuite {
       s"peel profile mismatch: got=${got.toSeq} expect=$expect")
   }
 
+  test("graph_bfs_layers: layer profile matches a driver-side BFS " +
+    "and accounts for every node") {
+    val got = operators.GraphOps.queries("graph_bfs_layers")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val all = adj.keySet
+    val seeds = all.toSeq.sorted.take(3).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    (1 to 6).foreach { r =>
+      val next = frontier.flatMap(adj).diff(dist.keySet)
+      dist ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    val exp = dist.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong } ++
+      (if (all.size > dist.size) Map(-1L -> (all.size - dist.size).toLong)
+       else Map.empty[Long, Long])
+    assert(got == exp, s"BFS layers $got != mirror $exp")
+    assert(got.values.sum == all.size.toLong,
+      "every node must be in exactly one layer or unreached")
+    assert(got(0L) == 3L, "seed layer must hold the 3 seeds")
+  }
+
   test("graph_community_labelprop: exactly matches a driver-side " +
     "4-round majority-vote mirror") {
     val got = operators.GraphOps.queries("graph_community_labelprop")(
