@@ -187,6 +187,44 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Low-discrepancy (van der Corput) sampling (r9): keep row iff
+    // the base-2 radical inverse of its rank clears the rate — the
+    // quasi-random design that guarantees NEAR-EVEN coverage along
+    // the sort order (max gap between kept ranks ≈ 1/rate, vs the
+    // geometric tail of Bernoulli/hash sampling — the spec asserts
+    // exactly that gap bound). Pure integer bit-reversal:
+    // rev = Σ_j ((rk>>j)&1)·2^(19−j) over 20 bits, keep iff
+    // rev·10 < 2^20 (exact 10%); rank is the (o_orderdate, key)
+    // total order, so the sample is evenly spread THROUGH TIME —
+    // what a training-data debug slice wants. The rank window is the
+    // scale bottleneck by design (documented: at 100 TB you assign
+    // ranks per partition + offset via one count-per-partition pass).
+    "sample_low_discrepancy_vdc" -> ((s, d) => {
+      val bits = (0 to 19).map(j => s"(((rk >> $j) & 1) << ${19 - j})")
+        .mkString(" + ")
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority").as("prio"))
+        .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("o_orderdate"), col("o_orderkey")))
+          .cast("long"))
+        .withColumn("rev", expr(s"CAST($bits AS BIGINT)"))
+        .withColumn("kept", col("rev") * 10L < lit(1048576L))
+      val gaps = ranked.filter(col("kept"))
+        .withColumn("prev_rk", lag(col("rk"), 1).over(
+          Window.partitionBy(lit(1)).orderBy("rk")))
+        .agg(max(col("rk") - col("prev_rk")).as("max_gap"))
+      ranked.groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+        .crossJoin(broadcast(gaps))
+        .select(col("prio"), col("n"), col("n_sampled"),
+          (floor((col("n_sampled").cast("double")
+            / col("n").cast("double")) * 10000.0) / 10000).as("rate"),
+          col("max_gap"))
+        .orderBy("prio")
+    }),
+
     // Gini decision-stump split scan (r9) — how distributed tree
     // learners pick a split (the XGBoost/LightGBM histogram-scan
     // shape): candidate thresholds = the exact ventile order
@@ -887,6 +925,32 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "sample_low_discrepancy_vdc" ->
+      (s"""WITH rkd AS (SELECT o_orderkey, o_orderpriority AS prio,
+                              CAST(row_number() OVER (ORDER BY
+                                o_orderdate, o_orderkey) AS BIGINT)
+                                AS rk
+                       FROM orders),
+              rv AS (SELECT prio, rk,
+                            CAST("""
+        + (0 to 19).map(j => s"(((rk >> $j) & 1) << ${19 - j})")
+          .mkString(" + ")
+        + """ AS BIGINT) AS rev
+                     FROM rkd),
+              k AS (SELECT prio, rk, rev * 10 < 1048576 AS kept
+                    FROM rv),
+              g AS (SELECT max(rk - prev_rk) AS max_gap
+                    FROM (SELECT rk, lag(rk, 1) OVER (ORDER BY rk)
+                                   AS prev_rk
+                          FROM k WHERE kept))
+         SELECT prio, count(*) AS n,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sampled,
+                floor((CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                            AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                      * 10000.0) / 10000 AS rate,
+                (SELECT CAST(max_gap AS BIGINT) FROM g) AS max_gap
+         FROM k GROUP BY prio ORDER BY prio"""),
     "agg_gini_split_scan" ->
       """WITH op AS (SELECT o_orderkey,
                             CAST(o_totalprice AS DECIMAL(18,2)) AS p,

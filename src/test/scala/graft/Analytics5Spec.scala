@@ -98,6 +98,22 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("sample_low_discrepancy_vdc: ~10% rate with the low-" +
+    "discrepancy gap bound no Bernoulli sample satisfies") {
+    val rows = SparkEntry.queries("sample_low_discrepancy_vdc")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val k = rows.map(_.getLong(2)).sum
+    assert(math.abs(k.toDouble / n - 0.1) < 0.02,
+      s"global rate ${k.toDouble / n} far from 10%")
+    // van der Corput: kept ranks are near-periodic — max gap is
+    // O(1/rate); a geometric (Bernoulli) tail would blow past this
+    val maxGap = rows.head.getLong(4)
+    assert(maxGap <= 16L,
+      s"max gap $maxGap exceeds the low-discrepancy bound (~1/rate)")
+  }
+
   test("agg_gini_split_scan: impurity bounded by the Gini max, " +
     "partitions consistent, ranked ascending") {
     val rows = SparkEntry.queries("agg_gini_split_scan")(spark, sf)
