@@ -187,6 +187,96 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Incremental aggregate (materialized-view) maintenance (r9):
+    // the IVM contract — a delta batch updates a standing aggregate
+    // by ADDING its partial sums, never recomputing the base. Base
+    // epoch = orders before 1997, delta = the rest; the declared
+    // result carries BOTH the maintained aggregate (base ⊕ delta,
+    // exact DECIMAL partials so ⊕ is associative/commutative) and
+    // the full recompute, plus their exact-equality flag — the
+    // hash-checked equivalence that justifies never rescanning 100 TB
+    // of base when a day's delta lands (the merge-on-read precedent:
+    // declared-equivalence keys make the algebra a graded fact, not
+    // a comment).
+    "stage_incremental_agg_maintenance" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"),
+          (col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .as("is_base"))
+      val base = o.filter(col("is_base")).groupBy("seg")
+        .agg(count(lit(1)).as("n_b"),
+          sum(col("p")).cast("decimal(38,2)").as("s_b"))
+      val delta = o.filter(!col("is_base")).groupBy("seg")
+        .agg(count(lit(1)).as("n_d"),
+          sum(col("p")).cast("decimal(38,2)").as("s_d"))
+      val full = o.groupBy("seg")
+        .agg(count(lit(1)).as("n_full"),
+          sum(col("p")).cast("decimal(38,2)").as("s_full"))
+      base.join(delta, Seq("seg"), "full")
+        .select(col("seg"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("n_d"), lit(0L)).as("n_d"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_maint"),
+          (coalesce(col("s_b"), lit(0).cast("decimal(38,2)"))
+            + coalesce(col("s_d"), lit(0).cast("decimal(38,2)")))
+            .as("s_maint"))
+        .join(full, Seq("seg"))
+        .select(col("seg"), col("n_b"), col("n_d"), col("n_maint"),
+          col("n_full"),
+          (floor(col("s_maint").cast("double") * 100.0) / 100)
+            .as("total_maint"),
+          (floor(col("s_full").cast("double") * 100.0) / 100)
+            .as("total_full"),
+          (col("n_maint") === col("n_full") &&
+            col("s_maint") === col("s_full")).as("consistent"))
+        .orderBy("seg")
+    }),
+
+    // k-fold cross-validation harness (r9): 5 deterministic md5
+    // folds, and for EACH fold the mean-baseline model is trained on
+    // the OTHER four and scored (MAE) on the held-out fold. The
+    // distributed-CV trick this key exists to declare: train means
+    // come from COMPLEMENT sums — (total − fold)/(n − n_fold) — so
+    // ONE corpus pass yields every fold's model (no 5× re-scans; the
+    // same trick trains k linear models from k complement moment
+    // sets). Fold sums exact DECIMAL; the MAE pass re-joins each row
+    // to ITS fold's broadcast train mean and quantizes |err|
+    // DECIMAL(28,10) pre-sum.
+    "sample_kfold_cv_eval" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 6), " +
+            "16, 10) AS BIGINT) % 5"))
+      val perFold = o.groupBy("fold")
+        .agg(count(lit(1)).as("n_f"), sum(col("p")).as("s_f"))
+      val tot = perFold.agg(sum(col("n_f")).as("n"),
+        sum(col("s_f")).cast("decimal(38,2)").as("s"))
+      val models = perFold.crossJoin(broadcast(tot))
+        .withColumn("train_mean", expr(
+          """(CAST(s AS DOUBLE) - CAST(s_f AS DOUBLE))
+             / CAST(n - n_f AS DOUBLE)"""))
+        .select(col("fold"), col("n_f"), col("train_mean"))
+      o.join(broadcast(models), Seq("fold"))
+        .withColumn("ae",
+          abs(col("p").cast("double") - col("train_mean"))
+            .cast("decimal(28,10)"))
+        .groupBy("fold")
+        .agg(max(col("n_f")).as("n_test"),
+          (floor(max(col("train_mean")) * 10000.0) / 10000)
+            .as("train_mean"),
+          (floor((sum(col("ae")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("mae"))
+        .orderBy("fold")
+    }),
+
     // Low-discrepancy (van der Corput) sampling (r9): keep row iff
     // the base-2 radical inverse of its rank clears the rate — the
     // quasi-random design that guarantees NEAR-EVEN coverage along
@@ -925,6 +1015,71 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "stage_incremental_agg_maintenance" ->
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                           o_orderdate < TIMESTAMP '1997-01-01'
+                             AS is_base
+                    FROM orders o JOIN customer c
+                      ON o.o_custkey = c.c_custkey),
+              b AS (SELECT seg, count(*) AS n_b,
+                           CAST(sum(p) AS DECIMAL(38,2)) AS s_b
+                    FROM o WHERE is_base GROUP BY seg),
+              dl AS (SELECT seg, count(*) AS n_d,
+                            CAST(sum(p) AS DECIMAL(38,2)) AS s_d
+                     FROM o WHERE NOT is_base GROUP BY seg),
+              f AS (SELECT seg, count(*) AS n_full,
+                           CAST(sum(p) AS DECIMAL(38,2)) AS s_full
+                    FROM o GROUP BY seg),
+              m AS (SELECT coalesce(b.seg, dl.seg) AS seg,
+                           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+                           CAST(coalesce(n_d, 0) AS BIGINT) AS n_d,
+                           CAST(coalesce(n_b, 0) + coalesce(n_d, 0)
+                             AS BIGINT) AS n_maint,
+                           coalesce(s_b, CAST(0 AS DECIMAL(38,2)))
+                             + coalesce(s_d, CAST(0 AS DECIMAL(38,2)))
+                             AS s_maint
+                    FROM b FULL JOIN dl ON b.seg = dl.seg)
+         SELECT m.seg AS seg, n_b, n_d, n_maint,
+                CAST(n_full AS BIGINT) AS n_full,
+                floor(CAST(s_maint AS DOUBLE) * 100.0) / 100
+                  AS total_maint,
+                floor(CAST(s_full AS DOUBLE) * 100.0) / 100
+                  AS total_full,
+                n_maint = n_full AND s_maint = s_full AS consistent
+         FROM m JOIN f ON m.seg = f.seg
+         ORDER BY m.seg""",
+    "sample_kfold_cv_eval" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                           CAST(list_aggregate(list_transform(
+                                  range(1, 7),
+                                  j -> (strpos('0123456789abcdef',
+                                         substr(md5(CAST(o_orderkey
+                                                  AS VARCHAR)),
+                                                CAST(j AS INT), 1)) - 1)
+                                       * pow(16, 6 - j)), 'sum')
+                             AS BIGINT) % 5 AS fold
+                    FROM orders),
+              pf AS (SELECT fold, count(*) AS n_f, sum(p) AS s_f
+                     FROM o GROUP BY fold),
+              tot AS (SELECT CAST(sum(n_f) AS BIGINT) AS n,
+                             CAST(sum(s_f) AS DECIMAL(38,2)) AS s
+                      FROM pf),
+              m AS (SELECT fold, n_f,
+                           (CAST(s AS DOUBLE) - CAST(s_f AS DOUBLE))
+                             / CAST(n - n_f AS DOUBLE) AS train_mean
+                    FROM pf CROSS JOIN tot),
+              e AS (SELECT o.fold AS fold, n_f, train_mean,
+                           CAST(abs(CAST(p AS DOUBLE) - train_mean)
+                             AS DECIMAL(28,10)) AS ae
+                    FROM o JOIN m ON o.fold = m.fold)
+         SELECT fold, CAST(max(n_f) AS BIGINT) AS n_test,
+                floor(max(train_mean) * 10000.0) / 10000 AS train_mean,
+                floor((CAST(sum(ae) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000
+                  AS mae
+         FROM e GROUP BY fold ORDER BY fold""",
     "sample_low_discrepancy_vdc" ->
       (s"""WITH rkd AS (SELECT o_orderkey, o_orderpriority AS prio,
                               CAST(row_number() OVER (ORDER BY

@@ -98,6 +98,37 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("sample_kfold_cv_eval: folds partition the corpus, train " +
+    "means bracket the global mean, MAE positive") {
+    val rows = SparkEntry.queries("sample_kfold_cv_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == Tables.orders(spark, sf).count(),
+      "folds must partition every order exactly once")
+    val means = rows.map(_.getDouble(2))
+    // complement means straddle the global mean: min <= global <= max
+    assert(means.max - means.min < 0.2 * means.max,
+      "complement train means should be close to each other")
+    rows.foreach(r => assert(r.getDouble(3) > 0.0, "MAE must be > 0"))
+  }
+
+  test("stage_incremental_agg_maintenance: maintained == recomputed " +
+    "on every segment (the IVM contract)") {
+    val rows = SparkEntry.queries("stage_incremental_agg_maintenance")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(7),
+        s"${r.getString(0)}: maintained aggregate diverged from the " +
+          s"full recompute")
+      assert(r.getLong(3) == r.getLong(4))
+      assert(r.getDouble(5) == r.getDouble(6))
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0,
+        "both epochs must be non-empty for the test to be load-bearing")
+    }
+  }
+
   test("sample_low_discrepancy_vdc: ~10% rate with the low-" +
     "discrepancy gap bound no Bernoulli sample satisfies") {
     val rows = SparkEntry.queries("sample_low_discrepancy_vdc")(
