@@ -187,6 +187,45 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Pareto skyline (r9; Börzsönyi et al. 2001 "The Skyline
+    // Operator"): parts that are Pareto-optimal on (mean unit price ↓,
+    // total quantity ↑) — no other part is cheaper AND higher-volume.
+    // Computed with the textbook sort-based trick: order by (price
+    // asc, qty desc, key) and keep a row iff its qty strictly exceeds
+    // the running max over all PREVIOUS rows — one window pass, no
+    // O(n²) dominance join (ties resolved deterministically by the
+    // declared total order: among duplicates the smallest key
+    // survives). Metrics ×100-quantized to longs from exact DECIMAL
+    // sums, so domination tests are pure integer compares. Scale: at
+    // 100 TB the same sort-filter runs per partition then once over
+    // the tiny per-partition skylines (skyline-merge is associative —
+    // documented); the window here is the declared semantics.
+    "analytics_pareto_skyline" -> ((s, d) => {
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .select(col("pk"), col("n"),
+          floor((col("sp").cast("double") / col("n").cast("double"))
+            * 100.0).cast("long").as("price_c"),
+          floor(col("sq").cast("double") * 100.0).cast("long")
+            .as("qty_c"))
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("price_c"), col("qty_c").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      stats
+        .withColumn("prev_max_q", max(col("qty_c")).over(w))
+        .filter(col("prev_max_q").isNull ||
+          col("qty_c") > col("prev_max_q"))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("price_c"), col("pk"))))
+        .select(col("rank").cast("long").as("rank"), col("pk"),
+          (col("price_c").cast("double") / 100.0).as("mean_price"),
+          (col("qty_c").cast("double") / 100.0).as("total_qty"))
+        .orderBy("rank")
+    }),
+
     // Incremental aggregate (materialized-view) maintenance (r9):
     // the IVM contract — a delta batch updates a standing aggregate
     // by ADDING its partial sums, never recomputing the base. Base
@@ -1015,6 +1054,34 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "analytics_pareto_skyline" ->
+      """WITH st AS (SELECT l_partkey AS pk, count(*) AS n,
+                            sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS sp,
+                            sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS sq
+                     FROM lineitem GROUP BY l_partkey),
+              q AS (SELECT pk, n,
+                           CAST(floor((CAST(sp AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) * 100.0)
+                             AS BIGINT) AS price_c,
+                           CAST(floor(CAST(sq AS DOUBLE) * 100.0)
+                             AS BIGINT) AS qty_c
+                    FROM st),
+              r AS (SELECT pk, price_c, qty_c,
+                           max(qty_c) OVER (ORDER BY price_c,
+                             qty_c DESC, pk
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               1 PRECEDING) AS prev_max_q
+                    FROM q),
+              sk AS (SELECT pk, price_c, qty_c FROM r
+                     WHERE prev_max_q IS NULL OR qty_c > prev_max_q)
+         SELECT CAST(row_number() OVER (ORDER BY price_c, pk)
+                  AS BIGINT) AS rank,
+                pk,
+                CAST(price_c AS DOUBLE) / 100.0 AS mean_price,
+                CAST(qty_c AS DOUBLE) / 100.0 AS total_qty
+         FROM sk ORDER BY rank""",
     "stage_incremental_agg_maintenance" ->
       """WITH o AS (SELECT c.c_mktsegment AS seg,
                            CAST(o_totalprice AS DECIMAL(18,2)) AS p,

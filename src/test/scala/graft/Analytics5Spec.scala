@@ -98,6 +98,38 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("analytics_pareto_skyline: no skyline member dominates " +
+    "another, and every non-member is dominated (brute force)") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("analytics_pareto_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(sky.nonEmpty)
+    // skyline is a staircase: price strictly increasing, qty strictly
+    // increasing down the rank order
+    val byRank = sky.sortBy(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) =>
+      a._2 <= b._2 && a._3 < b._3 }, "skyline must be a staircase")
+    // brute-force dominance check on the driver
+    val all = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0),
+          math.floor(r.getDecimal(2).doubleValue() / n * 100.0).toLong,
+          math.floor(r.getDecimal(3).doubleValue() * 100.0).toLong)
+      }
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3 ||
+        (a._2 == b._2 && a._3 == b._3 && a._1 < b._1))
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach { p =>
+      assert(all.exists(q => skySet(q._1) && dominates(q, p)),
+        s"part ${p._1} excluded but undominated")
+    }
+  }
+
   test("sample_kfold_cv_eval: folds partition the corpus, train " +
     "means bracket the global mean, MAE positive") {
     val rows = SparkEntry.queries("sample_kfold_cv_eval")(spark, sf)
