@@ -344,6 +344,26 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("analytics_pareto_skyline: one aggregation pass, no dominance " +
+    "join of any kind") {
+    val plan = executedPlan("analytics_pareto_skyline")
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"),
+      s"skyline must be sort-filter, never an O(n^2) dominance join:\n$plan")
+    assert(plan.contains("Window"),
+      s"running-max window missing:\n$plan")
+  }
+
+  test("sample_kfold_cv_eval: the k fold models broadcast back onto " +
+    "one corpus re-scan") {
+    val plan = executedPlan("sample_kfold_cv_eval")
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row model table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the scoring pass:\n$plan")
+  }
+
   test("analytics_ks_test: pair fan-out is a broadcast nested-loop " +
     "against the 10-row pair table only") {
     // split off the "== Initial Plan ==" AQE echo — the pre-adaptive
