@@ -888,6 +888,96 @@ object Analytics5 {
         .orderBy("h")
     }),
 
+    // Bollinger-band breach census (r9) — the volatility-band
+    // anomaly monitor beside anomaly_zscore (global z) and
+    // timeseries_median_ma (robust level): centered 7-day window
+    // mean ± 2σ per event_type, breaches counted per side. The
+    // integer discipline of trend_ma taken one moment further: daily
+    // values are ×10⁴-quantized longs, and BOTH window moments (Σv,
+    // Σv²) are exact integer window sums — mean/σ become doubles
+    // only in the final identical-bits arithmetic. One ordered
+    // window per series, no joins.
+    "timeseries_bollinger_breach" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("dv"))
+        .select(col("event_type"), col("day"),
+          floor(col("dv") * 10000).cast("long").as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("v")).over(w))
+        .withColumn("s2", sum(col("v") * col("v")).over(w))
+        .filter(col("nw") === 7)
+        .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE)"))
+        .withColumn("sd", expr(
+          """sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(nw AS DOUBLE)) / CAST(nw - 1 AS DOUBLE))"""))
+        .withColumn("hi",
+          when(col("v").cast("double") > col("mean") + col("sd") * 2.0,
+            1L).otherwise(0L))
+        .withColumn("lo",
+          when(col("v").cast("double") < col("mean") - col("sd") * 2.0,
+            1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("hi")).as("n_breach_hi"),
+          sum(col("lo")).as("n_breach_lo"))
+        .orderBy("event_type")
+    }),
+
+    // Wald–Wolfowitz runs test (r9) — "is the daily series random
+    // around its median, or does it trend/cluster?": the sequence of
+    // above/below-(lower-)median days collapses to its RUN COUNT R
+    // (an integer from one lag pass), compared against the expected
+    // runs μ = 2·n1·n2/(n1+n2) + 1 of a random arrangement; z =
+    // (R − μ)/σ with σ² = (μ−1)(μ−2)/(n1+n2−1) — all from three
+    // integers, so the statistic is deterministic to the last bit.
+    // The nonparametric trend detector beside Theil–Sen's slope
+    // estimate. Median = lower order statistic (rank (n+1) div 2),
+    // exact; days equal to the median count as "below" (declared
+    // rule).
+    "analytics_runs_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("dv"))
+        .select(col("event_type"), col("day"),
+          floor(col("dv") * 10000).cast("long").as("v"))
+      val med = daily
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("v"), col("day"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v").as("med"))
+      val signed = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("above", (col("v") > col("med")).cast("int"))
+        .withColumn("prev", lag(col("above"), 1).over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("new_run",
+          when(col("prev").isNull || col("above") =!= col("prev"), 1L)
+            .otherwise(0L))
+      signed.groupBy("event_type")
+        .agg(sum(col("new_run")).as("runs"),
+          sum(col("above").cast("long")).as("n1"),
+          (count(lit(1)) - sum(col("above").cast("long"))).as("n2"))
+        .withColumn("mu", expr(
+          """2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / CAST(n1 + n2 AS DOUBLE) + 1.0"""))
+        .withColumn("z", expr(
+          """(CAST(runs AS DOUBLE) - mu)
+             / sqrt((mu - 1.0) * (mu - 2.0)
+                    / CAST(n1 + n2 - 1 AS DOUBLE))"""))
+        .select(col("event_type"), col("runs"), col("n1"), col("n2"),
+          (floor(col("mu") * 10000.0) / 10000).as("expected_runs"),
+          (floor(col("z") * 10000.0) / 10000).as("z"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend (r9; Theil 1950, Sen 1968): the slope
     // estimate is the LOWER MEDIAN of all pairwise slopes
     // (v_j−v_i)/(x_j−x_i) of the daily series — up to ~29% of the
@@ -1631,6 +1721,79 @@ object Analytics5 {
                       * 10000.0) / 10000 AS pop_mean
          FROM al JOIN sm ON al.h = sm.h
          ORDER BY al.h""",
+    "timeseries_bollinger_breach" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                    AS DOUBLE) / count(*) AS dv
+                        FROM events GROUP BY 1, 2),
+              q AS (SELECT event_type, day,
+                           CAST(floor(dv * 10000) AS BIGINT) AS v
+                    FROM daily),
+              w AS (SELECT event_type, day, v,
+                           count(*) OVER win AS nw,
+                           sum(v) OVER win AS s1,
+                           sum(v * v) OVER win AS s2
+                    FROM q
+                    WINDOW win AS (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND
+                                     3 FOLLOWING)),
+              b AS (SELECT event_type, v,
+                           CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE)
+                             AS mean,
+                           sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / CAST(nw AS DOUBLE))
+                                / CAST(nw - 1 AS DOUBLE)) AS sd
+                    FROM w WHERE nw = 7)
+         SELECT event_type, count(*) AS n_windows,
+                CAST(sum(CASE WHEN CAST(v AS DOUBLE) > mean + 2.0 * sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hi,
+                CAST(sum(CASE WHEN CAST(v AS DOUBLE) < mean - 2.0 * sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lo
+         FROM b GROUP BY event_type ORDER BY event_type""",
+    "analytics_runs_test" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                    AS DOUBLE) / count(*) AS dv
+                        FROM events GROUP BY 1, 2),
+              q AS (SELECT event_type, day,
+                           CAST(floor(dv * 10000) AS BIGINT) AS v
+                    FROM daily),
+              med AS (SELECT event_type, v AS med FROM
+                        (SELECT event_type, v,
+                                row_number() OVER (PARTITION BY
+                                  event_type ORDER BY v, day) AS rk,
+                                count(*) OVER (PARTITION BY event_type)
+                                  AS n
+                         FROM q) WHERE rk = (n + 1) // 2),
+              sg AS (SELECT q.event_type AS event_type, day,
+                            CASE WHEN v > med THEN 1 ELSE 0 END
+                              AS above
+                     FROM q JOIN med ON q.event_type = med.event_type),
+              nr AS (SELECT event_type, above,
+                            CASE WHEN prev IS NULL OR above <> prev
+                                 THEN 1 ELSE 0 END AS new_run
+                     FROM (SELECT event_type, above,
+                                  lag(above, 1) OVER (PARTITION BY
+                                    event_type ORDER BY day) AS prev
+                           FROM sg)),
+              agg AS (SELECT event_type,
+                             CAST(sum(new_run) AS BIGINT) AS runs,
+                             CAST(sum(above) AS BIGINT) AS n1,
+                             CAST(count(*) - sum(above) AS BIGINT)
+                               AS n2
+                      FROM nr GROUP BY event_type),
+              m AS (SELECT *,
+                           2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu
+                    FROM agg)
+         SELECT event_type, runs, n1, n2,
+                floor(mu * 10000.0) / 10000 AS expected_runs,
+                floor(((CAST(runs AS DOUBLE) - mu)
+                       / sqrt((mu - 1.0) * (mu - 2.0)
+                              / CAST(n1 + n2 - 1 AS DOUBLE)))
+                      * 10000.0) / 10000 AS z
+         FROM m ORDER BY event_type""",
     "timeseries_theil_sen" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
                                CAST(sum(CAST(value AS DECIMAL(18,2)))

@@ -98,6 +98,41 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("timeseries_bollinger_breach: breach rate consistent with a " +
+    "2-sigma band (rare but present)") {
+    val rows = SparkEntry.queries("timeseries_bollinger_breach")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, hi, lo) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw > 0)
+      // 2-sigma over a 7-point window: breaches must be a small
+      // minority of windows (Chebyshev: < 25%, typically ~5%)
+      assert(hi + lo <= nw / 4,
+        s"${r.getString(0)}: ${hi + lo} breaches of $nw windows " +
+          "is not a 2-sigma band")
+    }
+  }
+
+  test("analytics_runs_test: run-count identity R <= n1+n2, z " +
+    "matches the three integers") {
+    val rows = SparkEntry.queries("analytics_runs_test")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (runs, n1, n2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(runs >= 1 && runs <= n1 + n2)
+      assert(runs <= 2 * math.min(n1, n2) + 1,
+        "run count exceeds its combinatorial maximum")
+      val mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+      assert(r.getDouble(4) == math.floor(mu * 10000.0) / 10000)
+      val z = (runs - mu) / math.sqrt((mu - 1.0) * (mu - 2.0)
+        / (n1 + n2 - 1))
+      assert(r.getDouble(5) == math.floor(z * 10000.0) / 10000,
+        s"${r.getString(0)}: z mismatch")
+    }
+  }
+
   test("analytics_pareto_skyline: no skyline member dominates " +
     "another, and every non-member is dominated (brute force)") {
     import org.apache.spark.sql.functions._
