@@ -187,6 +187,86 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Theil-T inequality index with its within/between decomposition
+    // (r9; Theil 1967) — the inequality measure the Lorenz/Gini key
+    // can't decompose: T = T_between + T_within EXACTLY, so "how much
+    // revenue inequality lives inside segments vs across them" is a
+    // graded identity, not an interpretation (Analytics5Spec asserts
+    // the additivity). Per customer revenue x: T_g = (1/N_g)
+    // Σ (x/μ_g)·ln(x/μ_g); between-term per segment =
+    // (N_g/N)(μ_g/μ)·ln(μ_g/μ); within contribution =
+    // (N_g/N)(μ_g/μ)·T_g. All means from exact DECIMAL sums; per-row
+    // terms DECIMAL(28,10) pre-sum; two bounded aggregates + one
+    // segment-row broadcast back over the customer frame.
+    "analytics_theil_decomposition" -> ((s, d) => {
+      val x = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("x"))
+      val g = x.groupBy("seg")
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("x")).cast("decimal(38,2)").as("s_g"))
+        .withColumn("mu_g", expr(
+          "CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)"))
+      val tot = g.agg(sum(col("n_g")).as("n"),
+        sum(col("s_g")).cast("decimal(38,2)").as("s"))
+        .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      val tg = x.join(broadcast(g.select("seg", "n_g", "mu_g")), Seq("seg"))
+        .withColumn("term", expr(
+          """CAST((CAST(x AS DOUBLE) / mu_g)
+                  * ln(CAST(x AS DOUBLE) / mu_g) AS DECIMAL(28,10))"""))
+        .groupBy("seg")
+        .agg((sum(col("term")).cast("double")
+          / max(col("n_g")).cast("double")).as("t_g"))
+      val per = g.join(tg, Seq("seg")).crossJoin(broadcast(tot))
+        .withColumn("w", expr(
+          """(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)) * (mu_g / mu)"""))
+        .withColumn("between_term",
+          expr("CAST(w * ln(mu_g / mu) AS DECIMAL(28,10))"))
+        .withColumn("within_term",
+          expr("CAST(w * t_g AS DECIMAL(28,10))"))
+      val wAll = Window.partitionBy(lit(1))
+      per.select(col("seg"), col("n_g"),
+          (floor(col("mu_g") * 100.0) / 100).as("mu_g"),
+          (floor(col("t_g") * 1000000.0) / 1000000).as("theil_g"),
+          (floor(sum(col("between_term")).over(wAll).cast("double")
+            * 1000000.0) / 1000000).as("t_between"),
+          (floor(sum(col("within_term")).over(wAll).cast("double")
+            * 1000000.0) / 1000000).as("t_within"))
+        .orderBy("seg")
+    }),
+
+    // Herfindahl–Hirschman market concentration (r9) — the antitrust
+    // standard: per supplier-nation, HHI = Σ (firm share)² over the
+    // nation's suppliers (×10⁴ convention: 10000 = monopoly,
+    // < 1500 = unconcentrated). Revenue shares from exact DECIMAL
+    // sums; share² terms DECIMAL(28,10) pre-sum; one supplier-grain
+    // aggregate + one nation-row reduction.
+    "analytics_hhi_concentration" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val nat = rev.groupBy("s_nationkey")
+        .agg(sum(col("r")).cast("decimal(38,2)").as("tot"))
+      rev.join(broadcast(nat), Seq("s_nationkey"))
+        .withColumn("share", expr(
+          "CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)"))
+        .withColumn("sq",
+          expr("CAST(share * share AS DECIMAL(28,10))"))
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_firms"),
+          (floor(sum(col("sq")).cast("double") * 10000.0 * 10000.0)
+            / 10000.0).as("hhi"),
+          (floor(max(col("share")) * 10000.0) / 10000).as("top_share"))
+        .orderBy("nation")
+    }),
+
     // Pareto skyline (r9; Börzsönyi et al. 2001 "The Skyline
     // Operator"): parts that are Pareto-optimal on (mean unit price ↓,
     // total quantity ↑) — no other part is cheaper AND higher-volume.
@@ -1144,6 +1224,73 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "analytics_theil_decomposition" ->
+      """WITH x AS (SELECT c.c_mktsegment AS seg,
+                           CAST(xr AS DECIMAL(38,2)) AS x
+                    FROM (SELECT o_custkey,
+                                 sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS xr
+                          FROM orders GROUP BY o_custkey) o
+                    JOIN customer c ON o.o_custkey = c.c_custkey),
+              g AS (SELECT seg, count(*) AS n_g,
+                           CAST(sum(x) AS DECIMAL(38,2)) AS s_g
+                    FROM x GROUP BY seg),
+              gm AS (SELECT *, CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                               AS mu_g
+                     FROM g),
+              tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                             CAST(sum(s_g) AS DECIMAL(38,2)) AS s
+                      FROM g),
+              tm AS (SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              AS mu
+                     FROM tot),
+              tg AS (SELECT x.seg AS seg,
+                            CAST(sum(CAST((CAST(x AS DOUBLE) / mu_g)
+                                   * ln(CAST(x AS DOUBLE) / mu_g)
+                                 AS DECIMAL(28,10))) AS DOUBLE)
+                              / CAST(max(n_g) AS DOUBLE) AS t_g
+                     FROM x JOIN gm ON x.seg = gm.seg
+                     GROUP BY x.seg),
+              per AS (SELECT gm.seg AS seg, n_g, mu_g, t_g,
+                             (CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (mu_g / mu) AS w,
+                             mu
+                      FROM gm JOIN tg ON gm.seg = tg.seg
+                      CROSS JOIN tm),
+              q AS (SELECT *,
+                           CAST(w * ln(mu_g / mu) AS DECIMAL(28,10))
+                             AS between_term,
+                           CAST(w * t_g AS DECIMAL(28,10))
+                             AS within_term
+                    FROM per)
+         SELECT seg, n_g,
+                floor(mu_g * 100.0) / 100 AS mu_g,
+                floor(t_g * 1000000.0) / 1000000 AS theil_g,
+                floor(CAST(sum(between_term) OVER () AS DOUBLE)
+                      * 1000000.0) / 1000000 AS t_between,
+                floor(CAST(sum(within_term) OVER () AS DOUBLE)
+                      * 1000000.0) / 1000000 AS t_within
+         FROM q ORDER BY seg""",
+    "analytics_hhi_concentration" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS r
+                      FROM lineitem GROUP BY l_suppkey),
+              j AS (SELECT s_nationkey, r
+                    FROM rev JOIN supplier
+                      ON rev.l_suppkey = supplier.s_suppkey),
+              nat AS (SELECT s_nationkey,
+                             CAST(sum(r) AS DECIMAL(38,2)) AS tot
+                      FROM j GROUP BY s_nationkey),
+              sh AS (SELECT j.s_nationkey AS nation,
+                            CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)
+                              AS share
+                     FROM j JOIN nat ON j.s_nationkey = nat.s_nationkey)
+         SELECT nation, count(*) AS n_firms,
+                floor(CAST(sum(CAST(share * share AS DECIMAL(28,10)))
+                      AS DOUBLE) * 10000.0 * 10000.0) / 10000.0 AS hhi,
+                floor(max(share) * 10000.0) / 10000 AS top_share
+         FROM sh GROUP BY nation ORDER BY nation""",
     "analytics_pareto_skyline" ->
       """WITH st AS (SELECT l_partkey AS pk, count(*) AS n,
                             sum(CAST(l_extendedprice AS DECIMAL(18,2)))

@@ -98,6 +98,42 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("analytics_theil_decomposition: T_between + T_within equals " +
+    "the directly-computed total Theil index (additivity identity)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("analytics_theil_decomposition")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tB = rows.head.getDouble(4)
+    val tW = rows.head.getDouble(5)
+    assert(rows.forall(r => r.getDouble(4) == tB && r.getDouble(5) == tW))
+    assert(tB >= -1e-6 && tW >= -1e-6, "Theil components are >= 0")
+    // direct total-T on the driver from the same per-customer revenue
+    val xs = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .collect().map(_.getDecimal(1).doubleValue())
+    val mu = xs.sum / xs.length
+    val tTotal = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+    assert(math.abs((tB + tW) - tTotal) < 1e-4,
+      s"decomposition broken: $tB + $tW != $tTotal")
+  }
+
+  test("analytics_hhi_concentration: HHI within [10000/n_firms, " +
+    "10000], top share consistent") {
+    val rows = SparkEntry.queries("analytics_hhi_concentration")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, hhi, top) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(hhi >= 10000.0 / nf - 1.0 && hhi <= 10000.0 + 1e-6,
+        s"nation ${r.getInt(0)}: HHI $hhi outside [10000/$nf, 10000]")
+      assert(hhi >= top * top * 10000.0 - 1.0,
+        "HHI must be at least the top firm's squared share")
+      assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
   test("timeseries_bollinger_breach: breach rate consistent with a " +
     "2-sigma band (rare but present)") {
     val rows = SparkEntry.queries("timeseries_bollinger_breach")(
