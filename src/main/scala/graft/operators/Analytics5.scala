@@ -187,6 +187,66 @@ object Analytics5 {
         .orderBy("rep")
     }),
 
+    // Pythagorean-means completion (r9): the geometric mean (kept in
+    // LOG space — mean of ln x, the monotone-equivalent form that
+    // avoids a cross-engine exp; the same choice the KM key makes)
+    // and the harmonic mean (n/Σ(1/x) — THE correct average for
+    // rates) per segment, beside the arithmetic mean for the
+    // textbook HM ≤ GM ≤ AM ordering (spec-asserted on the log
+    // scale). Per-row ln/reciprocal terms DECIMAL(28,10) pre-sum;
+    // one partial-aggregated pass.
+    "agg_pythagorean_means" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      op
+        .withColumn("lnp",
+          expr("CAST(ln(CAST(p AS DOUBLE)) AS DECIMAL(28,10))"))
+        .withColumn("invp",
+          expr("CAST(1.0 / CAST(p AS DOUBLE) AS DECIMAL(28,10))"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          (floor((sum(col("p")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("arith_mean"),
+          (floor((sum(col("lnp")).cast("double")
+            / count(lit(1)).cast("double")) * 1000000.0) / 1000000)
+            .as("log_geo_mean"),
+          (floor((count(lit(1)).cast("double")
+            / sum(col("invp")).cast("double")) * 10000.0) / 10000)
+            .as("harmonic_mean"))
+        .orderBy("seg")
+    }),
+
+    // Sequence-monotonicity audit (r9) — the event-time sanity check
+    // a streaming pipeline runs before trusting watermarks: per
+    // event_type, in event_id order, count timestamp INVERSIONS
+    // (adjacent pairs where ts goes backwards) and report the worst
+    // backward jump in seconds. Pure integer/lag window work; a
+    // non-zero inversion count is the alarm that upstream assigned
+    // ids and times from different clocks (the fixture's generator
+    // draws them independently — the declared counts make that
+    // visible instead of assuming order).
+    "dq_monotonicity_check" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("prev", lag(col("tsec"), 1).over(
+          Window.partitionBy("event_type").orderBy("event_id")))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("prev").isNotNull && col("tsec") < col("prev"),
+            1L).otherwise(0L)).as("n_inversions"),
+          coalesce(max(when(col("prev").isNotNull &&
+            col("prev") > col("tsec"), col("prev") - col("tsec"))),
+            lit(0L)).as("worst_backstep_s"))
+        .withColumn("monotone", col("n_inversions") === 0L)
+        .orderBy("event_type")
+    }),
+
     // Theil-T inequality index with its within/between decomposition
     // (r9; Theil 1967) — the inequality measure the Lorenz/Gini key
     // can't decompose: T = T_between + T_within EXACTLY, so "how much
@@ -1224,6 +1284,47 @@ object Analytics5 {
                 floor(CAST(sum(price * w) AS DOUBLE) * 10000.0) / 10000
                   AS boot_total
          FROM w GROUP BY rep ORDER BY rep""",
+    "agg_pythagorean_means" ->
+      """WITH op AS (SELECT c.c_mktsegment AS seg,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+              t AS (SELECT seg, p,
+                           CAST(ln(CAST(p AS DOUBLE))
+                             AS DECIMAL(28,10)) AS lnp,
+                           CAST(1.0 / CAST(p AS DOUBLE)
+                             AS DECIMAL(28,10)) AS invp
+                    FROM op)
+         SELECT seg, count(*) AS n,
+                floor((CAST(sum(p) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000
+                  AS arith_mean,
+                floor((CAST(sum(lnp) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000
+                  AS log_geo_mean,
+                floor((CAST(count(*) AS DOUBLE)
+                       / CAST(sum(invp) AS DOUBLE)) * 10000.0) / 10000
+                  AS harmonic_mean
+         FROM t GROUP BY seg ORDER BY seg""",
+    "dq_monotonicity_check" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           date_diff('second', TIMESTAMP '1970-01-01',
+                                     ts) AS tsec
+                    FROM events),
+              l AS (SELECT event_type, tsec,
+                           lag(tsec, 1) OVER (PARTITION BY event_type
+                             ORDER BY event_id) AS prev
+                    FROM e)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND tsec < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+                CAST(coalesce(max(CASE WHEN prev IS NOT NULL
+                                        AND prev > tsec
+                                  THEN prev - tsec END), 0) AS BIGINT)
+                  AS worst_backstep_s,
+                sum(CASE WHEN prev IS NOT NULL AND tsec < prev
+                    THEN 1 ELSE 0 END) = 0 AS monotone
+         FROM l GROUP BY event_type ORDER BY event_type""",
     "analytics_theil_decomposition" ->
       """WITH x AS (SELECT c.c_mktsegment AS seg,
                            CAST(xr AS DECIMAL(38,2)) AS x

@@ -98,6 +98,36 @@ class Analytics5Spec extends GraftSuite {
       s"KS D mismatch for ($s1,$s2)")
   }
 
+  test("agg_pythagorean_means: HM <= GM <= AM ordering holds on the " +
+    "log scale") {
+    val rows = SparkEntry.queries("agg_pythagorean_means")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (am, logGm, hm) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.log(hm) <= logGm + 1e-6 &&
+        logGm <= math.log(am) + 1e-6,
+        s"${r.getString(0)}: ln(HM)=${math.log(hm)} <= $logGm <= " +
+          s"ln(AM)=${math.log(am)} violated")
+    }
+  }
+
+  test("dq_monotonicity_check: inversions bounded, worst backstep " +
+    "positive iff inversions exist") {
+    val rows = SparkEntry.queries("dq_monotonicity_check")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, inv, worst, mono) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(inv <= n - 1)
+      assert(mono == (inv == 0L))
+      assert((worst > 0L) == (inv > 0L),
+        s"${r.getString(0)}: backstep/inversion inconsistency")
+    }
+  }
+
   test("analytics_theil_decomposition: T_between + T_within equals " +
     "the directly-computed total Theil index (additivity identity)") {
     import org.apache.spark.sql.functions._
