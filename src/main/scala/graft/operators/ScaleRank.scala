@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global `row_number()` (r10; VERDICT r9 #1 — the
+  * scale-safe replacement for `Window.partitionBy(lit(1))` rank
+  * windows over table-proportional input).
+  *
+  * The classic two-pass zipWithIndex recipe, expressed declaratively:
+  *
+  *   1. `repartitionByRange` on the sort key — range partitions are
+  *      globally ordered (every row in partition i sorts before every
+  *      row in partition i+1), so a partition-local ordinal plus the
+  *      count of rows in lower partitions IS the exact global rank.
+  *   2. `sortWithinPartitions` + `monotonically_increasing_id()` —
+  *      the id's documented layout is (partitionId << 33) | ordinal,
+  *      and the ordinal follows the sorted row order, so BOTH the
+  *      partition id and the local rank come from one zero-shuffle
+  *      projection (no per-partition window pass at all; caps at
+  *      2^33 ≈ 8.6 B rows per partition — at 100 TB that bound is
+  *      set by `spark.sql.shuffle.partitions`, not the data).
+  *   3. Per-partition counts are a ≤`shuffle.partitions`-row synopsis;
+  *      their prefix sum (the offsets) is a window over that synopsis
+  *      only, broadcast back onto the data.
+  *
+  * The ranked frame is `localCheckpoint`ed so every consumer branch
+  * (the count synopsis and the downstream passes) sees ONE physical
+  * layout — range boundaries come from sampling, and two independent
+  * evaluations of the exchange could legally disagree.
+  *
+  * Output: the input columns plus `rk` (BIGINT, 1-based global rank
+  * under `sort`, which must be a total order for the result to be
+  * deterministic) and `gr_pid` (the range-partition id, kept for
+  * callers that need further partition-local passes, e.g. the
+  * distributed lag in sample_low_discrepancy_vdc).
+  */
+object ScaleRank {
+  def withGlobalRank(df: DataFrame, sort: Seq[Column]): DataFrame = {
+    val parted = df
+      .repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("gr_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val local = parted
+      .withColumn("gr_pid", shiftright(col("gr_mid"), 33))
+      .withColumn("gr_lrk",
+        col("gr_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+    val cnts = local.groupBy("gr_pid").agg(count(lit(1)).as("gr_cnt"))
+    // prefix-sum window over the ≤shuffle.partitions-row count
+    // synopsis ONLY — the single-partition frame is bounded by
+    // cluster config, never by data volume
+    val offs = cnts
+      .withColumn("gr_off", coalesce(
+        sum(col("gr_cnt")).over(Window.orderBy(col("gr_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("gr_pid"), col("gr_off"))
+    local.join(broadcast(offs), Seq("gr_pid"))
+      .withColumn("rk", col("gr_lrk") + col("gr_off"))
+      .drop("gr_mid", "gr_lrk", "gr_off")
+  }
+}

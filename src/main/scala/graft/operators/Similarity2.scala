@@ -255,9 +255,12 @@ object Similarity2 {
     // point MAXIMIZING its min-distance to the selected set. The
     // min-distance column updates INCREMENTALLY — md_t = min(md_t−1,
     // d(·, new_pick)) — so each round is one broadcast of the single
-    // new pick + one argmax window, never a re-scan against the whole
-    // selected set; md is localCheckpoint'ed per round (the
-    // kcore/MMR plan-growth lesson). Distances are exact squared-L2
+    // new pick + one ONE-ROW argmax aggregate (max(struct(md,
+    // −vec_id, v)) — the agg_minmax_by shape: map-side partials, no
+    // single-partition sort of the corpus; r10, VERDICT r9 #1a),
+    // never a re-scan against the whole selected set; md is
+    // localCheckpoint'ed per round (the kcore/MMR plan-growth
+    // lesson). Distances are exact squared-L2
     // folds mirrored by the list-op twin; quantized floor-1e-4 with
     // vec_id tiebreak → deterministic greedy path. Output: pick
     // order, vec_id, and the covering radius profile (each pick's
@@ -280,11 +283,11 @@ object Similarity2 {
         .localCheckpoint()
       for (t <- 2 to 8) {
         val next = md
-          .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
-            .orderBy(col("md").desc, col("vec_id"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v").as("sv"),
-            lit(t.toLong).as("pick"), col("md").as("sel_dist"))
+          .agg(max(struct(col("md"),
+            (lit(0L) - col("vec_id")).as("nv"), col("v"))).as("top"))
+          .select((lit(0L) - col("top.nv")).as("vec_id"),
+            col("top.v").as("sv"), lit(t.toLong).as("pick"),
+            col("top.md").as("sel_dist"))
           .localCheckpoint()
         picked = picked.unionByName(next)
         md = md

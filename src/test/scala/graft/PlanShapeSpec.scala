@@ -376,4 +376,102 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"),
       s"no unbroadcast cartesian allowed in the FINAL plan:\n$plan")
   }
+
+  // ==== r10: no single-partition window over table-proportional ====
+  // input anywhere (VERDICT r9 #1). A global window — one whose
+  // partitionSpec is empty after optimization (partitionBy(lit(1))
+  // constant-folds to empty) — moves ALL rows to one task. The four
+  // r9 keys that carried one over table-grain input now ship their
+  // documented per-partition/aggregate forms; these pins make the
+  // shapes regression-proof: any global window that survives must be
+  // provably synopsis-grain.
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+  /** All optimized-plan Window nodes whose partition spec is empty or
+    * all-foldable — the shapes WindowExec executes on ONE task. */
+  private def globalWindows(name: String): Seq[LWindow] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.forall(_.foldable) => w
+    }.toSeq
+  }
+
+  test("analytics_pareto_skyline: every global window sits ABOVE the " +
+    "per-range-partition skyline pass (merge is skyline-grain)") {
+    val gw = globalWindows("analytics_pareto_skyline")
+    assert(gw.nonEmpty, "the skyline merge + rank windows must exist")
+    gw.foreach { w =>
+      val localPass = w.child.collect {
+        case c: LWindow if c.partitionSpec.exists(
+          _.references.exists(_.name == "pid")) => c
+      }
+      assert(localPass.nonEmpty,
+        s"global window runs over part-grain input, not the local skylines:\n$w")
+    }
+  }
+
+  test("sample_low_discrepancy_vdc + agg_gini_split_scan: global rank " +
+    "comes from ScaleRank; surviving global windows are synopsis-grain") {
+    // gr_cnt = per-range-partition count synopsis (≤ shuffle.partitions
+    // rows), env_mx = the kept-rank boundary envelope (same bound),
+    // gini4 = the ≤19-row threshold grain. Any other global window is
+    // a regression to the single-partition rank.
+    val synopsis = Set("gr_cnt", "env_mx", "gini4")
+    for (key <- Seq("sample_low_discrepancy_vdc", "agg_gini_split_scan")) {
+      globalWindows(key).foreach { w =>
+        val names = w.child.output.map(_.name).toSet
+        assert(names.intersect(synopsis).nonEmpty,
+          s"$key: global window over non-synopsis input " +
+            s"(${names.mkString(", ")}):\n$w")
+      }
+    }
+  }
+
+  test("sample_farthest_point_coreset: ZERO single-partition windows " +
+    "in ANY executed job (the greedy rounds run eagerly via " +
+    "localCheckpoint — a plan probe on the final frame can't see " +
+    "them, so the probe listens for WindowExec's planning warning)") {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender =
+      new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-global-window-probe", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(
+            e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m.contains("No Partition Defined for Window")) captured.add(m)
+        }
+      }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // construction runs the 7 rounds (eager checkpoints); collect
+      // finalizes the declared frame — the probe must stay silent
+      // through BOTH (the warning is logged synchronously at planning
+      // time, so no listener-flush race exists)
+      val df = SparkEntry.queries("sample_farthest_point_coreset")(spark, sf)
+      df.collect()
+    } finally {
+      rootCfg.removeAppender("graft-global-window-probe")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    assert(captured.isEmpty,
+      s"a single-partition window executed inside the coreset loop: " +
+        s"${captured.peek()}")
+  }
+
+  test("analytics_association_rules: top-20 plans as " +
+    "TakeOrderedAndProject (per-partition heaps, no single-reducer " +
+    "sort of the pair grain)") {
+    val plan = executedPlan("analytics_association_rules")
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(20) did not plan as TakeOrderedAndProject:\n$plan")
+  }
 }
