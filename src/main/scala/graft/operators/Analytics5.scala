@@ -738,39 +738,42 @@ object Analytics5 {
     }),
 
     // Maximum drawdown (r9) — the classic peak-to-trough risk metric,
-    // here over each segment's daily-mean-order-value series: running
-    // peak via an expanding window max, drawdown = peak − current,
-    // max drawdown + its FIRST date (argmax with earliest-day
-    // tiebreak). Distinct from timeseries_cusum_drift (cumulative
-    // deviation from a target) — drawdown measures regression from a
-    // high-water mark. Daily means are ×10⁴-quantized to longs
-    // first, so peak/drawdown/argmax are pure integer window ops —
-    // hash-exact; one groupBy + one ordered window per segment.
+    // here over each segment's MONTHLY-mean-order-value series
+    // (r10: the declared grain now matches the code — ADVICE r9
+    // flagged the old day/n_days/dd_date names over a
+    // date_trunc('month') bucketing): running peak via an expanding
+    // window max, drawdown = peak − current, max drawdown + its
+    // FIRST month (argmax with earliest-month tiebreak). Distinct
+    // from timeseries_cusum_drift (cumulative deviation from a
+    // target) — drawdown measures regression from a high-water mark.
+    // Monthly means are ×10⁴-quantized to longs first, so
+    // peak/drawdown/argmax are pure integer window ops — hash-exact;
+    // one groupBy + one ordered window per segment.
     "timeseries_max_drawdown" -> ((s, d) => {
-      val daily = Tables.orders(s, d)
+      val monthly = Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("seg"),
-          to_date(date_trunc("month", col("o_orderdate"))).as("day"))
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg((sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double") / count(lit(1))).as("mv"))
-        .select(col("seg"), col("day"),
+        .select(col("seg"), col("month"),
           floor(col("mv") * 10000).cast("long").as("v"))
-      val wRun = Window.partitionBy("seg").orderBy("day")
+      val wRun = Window.partitionBy("seg").orderBy("month")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = daily
+      val ranked = monthly
         .withColumn("peak", max(col("v")).over(wRun))
         .withColumn("dd", col("peak") - col("v"))
         .withColumn("rn", row_number().over(Window.partitionBy("seg")
-          .orderBy(col("dd").desc, col("day"))))
+          .orderBy(col("dd").desc, col("month"))))
       ranked.filter(col("rn") === 1)
-        .join(daily.groupBy("seg").agg(count(lit(1)).as("n_days"),
+        .join(monthly.groupBy("seg").agg(count(lit(1)).as("n_months"),
           max(col("v")).as("peak_all")), Seq("seg"))
-        .select(col("seg"), col("n_days"),
+        .select(col("seg"), col("n_months"),
           (col("peak_all").cast("double") / 10000.0).as("peak_value"),
           (col("dd").cast("double") / 10000.0).as("max_drawdown"),
-          col("day").as("dd_date"))
+          col("month").as("dd_month"))
         .orderBy("seg")
     }),
 
@@ -846,15 +849,20 @@ object Analytics5 {
     // Two-sample Kolmogorov–Smirnov over every segment pair (r9):
     // D = sup |F1 − F2|, THE nonparametric train/test drift check.
     // Computed EXACTLY in integers: pool both samples per pair, order
-    // by (price, seg, key) — declared tiebreak, so the sup is over a
-    // total order — and track running counts c1, c2; the statistic is
-    // max |c1·n2 − c2·n1| / (n1·n2), an integer max over the pooled
-    // stream divided once at the end (floor-scaled via INTEGER
-    // division — no doubles anywhere, hash-exact by construction).
-    // Scale: the 10 segment pairs come from a broadcast nested-loop
-    // against a 10-row pair table (each data row fans out ×4); the
-    // window runs per pair over its pooled sample — at 100 TB you'd
-    // histogram first (KS on quantile sketches), the documented
+    // by (price, seg, key) and track running counts c1, c2; the sup
+    // is evaluated ONLY at the last row of each tied-price group
+    // (ECDFs step after ALL ties of a value — evaluating inside a
+    // cross-segment tie group would overstate D; ADVICE r9), via one
+    // lead(p) on the same pair window. The statistic is
+    // max |c1·n2 − c2·n1| / (n1·n2): the max is an exact integer
+    // (products ≤ n1·n2, inside BIGINT to ~3e9 rows per segment —
+    // the 100 TB envelope); the single final division runs in DOUBLE
+    // on identical bits (r10: the old maxd·10⁴ integer form overflowed
+    // once n1·n2 > 9.2e14 — ADVICE r9). Scale: the 10 segment pairs
+    // come from a broadcast nested-loop against a 10-row pair table
+    // (each data row fans out ×4); the window runs per pair over its
+    // pooled sample — at 100 TB you'd histogram first (KS on quantile
+    // sketches; see analytics_ks_sketch), the documented
     // approximation; the exact form here IS the oracle-checkable
     // semantics.
     "analytics_ks_test" -> ((s, d) => {
@@ -873,6 +881,8 @@ object Analytics5 {
         .orderBy(col("p"), col("seg"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val wAll = Window.partitionBy("s1", "s2")
+      val wOrd = Window.partitionBy("s1", "s2")
+        .orderBy(col("p"), col("seg"), col("o_orderkey"))
       pooled
         .withColumn("i1", when(col("seg") === col("s1"), 1L).otherwise(0L))
         .withColumn("i2", when(col("seg") === col("s2"), 1L).otherwise(0L))
@@ -880,13 +890,16 @@ object Analytics5 {
         .withColumn("c2", sum(col("i2")).over(wRun))
         .withColumn("n1", sum(col("i1")).over(wAll))
         .withColumn("n2", sum(col("i2")).over(wAll))
+        .withColumn("nxt_p", lead(col("p"), 1).over(wOrd))
+        .filter(col("nxt_p").isNull || col("nxt_p") =!= col("p"))
         .groupBy("s1", "s2")
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
             .as("maxd"))
         .select(col("s1"), col("s2"), col("n1"), col("n2"),
-          (expr("maxd * 10000 div (n1 * n2)").cast("double") / 10000.0)
-            .as("ks_d"))
+          (floor((col("maxd").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+            * 10000.0) / 10000).as("ks_d"))
         .orderBy("s1", "s2")
     }),
 
@@ -1062,10 +1075,15 @@ object Analytics5 {
         .filter(col("rk") <= col("alloc"))
         .groupBy("h")
         .agg(count(lit(1)).as("n_sampled"), sum(col("p")).as("ssum"))
-      alloc.join(samp, Seq("h"))
+      // LEFT join (r10, ADVICE r9): a stratum whose floor-allocation
+      // is 0 draws no sample but must STAY in the output —
+      // n_sampled=0 with NULL sample_mean — so allocation undershoot
+      // is actually visible, as the comment above promises
+      alloc.join(samp, Seq("h"), "left")
         .select(col("h"), col("nh"),
           (floor(col("sh") * 10000.0) / 10000).as("s_h"),
-          col("alloc"), col("n_sampled"),
+          col("alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
           (floor((col("ssum").cast("double")
             / col("n_sampled").cast("double")) * 10000.0) / 10000)
             .as("sample_mean"),
@@ -1719,34 +1737,34 @@ object Analytics5 {
                 lift4 AS lift
          FROM rk WHERE rn <= 20 ORDER BY rank""",
     "timeseries_max_drawdown" ->
-      """WITH daily AS (SELECT c.c_mktsegment AS seg,
+      """WITH monthly AS (SELECT c.c_mktsegment AS seg,
                                CAST(date_trunc('month', o_orderdate)
-                                 AS DATE) AS day,
+                                 AS DATE) AS month,
                                CAST(sum(CAST(o_totalprice
                                       AS DECIMAL(18,2))) AS DOUBLE)
                                  / count(*) AS mv
                         FROM orders o JOIN customer c
                           ON o.o_custkey = c.c_custkey
                         GROUP BY 1, 2),
-              q AS (SELECT seg, day,
+              q AS (SELECT seg, month,
                            CAST(floor(mv * 10000) AS BIGINT) AS v
-                    FROM daily),
-              r AS (SELECT seg, day, v,
-                           max(v) OVER (PARTITION BY seg ORDER BY day
+                    FROM monthly),
+              r AS (SELECT seg, month, v,
+                           max(v) OVER (PARTITION BY seg ORDER BY month
                              ROWS BETWEEN UNBOUNDED PRECEDING AND
                                CURRENT ROW) AS peak
                     FROM q),
-              dd AS (SELECT seg, day, peak - v AS dd,
+              dd AS (SELECT seg, month, peak - v AS dd,
                             row_number() OVER (PARTITION BY seg
-                              ORDER BY peak - v DESC, day) AS rn
+                              ORDER BY peak - v DESC, month) AS rn
                      FROM r),
-              agg AS (SELECT seg, count(*) AS n_days,
+              agg AS (SELECT seg, count(*) AS n_months,
                              CAST(max(v) AS BIGINT) AS peak_all
                       FROM q GROUP BY seg)
-         SELECT dd.seg AS seg, n_days,
+         SELECT dd.seg AS seg, n_months,
                 CAST(peak_all AS DOUBLE) / 10000.0 AS peak_value,
                 CAST(dd AS DOUBLE) / 10000.0 AS max_drawdown,
-                day AS dd_date
+                month AS dd_month
          FROM dd JOIN agg ON dd.seg = agg.seg
          WHERE rn = 1 ORDER BY dd.seg""",
     "profile_correlation_matrix" ->
@@ -1853,7 +1871,7 @@ object Analytics5 {
                                   AS i2
                          FROM op JOIN pairs
                            ON seg = s1 OR seg = s2),
-              r AS (SELECT s1, s2,
+              r AS (SELECT s1, s2, p,
                            sum(i1) OVER (PARTITION BY s1, s2
                              ORDER BY p, seg, o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND
@@ -1863,17 +1881,22 @@ object Analytics5 {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND
                                CURRENT ROW) AS c2,
                            sum(i1) OVER (PARTITION BY s1, s2) AS n1,
-                           sum(i2) OVER (PARTITION BY s1, s2) AS n2
+                           sum(i2) OVER (PARTITION BY s1, s2) AS n2,
+                           lead(p, 1) OVER (PARTITION BY s1, s2
+                             ORDER BY p, seg, o_orderkey) AS nxt_p
                     FROM pooled),
               agg AS (SELECT s1, s2,
                              CAST(max(n1) AS BIGINT) AS n1,
                              CAST(max(n2) AS BIGINT) AS n2,
                              CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)
                                AS maxd
-                      FROM r GROUP BY s1, s2)
+                      FROM r
+                      WHERE nxt_p IS NULL OR nxt_p <> p
+                      GROUP BY s1, s2)
          SELECT s1, s2, n1, n2,
-                CAST(maxd * 10000 // (n1 * n2) AS DOUBLE) / 10000.0
-                  AS ks_d
+                floor((CAST(maxd AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                      * 10000.0) / 10000 AS ks_d
          FROM agg ORDER BY s1, s2""",
     "analytics_mann_whitney" ->
       """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
@@ -2008,12 +2031,12 @@ object Analytics5 {
          SELECT al.h AS h, nh,
                 floor(sh * 10000.0) / 10000 AS s_h,
                 alloc,
-                CAST(n_sampled AS BIGINT) AS n_sampled,
+                CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
                 floor((CAST(ssum AS DOUBLE) / CAST(n_sampled AS DOUBLE))
                       * 10000.0) / 10000 AS sample_mean,
                 floor((CAST(sp AS DOUBLE) / CAST(nh AS DOUBLE))
                       * 10000.0) / 10000 AS pop_mean
-         FROM al JOIN sm ON al.h = sm.h
+         FROM al LEFT JOIN sm ON al.h = sm.h
          ORDER BY al.h""",
     "timeseries_bollinger_breach" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -89,12 +89,16 @@ class Analytics5Spec extends GraftSuite {
     val n1 = data.count(_._1 == s1).toLong
     val n2 = data.count(_._1 == s2).toLong
     var c1 = 0L; var c2 = 0L; var maxd = 0L
-    data.foreach { t =>
+    data.zipWithIndex.foreach { case (t, i) =>
       if (t._1 == s1) c1 += 1 else c2 += 1
-      maxd = math.max(maxd, math.abs(c1 * n2 - c2 * n1))
+      // ECDFs step only after ALL ties of a value: the sup is
+      // evaluated at tie-group ends, never inside a tied run
+      val lastOfTie = i == data.length - 1 || data(i + 1)._3 != t._3
+      if (lastOfTie) maxd = math.max(maxd, math.abs(c1 * n2 - c2 * n1))
     }
     assert(r0.getLong(2) == n1 && r0.getLong(3) == n2)
-    assert(r0.getDouble(4) == (maxd * 10000L / (n1 * n2)).toDouble / 10000.0,
+    assert(r0.getDouble(4) == math.floor(
+      maxd.toDouble / (n1.toDouble * n2.toDouble) * 10000.0) / 10000.0,
       s"KS D mismatch for ($s1,$s2)")
   }
 
