@@ -635,6 +635,45 @@ object Analytics5 {
         .orderBy("seg")
     }),
 
+    // Sketch-backed winsorized mean (r10, VERDICT r9 #4) — the 100 TB
+    // form of `agg_winsorized_mean`: the exact [p05, p95] clamp
+    // thresholds come from per-segment rank windows (a per-segment
+    // sort of the corpus); HERE they come from `approx_percentile`,
+    // Spark's bounded-memory mergeable quantile sketch (one
+    // partial-aggregated pass, no sort anywhere). The clamped mean
+    // itself is unchanged — one map-side-combined aggregate after a
+    // ≤|segments|-row threshold broadcast. accuracy=1000 bounds the
+    // rank error at 0.1 %, so the sketch thresholds sit within ±0.1 %
+    // rank of the exact order statistics and the winsorized mean
+    // moves by at most that tail mass × the local value spread —
+    // Analytics5Spec bounds it at 0.5 % relative against the exact
+    // twin per segment (the same exact-vs-sketch contract as
+    // agg_percentile / agg_percentile_approx). No oracle: sketch
+    // internals are not SQL-mirrorable (DuckDB's approx_quantile is a
+    // different sketch).
+    "agg_winsorized_approx" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val th = op.groupBy("seg").agg(
+        expr("approx_percentile(CAST(p AS DOUBLE), 0.05, 1000)").as("lo"),
+        expr("approx_percentile(CAST(p AS DOUBLE), 0.95, 1000)").as("hi"))
+      op.join(broadcast(th), Seq("seg"))
+        .withColumn("w",
+          least(greatest(col("p").cast("double"), col("lo")), col("hi")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("p05_approx"),
+          max(col("hi")).as("p95_approx"),
+          (floor((sum(col("w").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)).cast("double")) * 10000.0) / 10000)
+            .as("winsorized_mean_approx"))
+        .orderBy("seg")
+    }),
+
     // Jensen–Shannon divergence between source unigram distributions
     // (r9; Lin 1991) — the corpus-similarity matrix behind source
     // mixing decisions (sample_temperature_mix picks weights; THIS
@@ -900,6 +939,68 @@ object Analytics5 {
           (floor((col("maxd").cast("double")
             / (col("n1").cast("double") * col("n2").cast("double")))
             * 10000.0) / 10000).as("ks_d"))
+        .orderBy("s1", "s2")
+    }),
+
+    // Sketch-backed KS (r10, VERDICT r9 #4) — the 100 TB form of
+    // `analytics_ks_test`, exactly the swap its exact twin documents
+    // ("at 100 TB you'd histogram first"): ONE partial-aggregated
+    // pass bins every order price into a fixed 256-cell equi-width
+    // grid (pure integer arithmetic over cents — bin edges from a
+    // 1-row min/max broadcast), and ALL downstream work (per-pair
+    // cumulative counts, the sup walk) runs over the ≤ segments×256-
+    // row synopsis. The binned D̂ evaluates the CDF difference at bin
+    // edges only, so D̂ ≤ D ≤ D̂ + max_bin(m1/n1 + m2/n2) — the bound
+    // is DECLARED per pair (`err_bound`) so a consumer sees exactly
+    // how much resolution 256 bins bought (the same honest-dial
+    // contract as dedup_bbit_minhash). Analytics5Spec asserts the
+    // two-sided envelope against the exact twin per segment pair. No
+    // oracle: the histogram synopsis is the point, not SQL-mirrored
+    // semantics (its exact twin IS the oracle-checked key).
+    "analytics_ks_sketch" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("c"))
+      val mm = op.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+      val binned = op.crossJoin(broadcast(mm))
+        .withColumn("bin", expr(
+          "CAST(((c - cmin) * 256) div (cmax - cmin + 1) AS INT)"))
+        .groupBy("seg", "bin").agg(count(lit(1)).as("m"))
+      val segs = binned.select("seg").distinct()
+      val pairs = segs.select(col("seg").as("s1"))
+        .join(segs.select(col("seg").as("s2")), col("s1") < col("s2"))
+      // synopsis-grain from here down: ≤ 256 rows per pair
+      val perBin = binned.join(broadcast(pairs),
+          col("seg") === col("s1") || col("seg") === col("s2"))
+        .groupBy("s1", "s2", "bin")
+        .agg(sum(when(col("seg") === col("s1"), col("m"))
+            .otherwise(0L)).as("m1"),
+          sum(when(col("seg") === col("s2"), col("m"))
+            .otherwise(0L)).as("m2"))
+      val wRun = Window.partitionBy("s1", "s2").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("s1", "s2")
+      perBin
+        .withColumn("c1", sum(col("m1")).over(wRun))
+        .withColumn("c2", sum(col("m2")).over(wRun))
+        .withColumn("n1", sum(col("m1")).over(wAll))
+        .withColumn("n2", sum(col("m2")).over(wAll))
+        .groupBy("s1", "s2")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("maxd"),
+          max(col("m1").cast("double") / col("n1").cast("double")
+            + col("m2").cast("double") / col("n2").cast("double"))
+            .as("maxbin"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          (floor((col("maxd").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+            * 10000.0) / 10000).as("ks_d_sketch"),
+          (ceil(col("maxbin") * 10000.0) / 10000).as("err_bound"))
         .orderBy("s1", "s2")
     }),
 

@@ -325,6 +325,39 @@ object GraphOps {
           col("n_comms"))
         .orderBy("rank")
     }),
+
+    // Weakly-connected components census (r10, VERDICT r9 #8) — the
+    // GraphFrames-`connectedComponents` equivalent over an EXPLICIT
+    // graph, completing the family's four Pregel shapes with the
+    // canonical label-exchange: distinct from `dedup_cluster_cc`
+    // (same algorithm, but over LSH candidate edges of embeddings —
+    // here the input is the co-purchase part graph every other graph
+    // key shares) and from `graph_community_labelprop` (majority
+    // vote splits a component along weak cuts; WCC's min-label gives
+    // exactly one label per component). Reuses
+    // Clustering.components: min-label propagation + pointer
+    // jumping, O(log diameter) materialized rounds, shuffles sized
+    // to state volume. Verts = ALL sampled parts, not just edge
+    // endpoints — a part never co-purchased is a visible singleton
+    // component, not a dropped row. Output: per-component
+    // (rep, n_members, n_edges). Oracle: recursive-CTE transitive
+    // closure (the dedup_cluster_cc precedent).
+    "graph_wcc_components" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d, 10)
+      val verts = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_partkey").as("n")).distinct()
+      val labels = Clustering.components(verts,
+        e.select(col("u").as("a"), col("v").as("b")))
+      val mem = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+      val ce = e.join(labels.select(col("n").as("u"),
+          col("lab").as("elab")), Seq("u"))
+        .groupBy("elab").agg(count(lit(1)).as("n_edges"))
+      mem.join(ce, col("lab") === col("elab"), "left")
+        .select(col("lab").as("rep"), col("n_members"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .orderBy("rep")
+    }),
   )
 
   /** Generated label-propagation oracle: 4 majority-vote rounds as a
@@ -436,6 +469,31 @@ object GraphOps {
     "graph_kcore" -> kcoreSql,
     "graph_community_labelprop" -> labelPropSql,
     "graph_bfs_layers" -> bfsSql,
+    "graph_wcc_components" ->
+      """WITH RECURSIVE
+              ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem WHERE l_partkey % 10 = 0),
+              ed0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                      FROM ps a JOIN ps b
+                        ON a.ok = b.ok AND a.pk < b.pk),
+              ed AS (SELECT u AS s, v AS t FROM ed0
+                     UNION ALL SELECT v, u FROM ed0),
+              verts AS (SELECT DISTINCT pk AS n FROM ps),
+              reach AS (SELECT n AS node, n AS lab FROM verts
+                        UNION
+                        SELECT ed.t, r.lab
+                        FROM reach r JOIN ed ON ed.s = r.node),
+              comp AS (SELECT node, min(lab) AS rep
+                       FROM reach GROUP BY node),
+              mem AS (SELECT rep, count(*) AS n_members
+                      FROM comp GROUP BY rep),
+              ce AS (SELECT c.rep, count(*) AS n_edges
+                     FROM ed0 JOIN comp c ON ed0.u = c.node
+                     GROUP BY c.rep)
+         SELECT mem.rep, n_members,
+                coalesce(n_edges, 0) AS n_edges
+         FROM mem LEFT JOIN ce ON mem.rep = ce.rep
+         ORDER BY mem.rep""",
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                l_suppkey * 2 + 1 AS sn

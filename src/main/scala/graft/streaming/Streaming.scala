@@ -178,6 +178,101 @@ object Streaming {
         .orderBy("lang")
     }),
 
+    // Streaming ANN-index maintenance (r10, VERDICT r9 #8) — the
+    // production RAG freshness story: documents arrive as files;
+    // each micro-batch (a) chunks them (120/80, the
+    // text_chunk_sliding geometry), embeds the chunks as relational
+    // (cid, dim, count) postings (feature_hashed_ngrams' md5-prefix
+    // dims) and APPENDS them to the inverted index —
+    // pipeline_chunk_embed_e2e's candidate side, kept warm without
+    // rebuilds — and (b) incrementally merges the batch's per-dim
+    // document frequencies into a standing ≤257-row stats synopsis
+    // (df per dim + a dim=−1 chunk-count row), read-modify-write per
+    // batch against a versioned dir (v<batchId> — reading v<n−1>
+    // while writing v<n>, never overwriting what's being read). The
+    // stats table is what prices the STOP-DIM cut at query time; the
+    // whole point is that its maintenance cost is O(|dims|) per
+    // batch, independent of index size. Incremental correctness is
+    // DECLARED, not assumed: the output joins the incrementally-
+    // maintained df against a full recompute over the final index
+    // and carries the equality flag (the
+    // stage_incremental_agg_maintenance IVM contract). Two source
+    // files + maxFilesPerTrigger=1 force ≥2 real micro-batches so
+    // the merge path actually runs. Batch-order-invariant by
+    // construction (chunk ids are disjoint across batches; df sums
+    // commute), so the oracle is the batch-equivalent SQL.
+    "stream_ann_index_maintain" -> ((s, d) => {
+      val src = graft.sources.Staging.tmpDir("annsrc")
+      val idx = graft.sources.Staging.tmpDir("annidx")
+      val stats = graft.sources.Staging.tmpDir("annstats")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      def postingsOf(batch: DataFrame): DataFrame = batch
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("text"), explode(expr(
+          """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+               i -> named_struct('i', i, 'p', cast(i * 80 + 1 as int)))"""
+        )).as("c"))
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("c.i").cast("string")).as("cid"),
+          expr("substring(text, c.p, 120)").as("chunk"))
+        .select(col("cid"), explode(split(col("chunk"), " ")).as("w"))
+        .select(col("cid"),
+          expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
+            .as("dim"))
+        .groupBy("cid", "dim").agg(count(lit(1)).as("c"))
+      withStreamShuffle(s) {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/*.parquet")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val postings = batch.transform(postingsOf).localCheckpoint()
+            postings.write.mode("append").parquet(idx)
+            val delta = postings.groupBy("dim")
+              .agg(count(lit(1)).as("df"))
+              .unionByName(postings.select("cid").distinct()
+                .agg(count(lit(1)).as("df"))
+                .select(lit(-1L).as("dim"), col("df")))
+            val merged =
+              if (batchId == 0L) delta
+              else batch.sparkSession.read
+                .parquet(s"$stats/v${batchId - 1}")
+                .unionByName(delta)
+                .groupBy("dim").agg(sum(col("df")).as("df"))
+            merged.coalesce(1).write.mode("overwrite")
+              .parquet(s"$stats/v$batchId")
+            postings.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val lastV = new java.io.File(stats).listFiles()
+        .map(_.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).max
+      val st = s.read.parquet(s"$stats/v$lastV")
+      val nChunks = st.filter(col("dim") === -1L)
+        .select(col("df").as("n_chunks"))
+      val full = s.read.parquet(idx)
+        .groupBy("dim").agg(count(lit(1)).as("df_full"))
+      st.filter(col("dim") >= 0L)
+        .join(full, Seq("dim"))
+        .crossJoin(broadcast(nChunks))
+        .orderBy(col("df").desc, col("dim")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+            .orderBy(col("df").desc, col("dim"))))
+        .select(col("rank").cast("long").as("rank"), col("dim"),
+          col("df"), col("df_full"), col("n_chunks"),
+          (col("df") * 10 > col("n_chunks") * 3).as("is_stop"),
+          (col("df") === col("df_full")).as("consistent"))
+        .orderBy("rank")
+    }),
+
     // Tumbling 1-hour windows × event_type (epoch-aligned — equivalent
     // to date_trunc('hour') batch grouping).
     "stream_tumbling_window" -> ((s, d) =>
@@ -643,6 +738,39 @@ object Streaming {
                   AS n_tokens,
                 CAST(sum(length(chunk)) AS BIGINT) AS n_chars
          FROM ch GROUP BY lang ORDER BY lang""",
+    "stream_ann_index_maintain" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents),
+              ch AS (SELECT doc_id, doc_id || '#' || i AS cid,
+                            substr(text, CAST(i * 80 + 1 AS INT), 120)
+                              AS chunk
+                     FROM (SELECT doc_id, text,
+                                  unnest(generate_series(0,
+                                    (greatest(len - 120, 0) + 79) // 80))
+                                    AS i
+                           FROM base)),
+              tokd AS (SELECT cid,
+                              (CAST(strpos('0123456789abcdef',
+                                      substr(md5(w), 1, 1)) - 1
+                                    AS BIGINT)) * 16
+                              + (CAST(strpos('0123456789abcdef',
+                                       substr(md5(w), 2, 1)) - 1
+                                     AS BIGINT)) AS dim
+                       FROM (SELECT cid,
+                                    unnest(string_split(chunk, ' ')) AS w
+                             FROM ch)),
+              emb AS (SELECT cid, dim, count(*) AS c
+                      FROM tokd GROUP BY cid, dim),
+              nc AS (SELECT count(DISTINCT cid) AS n_chunks FROM emb),
+              df AS (SELECT dim, count(*) AS df FROM emb GROUP BY dim),
+              rk AS (SELECT dim, df,
+                            row_number() OVER (ORDER BY df DESC, dim)
+                              AS rank
+                     FROM df)
+         SELECT CAST(rank AS BIGINT) AS rank, dim, df, df AS df_full,
+                n_chunks, (df * 10 > n_chunks * 3) AS is_stop,
+                TRUE AS consistent
+         FROM rk CROSS JOIN nc WHERE rank <= 10 ORDER BY rank""",
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",

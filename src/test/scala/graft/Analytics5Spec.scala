@@ -538,4 +538,51 @@ class Analytics5Spec extends GraftSuite {
         s"doc ${r.getLong(0)}: Herdan C out of [0,1]")
     }
   }
+
+  test("agg_winsorized_approx: sketch thresholds and mean track the " +
+    "exact twin per segment (VERDICT r9 #4 contract)") {
+    val approx = SparkEntry.queries("agg_winsorized_approx")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = SparkEntry.queries("agg_winsorized_mean")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (seg, (p05, p95, win)) =>
+      val (a05, a95, awin) = approx(seg)
+      // accuracy=1000 → rank error <= n/1000 order statistics; on the
+      // fixture price distribution that is a sub-percent value shift
+      assert(math.abs(a05 - p05) <= 0.02 * p05,
+        s"$seg: p05 sketch $a05 vs exact $p05")
+      assert(math.abs(a95 - p95) <= 0.02 * p95,
+        s"$seg: p95 sketch $a95 vs exact $p95")
+      assert(math.abs(awin - win) <= 0.005 * win,
+        s"$seg: winsorized mean sketch $awin vs exact $win")
+    }
+  }
+
+  test("analytics_ks_sketch: binned D̂ brackets the exact D within " +
+    "the declared per-pair err_bound") {
+    val sk = SparkEntry.queries("analytics_ks_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val ex = SparkEntry.queries("analytics_ks_test")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(sk.keySet == ex.keySet && sk.size == 10)
+    ex.foreach { case (pair, (n1, n2, d)) =>
+      val (sn1, sn2, dHat, errB) = sk(pair)
+      assert(sn1 == n1 && sn2 == n2,
+        s"$pair: sample sizes differ between sketch and exact")
+      assert(errB > 0.0 && errB <= 1.0)
+      // binned sup is evaluated at bin edges only: a lower bound of
+      // the true sup up to the declared bin-mass slack (+1e-4 floor
+      // quantization on each side)
+      assert(dHat <= d + 2e-4,
+        s"$pair: sketch D $dHat exceeds exact D $d")
+      assert(d <= dHat + errB + 2e-4,
+        s"$pair: exact D $d outside sketch envelope $dHat + $errB")
+    }
+  }
 }

@@ -141,4 +141,41 @@ class GraphOpsSpec extends GraftSuite {
       s"label-prop mismatch: got=${got.take(3).toSeq}… " +
         s"expect=${expTop.take(3)}…")
   }
+
+  test("graph_wcc_components: census exactly matches a driver-side " +
+    "union-find over the same graph, singletons included") {
+    val got = operators.GraphOps.queries("graph_wcc_components")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_partkey") % 10 === 0)
+      .select("l_partkey").distinct().collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(verts.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    e.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val comp = verts.map(n => n -> find(n)).toMap
+    val mem = comp.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+    val edgeCnt = e.groupBy { case (u, _) => find(u) }
+      .map { case (r, es) => r -> es.length.toLong }
+    val expect = mem.toSeq.sortBy(_._1).map { case (r, m) =>
+      (r, m, edgeCnt.getOrElse(r, 0L)) }
+    assert(got == expect,
+      s"WCC census mismatch: got=${got.take(3)}… expect=${expect.take(3)}…")
+    // the sampled graph genuinely exercises both shapes
+    assert(expect.exists(_._2 == 1L) || expect.exists(_._2 > 1L))
+    assert(expect.map(_._2).sum == verts.length.toLong,
+      "every vertex must appear in exactly one component")
+  }
 }

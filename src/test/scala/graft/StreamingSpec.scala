@@ -210,4 +210,46 @@ class StreamingSpec extends GraftSuite {
     assert(got == exp,
       s"streaming census diverges from the batch chunker: $got vs $exp")
   }
+
+  test("stream_ann_index_maintain: >=2 micro-batches merged, " +
+    "incremental df == full recompute, top-10 equals batch mirror") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streaming
+      .queries("stream_ann_index_maintain")(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getBoolean(6),
+        s"dim ${r.getLong(1)}: incremental df ${r.getLong(2)} != " +
+          s"full recompute ${r.getLong(3)}")
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // the versioned stats dir proves the read-modify-write merge path
+    // ran across >=2 real micro-batches (batch 0 seeds, batch 1 merges)
+    val versions = new java.io.File(
+      graft.sources.Staging.scratchPath("annstats"))
+      .listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    assert(versions.length >= 2,
+      s"expected >=2 stats versions (one per micro-batch), got " +
+        s"${versions.mkString(",")}")
+    // batch mirror of the top-10 df census over the same corpus
+    val exp = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        """transform(sequence(0L, (greatest(len - 120, 0) + 79) div 80),
+             i -> named_struct('i', i, 'p', cast(i * 80 + 1 as int)))"""
+      )).as("c"))
+      .select(concat(col("doc_id").cast("string"), lit("#"),
+          col("c.i").cast("string")).as("cid"),
+        expr("substring(text, c.p, 120)").as("chunk"))
+      .select(col("cid"), explode(split(col("chunk"), " ")).as("w"))
+      .select(col("cid"),
+        expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
+          .as("dim"))
+      .distinct()
+      .groupBy("dim").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("dim")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == exp,
+      "streaming-maintained df census diverges from the batch mirror")
+  }
 }
