@@ -115,8 +115,29 @@ object Bench {
     // speedup — the exact r7 confusion. Errored keys appear ONLY in
     // n_errors/error_keys.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // SPARK_GRAFT_CLEAN=1: drop accumulated session state BETWEEN keys
+    // (outside every timed window) — the r9→r10 A/B probe for the
+    // +16% clean-anchor creep on unchanged code (VERDICT r9 #3).
+    // Three accumulation channels exist by construction: the cache
+    // manager (keys that .cache() and unpersist on their happy path
+    // still leak on any exception), persisted RDDs the CC/WCC loops
+    // deliberately leave behind for their returned frame, and the
+    // memory-sink temp views every streaming drain() registers (one
+    // per streaming key per run, each pinning its result rows).
+    val cleanBetween = sys.env.get("SPARK_GRAFT_CLEAN").contains("1")
+    def cleanSession(): Unit = if (cleanBetween) {
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+      } catch { case _: Throwable => () }
+    }
     def timeKey(name: String, fn: (SparkSession, String) => DataFrame,
                 recordError: Boolean = true): Option[Double] = {
+      cleanSession()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

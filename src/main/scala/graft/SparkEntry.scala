@@ -42,6 +42,7 @@ object SparkEntry {
     (operators.Similarity2.queries, operators.Similarity2.oracles),
     (operators.Curation2.queries, operators.Curation2.oracles),
     (operators.Analytics5.queries, operators.Analytics5.oracles),
+    (operators.Analytics6.queries, operators.Analytics6.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-10 curation/experimentation operators: recency-decay corpus
+  * sampling, CUPED variance reduction, and raking (iterative
+  * proportional fitting) to target marginals.
+  *
+  *   - `sample_time_decay`: exponential recency-weighted sampling —
+  *     the freshness dial of corpus mixing (beside
+  *     `sample_temperature_mix`'s source dial): keep probability
+  *     halves per year of age, so the training mix tracks the present
+  *     without discarding history outright. The keep test is the
+  *     repo-standard deterministic md5 coin, but the threshold
+  *     compare is PURE INTEGER (48-bit hash vs 2^48 >> age) — no
+  *     pow(), no libm, bit-exact in both engines by construction.
+  *   - `analytics_cuped`: CUPED variance reduction (Deng et al. 2013,
+  *     "Improving the Sensitivity of Online Controlled Experiments")
+  *     — THE production A/B-test precision technique beside the raw
+  *     t-test key: adjust the experiment metric by the pre-period
+  *     covariate, Ŷ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled,
+  *     and DECLARE the achieved per-arm variance reduction. Everything
+  *     is closed-form moment arithmetic: exact DECIMAL sums → double
+  *     ratios on identical bits → per-row adjusted values quantized
+  *     DECIMAL(28,10) pre-sum.
+  *   - `sample_raking_ipf`: raking / iterative proportional fitting
+  *     (Deming & Stephan 1940) of the (lang × source) contingency
+  *     table to uniform target marginals — the survey-statistics
+  *     reweighting that hits BOTH marginal targets where one-shot
+  *     importance weights hit one; 3 unrolled IPF rounds.
+  *
+  * Scale notes (100 TB):
+  *   - time decay is one map-side coin per row + a bounded per-year
+  *     aggregate; the horizon is a 1-row broadcast. Deterministic and
+  *     MERGEABLE: any shard keeps the same rows under any partitioning.
+  *   - CUPED is two corpus passes: per-unit pre/post rollup (one
+  *     shuffle on the unit key), then pooled-moment + per-arm
+  *     aggregates over unit-grain rows with map-side combine; θ/X̄
+  *     ride a 1-row broadcast back. No sort anywhere.
+  *   - raking runs ENTIRELY on the L×S cell synopsis after one
+  *     partial-aggregated count pass — the IPF rounds touch ≤100 rows
+  *     regardless of corpus size (the synopsis is localCheckpoint'ed
+  *     once so the 6 half-round self-references stay cheap leaves).
+  */
+object Analytics6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Recency-decay sampling: keep ∝ 2^(−age_years). The integer
+    // threshold 2^48 >> age makes the acceptance test exact: age 0
+    // keeps everything (u48 < 2^48 always), each extra year halves
+    // the kept mass. Declared per order-year: raw vs kept counts,
+    // realized keep rate, raw vs effective revenue — the
+    // duplication-aware "effective token budget" view of
+    // sample_downweight_duplicates, applied to TIME.
+    "sample_time_decay" -> ((s, d) => {
+      val op = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val hz = op.agg(max(col("yr")).as("hmax"))
+      op.crossJoin(broadcast(hz))
+        .withColumn("age", (col("hmax") - col("yr")).cast("int"))
+        .withColumn("u48", expr(
+          """CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 12),
+                       16, 10) AS BIGINT)"""))
+        .withColumn("keep",
+          col("u48") < expr("shiftright(CAST(281474976710656 AS BIGINT), age)"))
+        .groupBy("yr", "age")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          (floor(sum(col("price")).cast("double") * 10000.0) / 10000)
+            .as("raw_revenue"),
+          (floor(sum(when(col("keep"), col("price"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            * 10000.0) / 10000).as("kept_revenue"))
+        .withColumn("keep_rate",
+          floor(col("n_kept").cast("double")
+            / col("n_orders").cast("double") * 10000.0) / 10000)
+        .select(col("yr").cast("long").as("yr"),
+          col("age").cast("long").as("age"), col("n_orders"),
+          col("n_kept"), col("keep_rate"), col("raw_revenue"),
+          col("kept_revenue"))
+        .orderBy("yr")
+    }),
+
+    // CUPED: units = ALL customers (a customer with no orders in a
+    // window contributes 0 — dropping them would bias the arms);
+    // pre-period X = spend before 1998-01-01, metric Y = spend after;
+    // arm = first md5 hex digit of the customer key mod 2 (the
+    // deterministic hash split of sample_hash_split). θ and X̄ come
+    // from POOLED moments (standard CUPED — the covariate is
+    // pre-experiment, so pooling is unbiased), broadcast back as one
+    // row. Declared per arm: n, raw/adjusted means, raw/adjusted
+    // sample variances, and the variance-reduction ratio — the
+    // precision gain a real experimentation platform reports.
+    "analytics_cuped" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < lit("1998-01-01"),
+              col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("xr"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01"),
+              col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("yr"))
+      val units = Tables.customer(s, d).select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("xr"), lit(0).cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("x"),
+          coalesce(col("yr"), lit(0).cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("y"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 1),
+                       16, 10) AS BIGINT) % 2"""))
+      val pool = units.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,4)")).as("sx"),
+        sum(col("y").cast("decimal(38,4)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"))
+      val withTheta = units.crossJoin(broadcast(pool))
+        .withColumn("xbar",
+          col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("theta",
+          (col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")
+              / col("n").cast("double"))
+          / (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n").cast("double")))
+        .withColumn("yadj",
+          col("y").cast("double")
+            - col("theta") * (col("x").cast("double") - col("xbar")))
+      // Variance accumulation note: Σy² as a scale-4 DECIMAL has an
+      // unscaled value past 2^53 at fixture scale, and DECIMAL→DOUBLE
+      // casts of such sums are NOT bit-identical across engines
+      // (measured: the two engines' var_y differed in the 13th digit).
+      // So second moments accumulate as INTEGER-quantized terms in
+      // k$² units — floor((y/1000)²·10⁴) per row is an exact BIGINT,
+      // the sums stay inside int64 to ~10⁹ units, and every double
+      // that follows is derived from identical integer bits. Variances
+      // are therefore DECLARED in k$² (columns *_k2).
+      withTheta
+        .withColumn("yk", col("y").cast("double") / 1000.0)
+        .withColumn("yak", col("yadj") / 1000.0)
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_units"),
+          sum(col("y").cast("decimal(38,4)")).as("asy"),
+          sum(expr("CAST(floor(yadj * 10000.0) AS BIGINT)")).as("sa4"),
+          sum(expr("CAST(floor(yk * yk * 10000.0) AS BIGINT)"))
+            .as("s2y"),
+          sum(expr("CAST(floor(yak * yak * 10000.0) AS BIGINT)"))
+            .as("s2a"))
+        .withColumn("nd", col("n_units").cast("double"))
+        .withColumn("mean_y",
+          floor(col("asy").cast("double") / col("nd") * 10000.0) / 10000)
+        .withColumn("mean_y_adj",
+          floor(col("sa4").cast("double") / 10000.0 / col("nd")
+            * 10000.0) / 10000)
+        .withColumn("syk", col("asy").cast("double") / 1000.0)
+        .withColumn("sak",
+          col("sa4").cast("double") / 10000.0 / 1000.0)
+        .withColumn("var_y_k2", floor(
+          (col("s2y").cast("double") / 10000.0
+            - col("syk") * col("syk") / col("nd"))
+          / (col("nd") - 1.0) * 10000.0) / 10000)
+        .withColumn("var_y_adj_k2", floor(
+          (col("s2a").cast("double") / 10000.0
+            - col("sak") * col("sak") / col("nd"))
+          / (col("nd") - 1.0) * 10000.0) / 10000)
+        .withColumn("var_reduction",
+          floor((lit(1.0) - col("var_y_adj_k2") / col("var_y_k2"))
+            * 10000.0) / 10000)
+        .select(col("arm"), col("n_units"), col("mean_y"),
+          col("mean_y_adj"), col("var_y_k2"), col("var_y_adj_k2"),
+          col("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    // Raking / IPF to uniform (lang, source) targets: 3 unrolled
+    // rounds, each = one lang-marginal rescale + one source-marginal
+    // rescale over the ≤L·S cell synopsis. Per-cell w·n terms are
+    // quantized DECIMAL(28,10) before every marginal sum (the repo's
+    // order-independence rule), ratios run in double on identical
+    // bits. Declared per cell: count, final weight, weighted share.
+    "sample_raking_ipf" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = cells.agg(
+        sum(col("n")).as("nn"),
+        countDistinct(col("lang")).as("ll"),
+        countDistinct(col("source")).as("ss"))
+      var w = cells.crossJoin(broadcast(tot)).withColumn("w", lit(1.0))
+      for (_ <- 1 to 3) {
+        val lt = w.groupBy(col("lang").as("lg"))
+          .agg(sum((col("w") * col("n")).cast("decimal(28,10)"))
+            .as("cl"))
+        w = w.join(broadcast(lt), col("lang") === col("lg"))
+          .withColumn("w", col("w")
+            * (col("nn").cast("double") / col("ll").cast("double"))
+            / col("cl").cast("double"))
+          .drop("lg", "cl")
+        val st = w.groupBy(col("source").as("sc"))
+          .agg(sum((col("w") * col("n")).cast("decimal(28,10)"))
+            .as("cs"))
+        w = w.join(broadcast(st), col("source") === col("sc"))
+          .withColumn("w", col("w")
+            * (col("nn").cast("double") / col("ss").cast("double"))
+            / col("cs").cast("double"))
+          .drop("sc", "cs")
+      }
+      w.select(col("lang"), col("source"), col("n").as("n_docs"),
+          (floor(col("w") * 1000000.0) / 1000000).as("w_final"),
+          (floor(col("w") * col("n").cast("double")
+            / col("nn").cast("double") * 1000000.0) / 1000000)
+            .as("w_share"))
+        .orderBy("lang", "source")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_time_decay" ->
+      """WITH op AS (SELECT o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                            year(o_orderdate) AS yr
+                     FROM orders),
+              hz AS (SELECT max(yr) AS hmax FROM op),
+              k AS (SELECT yr, hmax - yr AS age, price,
+                           CAST(list_aggregate(list_transform(range(1, 13),
+                             j -> (strpos('0123456789abcdef',
+                                    substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1)
+                                  * pow(16, 12 - j)), 'sum') AS BIGINT)
+                             < (281474976710656 >> CAST(hmax - yr AS INT))
+                             AS keep
+                    FROM op CROSS JOIN hz)
+         SELECT CAST(yr AS BIGINT) AS yr, CAST(age AS BIGINT) AS age,
+                count(*) AS n_orders,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 10000.0) / 10000
+                  AS keep_rate,
+                floor(CAST(sum(price) AS DOUBLE) * 10000.0) / 10000
+                  AS raw_revenue,
+                floor(CAST(sum(CASE WHEN keep THEN price
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+                           AS DOUBLE) * 10000.0) / 10000 AS kept_revenue
+         FROM k GROUP BY yr, age ORDER BY yr""",
+    "analytics_cuped" ->
+      """WITH per AS (SELECT o_custkey,
+                             sum(CASE WHEN o_orderdate < '1998-01-01'
+                                      THEN CAST(o_totalprice
+                                                AS DECIMAL(18,2))
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                               AS xr,
+                             sum(CASE WHEN o_orderdate >= '1998-01-01'
+                                      THEN CAST(o_totalprice
+                                                AS DECIMAL(18,2))
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                               AS yr
+                      FROM orders GROUP BY o_custkey),
+              units AS (SELECT c_custkey,
+                               CAST(coalesce(xr, 0) AS DECIMAL(18,2))
+                                 AS x,
+                               CAST(coalesce(yr, 0) AS DECIMAL(18,2))
+                                 AS y,
+                               CAST((strpos('0123456789abcdef',
+                                      substr(md5(CAST(c_custkey
+                                                      AS VARCHAR)), 1, 1))
+                                     - 1) % 2 AS BIGINT) AS arm
+                        FROM customer
+                        LEFT JOIN per ON c_custkey = o_custkey),
+              pool AS (SELECT count(*) AS n,
+                              sum(CAST(x AS DECIMAL(38,4))) AS sx,
+                              sum(CAST(y AS DECIMAL(38,4))) AS sy,
+                              sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+                              sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
+                       FROM units),
+              adj AS (SELECT arm, y,
+                             CAST(y AS DOUBLE)
+                             - ((CAST(sxy AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                / (CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                     / CAST(n AS DOUBLE)))
+                               * (CAST(x AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               AS yadj
+                      FROM units CROSS JOIN pool),
+              ag AS (SELECT arm, count(*) AS n_units,
+                            sum(CAST(y AS DECIMAL(38,4))) AS asy,
+                            sum(CAST(floor(yadj * 10000.0) AS BIGINT))
+                              AS sa4,
+                            sum(CAST(floor((CAST(y AS DOUBLE) / 1000.0)
+                                  * (CAST(y AS DOUBLE) / 1000.0)
+                                  * 10000.0) AS BIGINT)) AS s2y,
+                            sum(CAST(floor((yadj / 1000.0)
+                                  * (yadj / 1000.0)
+                                  * 10000.0) AS BIGINT)) AS s2a
+                     FROM adj GROUP BY arm),
+              fin AS (SELECT arm, n_units,
+                             CAST(n_units AS DOUBLE) AS nd,
+                             CAST(asy AS DOUBLE) AS asyd,
+                             CAST(sa4 AS DOUBLE) AS sa4d,
+                             CAST(s2y AS DOUBLE) AS s2yd,
+                             CAST(s2a AS DOUBLE) AS s2ad
+                      FROM ag),
+              vv AS (SELECT arm, n_units, nd, asyd, sa4d,
+                            floor((s2yd / 10000.0
+                                   - (asyd / 1000.0) * (asyd / 1000.0)
+                                     / nd)
+                                  / (nd - 1.0) * 10000.0) / 10000
+                              AS var_y_k2,
+                            floor((s2ad / 10000.0
+                                   - (sa4d / 10000.0 / 1000.0)
+                                     * (sa4d / 10000.0 / 1000.0) / nd)
+                                  / (nd - 1.0) * 10000.0) / 10000
+                              AS var_y_adj_k2
+                     FROM fin)
+         SELECT arm, n_units,
+                floor(asyd / nd * 10000.0) / 10000 AS mean_y,
+                floor(sa4d / 10000.0 / nd * 10000.0) / 10000
+                  AS mean_y_adj,
+                var_y_k2, var_y_adj_k2,
+                floor((1.0 - var_y_adj_k2 / var_y_k2) * 10000.0)
+                  / 10000 AS var_reduction
+         FROM vv ORDER BY arm""",
+    "sample_raking_ipf" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n
+                        FROM documents GROUP BY lang, source),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                             count(DISTINCT lang) AS ll,
+                             count(DISTINCT source) AS ss
+                      FROM cells),
+              w0 AS (SELECT lang, source, n, nn, ll, ss,
+                            CAST(1.0 AS DOUBLE) AS w
+                     FROM cells CROSS JOIN tot),
+              l1 AS (SELECT lang AS lg,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cl
+                     FROM w0 GROUP BY lang),
+              wa1 AS (SELECT lang, source, n, nn, ll, ss,
+                             w * (CAST(nn AS DOUBLE) / CAST(ll AS DOUBLE))
+                               / CAST(cl AS DOUBLE) AS w
+                      FROM w0 JOIN l1 ON lang = lg),
+              s1 AS (SELECT source AS sc,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cs
+                     FROM wa1 GROUP BY source),
+              w1 AS (SELECT lang, source, n, nn, ll, ss,
+                            w * (CAST(nn AS DOUBLE) / CAST(ss AS DOUBLE))
+                              / CAST(cs AS DOUBLE) AS w
+                     FROM wa1 JOIN s1 ON source = sc),
+              l2 AS (SELECT lang AS lg,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cl
+                     FROM w1 GROUP BY lang),
+              wa2 AS (SELECT lang, source, n, nn, ll, ss,
+                             w * (CAST(nn AS DOUBLE) / CAST(ll AS DOUBLE))
+                               / CAST(cl AS DOUBLE) AS w
+                      FROM w1 JOIN l2 ON lang = lg),
+              s2 AS (SELECT source AS sc,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cs
+                     FROM wa2 GROUP BY source),
+              w2 AS (SELECT lang, source, n, nn, ll, ss,
+                            w * (CAST(nn AS DOUBLE) / CAST(ss AS DOUBLE))
+                              / CAST(cs AS DOUBLE) AS w
+                     FROM wa2 JOIN s2 ON source = sc),
+              l3 AS (SELECT lang AS lg,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cl
+                     FROM w2 GROUP BY lang),
+              wa3 AS (SELECT lang, source, n, nn, ll, ss,
+                             w * (CAST(nn AS DOUBLE) / CAST(ll AS DOUBLE))
+                               / CAST(cl AS DOUBLE) AS w
+                      FROM w2 JOIN l3 ON lang = lg),
+              s3 AS (SELECT source AS sc,
+                            sum(CAST(w * n AS DECIMAL(28,10))) AS cs
+                     FROM wa3 GROUP BY source),
+              w3 AS (SELECT lang, source, n, nn, ll, ss,
+                            w * (CAST(nn AS DOUBLE) / CAST(ss AS DOUBLE))
+                              / CAST(cs AS DOUBLE) AS w
+                     FROM wa3 JOIN s3 ON source = sc)
+         SELECT lang, source, n AS n_docs,
+                floor(w * 1000000.0) / 1000000 AS w_final,
+                floor(w * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                      * 1000000.0) / 1000000 AS w_share
+         FROM w3 ORDER BY lang, source""",
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+/** Semantic invariants for the round-10 curation/experimentation
+  * operators — the properties the hash oracle can't see.
+  */
+class Analytics6Spec extends GraftSuite {
+
+  test("sample_time_decay: newest year keeps everything, realized " +
+    "keep rate tracks 2^-age within binomial tolerance") {
+    val rows = SparkEntry.queries("sample_time_decay")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byAge = rows.map(r => r.getLong(1) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // age 0 => threshold 2^48 => every u48 < threshold
+    assert(byAge(0L)._3 == 1.0, "age-0 year must keep 100%")
+    rows.foreach { r =>
+      val (age, n, kept, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(kept <= n)
+      val expect = math.pow(0.5, age.toDouble)
+      // 4-sigma binomial band around the target rate
+      val sigma = math.sqrt(expect * (1 - expect) / n.toDouble)
+      assert(math.abs(rate - expect) <= 4 * sigma + 1e-4,
+        s"age $age: rate $rate vs 2^-age $expect (n=$n)")
+      assert(r.getDouble(6) <= r.getDouble(5) + 1e-9,
+        s"age $age: kept revenue exceeds raw revenue")
+    }
+  }
+
+  test("analytics_cuped: both arms cover all customers, adjustment " +
+    "preserves the pooled mean and does not inflate variance") {
+    val rows = SparkEntry.queries("analytics_cuped")(spark, sf)
+      .collect()
+    assert(rows.length == 2, "hash split must produce two arms")
+    val nTotal = rows.map(_.getLong(1)).sum
+    val nCust = Tables.customer(spark, sf).count()
+    assert(nTotal == nCust,
+      s"units $nTotal != customers $nCust — units were dropped")
+    rows.foreach { r =>
+      val (vy, vya, vr) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(vy > 0.0 && vya > 0.0)
+      // pooled theta minimizes pooled variance; per-arm reduction can
+      // wobble but must never materially inflate
+      assert(vya <= vy * 1.05,
+        s"arm ${r.getLong(0)}: adjusted variance $vya inflates raw $vy")
+      assert(vr == math.floor((1.0 - vya / vy) * 10000.0) / 10000.0)
+    }
+    // CUPED shifts each unit by theta*(x - xbar); pooled over ALL
+    // units these shifts sum to ~0, so the POOLED mean is preserved
+    val my = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / nTotal
+    val ma = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / nTotal
+    assert(math.abs(my - ma) <= math.abs(my) * 0.001 + 1.0,
+      s"pooled mean not preserved: raw $my vs adjusted $ma")
+  }
+
+  test("sample_raking_ipf: source marginals exact after the final " +
+    "source step, lang marginals converged, weights positive") {
+    val rows = SparkEntry.queries("sample_raking_ipf")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lg, sc, n, w, sh) =>
+      assert(w > 0.0, s"($lg,$sc): non-positive weight")
+      assert(sh >= 0.0 && sh <= 1.0)
+    }
+    val nTotal = rows.map(_._3).sum.toDouble
+    val nLang = rows.map(_._1).distinct.length
+    val nSrc = rows.map(_._2).distinct.length
+    val srcTgt = nTotal / nSrc
+    val langTgt = nTotal / nLang
+    // the LAST IPF step rescaled source marginals => exact (up to the
+    // 1e-6 weight quantization accumulated over <=L cells)
+    rows.groupBy(_._2).foreach { case (sc, cs) =>
+      val m = cs.map(c => c._4 * c._3).sum
+      assert(math.abs(m - srcTgt) <= srcTgt * 0.001,
+        s"source $sc: weighted marginal $m vs target $srcTgt")
+    }
+    // lang marginals were rescaled one half-round earlier: converged
+    // but not exact — 5% band after 3 rounds
+    rows.groupBy(_._1).foreach { case (lg, cs) =>
+      val m = cs.map(c => c._4 * c._3).sum
+      assert(math.abs(m - langTgt) <= langTgt * 0.05,
+        s"lang $lg: weighted marginal $m vs target $langTgt")
+    }
+  }
+}
