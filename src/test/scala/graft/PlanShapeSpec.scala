@@ -474,4 +474,45 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"orderBy().limit(20) did not plan as TakeOrderedAndProject:\n$plan")
   }
+
+  test("analytics_cuped: pooled moments ride a 1-row broadcast back " +
+    "onto the unit frame; no cartesian, no range-partitioned sort") {
+    val plan = executedPlan("analytics_cuped")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pool moments did not broadcast back:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian crept into the cuped plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"per-unit rollup + per-arm aggregate must be partial+final " +
+        s"HashAggregate pairs:\n$plan")
+  }
+
+  test("sample_time_decay: horizon is a 1-row broadcast, the decay " +
+    "coin runs inside one partial-aggregated pass") {
+    val plan = executedPlan("sample_time_decay")
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"horizon max did not broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+    // the only range exchange allowed is the final presentation sort
+    // over the ≤|years|-row aggregate, never a sort of the order rows
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
+      s"an extra range sort crept below the aggregate:\n$plan")
+  }
+
+  test("sample_raking_ipf: the 3 IPF rounds run ENTIRELY on the " +
+    "checkpointed cell synopsis — zero parquet scans, broadcast-only " +
+    "joins in the final frame") {
+    val plan = executedPlan("sample_raking_ipf")
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("FileScan parquet") &&
+      !plan.contains("Scan parquet"),
+      s"an IPF round re-scanned the corpus instead of the synopsis:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"a marginal join shuffled the synopsis:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6,
+      s"expected 6 broadcast marginal joins (2 per round x 3):\n$plan")
+  }
 }
