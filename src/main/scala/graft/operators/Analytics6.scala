@@ -222,6 +222,162 @@ object Analytics6 {
             .as("w_share"))
         .orderBy("lang", "source")
     }),
+
+    // BM25 lexical retrieval (Robertson & Walker 1994; the Okapi
+    // formula every production search stack runs) — the LEXICAL side
+    // of hybrid retrieval, completing the story beside the embedding
+    // path (`pipeline_chunk_embed_e2e`) and the fusion layer
+    // (`sim_reciprocal_rank_fusion`): probe docs (doc_id%97) as
+    // bag-of-words queries against candidate docs (doc_id%5), scored
+    // Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)) with
+    // k1=1.2, b=0.75. Same inverted-index scale shape as the
+    // embedding retriever: the term equi-join only pairs docs sharing
+    // a KEPT term (the df ≤ 30% stop cut — BM25's idf downweights
+    // frequent terms but the JOIN must never explode on them), probe
+    // postings + the per-term idf synopsis broadcast, candidate
+    // lengths stay an equi-join. Determinism: idf's ln() quantized
+    // DECIMAL(28,10) at the term grain (the JSD/WoE ln precedent),
+    // per-pair term scores quantized DECIMAL(28,10) pre-sum, final
+    // floor·10⁴ + ccid tiebreak.
+    "text_bm25_retrieval" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val cand = tf.filter(col("doc_id") % 5 === 0)
+      val nAvg = cand.select("doc_id").distinct()
+        .join(dl, Seq("doc_id"))
+        .agg(count(lit(1)).as("nc"),
+          (sum(col("dl")).cast("double")
+            / count(lit(1)).cast("double")).as("avgdl"))
+      val dfKeep = cand.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nAvg))
+        .filter(col("df") * 10 <= col("nc") * 3)
+        .withColumn("idf", expr(
+          """CAST(ln(1.0 + (CAST(nc - df AS DOUBLE) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5))
+                  AS DECIMAL(28,10))"""))
+        .select(col("w"), col("idf"), col("avgdl"))
+      val probes = tf.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("pid"), col("w"))
+      val scored = cand
+        .join(broadcast(dfKeep), Seq("w"))
+        .join(broadcast(probes),
+          Seq("w")).filter(col("pid") =!= col("doc_id"))
+        .join(dl.withColumnRenamed("doc_id", "cid_dl"),
+          col("doc_id") === col("cid_dl"))
+        .withColumn("term_score", expr(
+          """CAST(CAST(idf AS DOUBLE)
+                  * (CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                  AS DECIMAL(28,10))"""))
+        .groupBy(col("pid"), col("doc_id").as("cid"))
+        .agg((floor(sum(col("term_score")).cast("double") * 10000.0)
+          / 10000).as("bm25"))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("bm25").desc, col("cid"))))
+        .filter(col("rank") <= 3)
+        .select(col("pid"), col("rank").cast("long").as("rank"),
+          col("cid"), col("bm25"))
+        .orderBy("pid", "rank")
+    }),
+
+    // Difference-in-differences (the canonical quasi-experimental
+    // estimator, beside CUPED's variance reduction): the same unit
+    // frame (ALL customers, pre/post 1998 spend, md5 hash arms), 2×2
+    // cell means from exact DECIMAL sums, DiD = (T,post − T,pre) −
+    // (C,post − C,pre). One-row declared output carrying the four
+    // cell means, the two trends, and the interaction estimate —
+    // what an experimentation readout actually reports. Scale: one
+    // per-unit rollup shuffle + one 4-cell aggregate.
+    "analytics_diff_in_diff" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < lit("1998-01-01"),
+              col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("xr"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01"),
+              col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("yr"))
+      val units = Tables.customer(s, d).select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("xr"), lit(0).cast("decimal(18,2)")).as("x"),
+          coalesce(col("yr"), lit(0).cast("decimal(18,2)")).as("y"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 1),
+                       16, 10) AS BIGINT) % 2"""))
+      units.agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1, col("x").cast("decimal(38,4)"))
+            .otherwise(lit(0).cast("decimal(38,4)"))).as("sxt"),
+          sum(when(col("arm") === 0, col("x").cast("decimal(38,4)"))
+            .otherwise(lit(0).cast("decimal(38,4)"))).as("sxc"),
+          sum(when(col("arm") === 1, col("y").cast("decimal(38,4)"))
+            .otherwise(lit(0).cast("decimal(38,4)"))).as("syt"),
+          sum(when(col("arm") === 0, col("y").cast("decimal(38,4)"))
+            .otherwise(lit(0).cast("decimal(38,4)"))).as("syc"))
+        .withColumn("pre_t", floor(col("sxt").cast("double")
+          / col("n_t").cast("double") * 10000.0) / 10000)
+        .withColumn("pre_c", floor(col("sxc").cast("double")
+          / col("n_c").cast("double") * 10000.0) / 10000)
+        .withColumn("post_t", floor(col("syt").cast("double")
+          / col("n_t").cast("double") * 10000.0) / 10000)
+        .withColumn("post_c", floor(col("syc").cast("double")
+          / col("n_c").cast("double") * 10000.0) / 10000)
+        .withColumn("trend_t",
+          floor((col("post_t") - col("pre_t")) * 10000.0) / 10000)
+        .withColumn("trend_c",
+          floor((col("post_c") - col("pre_c")) * 10000.0) / 10000)
+        .withColumn("did",
+          floor((col("trend_t") - col("trend_c")) * 10000.0) / 10000)
+        .select(col("n_t"), col("n_c"), col("pre_t"), col("pre_c"),
+          col("post_t"), col("post_c"), col("trend_t"), col("trend_c"),
+          col("did"))
+    }),
+
+    // V-shape reversal census (MATCH_RECOGNIZE-lite) per segment over
+    // the daily mean-order-value series: a V at day t = strict local
+    // minimum whose both neighbors sit ≥ 5% above it — the
+    // pattern-detection window shape (beside peaks, which
+    // `timeseries_peak_detect` already censuses as maxima with an
+    // absolute threshold). Day means ×10⁴-quantized to integers so
+    // the lag/lead compares and the 5% test (100·neighbor ≥ 105·min)
+    // are pure integer ops — hash-exact. One ordered window per
+    // segment, no joins.
+    "window_pattern_vshape" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("seg"), to_date(col("o_orderdate")).as("day"))
+        .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+          / count(lit(1)).cast("double") * 10000.0)).cast("long")
+          .as("v4"))
+      val w = Window.partitionBy("seg").orderBy("day")
+      daily
+        .withColumn("pv", lag(col("v4"), 1).over(w))
+        .withColumn("nv", lead(col("v4"), 1).over(w))
+        .withColumn("is_v",
+          col("pv").isNotNull && col("nv").isNotNull &&
+          col("pv") * 100 >= col("v4") * 105 &&
+          col("nv") * 100 >= col("v4") * 105)
+        .withColumn("depth",
+          when(col("is_v"),
+            least(col("pv"), col("nv")) - col("v4")).otherwise(0L))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_v"), 1L).otherwise(0L)).as("n_vshapes"),
+          max(col("depth")).as("max_depth4"))
+        .orderBy("seg")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,5 +547,150 @@ object Analytics6 {
                 floor(w * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
                       * 1000000.0) / 1000000 AS w_share
          FROM w3 ORDER BY lang, source""",
+    "text_bm25_retrieval" ->
+      """WITH tok AS (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+              tf AS (SELECT doc_id, w, count(*) AS tf
+                     FROM tok GROUP BY doc_id, w),
+              dl AS (SELECT doc_id, count(*) AS dl
+                     FROM tok GROUP BY doc_id),
+              cand AS (SELECT * FROM tf WHERE doc_id % 5 = 0),
+              navg AS (SELECT count(*) AS nc,
+                              CAST(sum(dl) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE) AS avgdl
+                       FROM (SELECT DISTINCT c.doc_id FROM cand c)
+                       JOIN dl USING (doc_id)),
+              dfk AS (SELECT w,
+                             CAST(ln(1.0 + (CAST(nc - df AS DOUBLE)
+                                            + 0.5)
+                                          / (CAST(df AS DOUBLE) + 0.5))
+                                  AS DECIMAL(28,10)) AS idf,
+                             avgdl
+                      FROM (SELECT w, count(*) AS df
+                            FROM cand GROUP BY w) CROSS JOIN navg
+                      WHERE df * 10 <= nc * 3),
+              probes AS (SELECT doc_id AS pid, w FROM tf
+                         WHERE doc_id % 97 = 0),
+              sc AS (SELECT pid, c.doc_id AS cid,
+                            floor(CAST(sum(
+                              CAST(CAST(idf AS DOUBLE)
+                                   * (CAST(tf AS DOUBLE) * 2.2)
+                                   / (CAST(tf AS DOUBLE)
+                                      + 1.2 * (0.25
+                                               + 0.75 * CAST(dl AS DOUBLE)
+                                                 / avgdl))
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                              * 10000.0) / 10000 AS bm25
+                     FROM cand c
+                     JOIN dfk USING (w)
+                     JOIN probes USING (w)
+                     JOIN dl ON dl.doc_id = c.doc_id
+                     WHERE pid <> c.doc_id
+                     GROUP BY pid, c.doc_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY pid
+                            ORDER BY bm25 DESC, cid) AS rank
+                     FROM sc)
+         SELECT pid, CAST(rank AS BIGINT) AS rank, cid, bm25
+         FROM rk WHERE rank <= 3 ORDER BY pid, rank""",
+    "analytics_diff_in_diff" ->
+      """WITH per AS (SELECT o_custkey,
+                             sum(CASE WHEN o_orderdate < '1998-01-01'
+                                      THEN CAST(o_totalprice
+                                                AS DECIMAL(18,2))
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                               AS xr,
+                             sum(CASE WHEN o_orderdate >= '1998-01-01'
+                                      THEN CAST(o_totalprice
+                                                AS DECIMAL(18,2))
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                               AS yr
+                      FROM orders GROUP BY o_custkey),
+              units AS (SELECT c_custkey,
+                               coalesce(xr, 0) AS x,
+                               coalesce(yr, 0) AS y,
+                               (strpos('0123456789abcdef',
+                                 substr(md5(CAST(c_custkey AS VARCHAR)),
+                                        1, 1)) - 1) % 2 AS arm
+                        FROM customer
+                        LEFT JOIN per ON c_custkey = o_custkey),
+              ag AS (SELECT
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_t,
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c,
+                       sum(CASE WHEN arm = 1
+                                THEN CAST(x AS DECIMAL(38,4))
+                                ELSE CAST(0 AS DECIMAL(38,4)) END)
+                         AS sxt,
+                       sum(CASE WHEN arm = 0
+                                THEN CAST(x AS DECIMAL(38,4))
+                                ELSE CAST(0 AS DECIMAL(38,4)) END)
+                         AS sxc,
+                       sum(CASE WHEN arm = 1
+                                THEN CAST(y AS DECIMAL(38,4))
+                                ELSE CAST(0 AS DECIMAL(38,4)) END)
+                         AS syt,
+                       sum(CASE WHEN arm = 0
+                                THEN CAST(y AS DECIMAL(38,4))
+                                ELSE CAST(0 AS DECIMAL(38,4)) END)
+                         AS syc
+                     FROM units),
+              mm AS (SELECT n_t, n_c,
+                            floor(CAST(sxt AS DOUBLE)
+                                  / CAST(n_t AS DOUBLE) * 10000.0)
+                              / 10000 AS pre_t,
+                            floor(CAST(sxc AS DOUBLE)
+                                  / CAST(n_c AS DOUBLE) * 10000.0)
+                              / 10000 AS pre_c,
+                            floor(CAST(syt AS DOUBLE)
+                                  / CAST(n_t AS DOUBLE) * 10000.0)
+                              / 10000 AS post_t,
+                            floor(CAST(syc AS DOUBLE)
+                                  / CAST(n_c AS DOUBLE) * 10000.0)
+                              / 10000 AS post_c
+                     FROM ag),
+              tr AS (SELECT *,
+                            floor((post_t - pre_t) * 10000.0) / 10000
+                              AS trend_t,
+                            floor((post_c - pre_c) * 10000.0) / 10000
+                              AS trend_c
+                     FROM mm)
+         SELECT n_t, n_c, pre_t, pre_c, post_t, post_c, trend_t,
+                trend_c,
+                floor((trend_t - trend_c) * 10000.0) / 10000 AS did
+         FROM tr""",
+    "window_pattern_vshape" ->
+      """WITH daily AS (SELECT c_mktsegment AS seg,
+                              CAST(o_orderdate AS DATE) AS day,
+                              CAST(floor(
+                                CAST(sum(CAST(o_totalprice
+                                              AS DECIMAL(18,2)))
+                                     AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE) * 10000.0)
+                                AS BIGINT) AS v4
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       GROUP BY seg, day),
+              lagd AS (SELECT seg, day, v4,
+                              lag(v4) OVER w AS pv,
+                              lead(v4) OVER w AS nv
+                       FROM daily
+                       WINDOW w AS (PARTITION BY seg ORDER BY day)),
+              f AS (SELECT seg,
+                           (pv IS NOT NULL AND nv IS NOT NULL
+                            AND pv * 100 >= v4 * 105
+                            AND nv * 100 >= v4 * 105) AS is_v,
+                           CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                 AND pv * 100 >= v4 * 105
+                                 AND nv * 100 >= v4 * 105
+                                THEN least(pv, nv) - v4
+                                ELSE 0 END AS depth
+                    FROM lagd)
+         SELECT seg, count(*) AS n_days,
+                CAST(sum(CASE WHEN is_v THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_vshapes,
+                CAST(max(depth) AS BIGINT) AS max_depth4
+         FROM f GROUP BY seg ORDER BY seg""",
   )
 }

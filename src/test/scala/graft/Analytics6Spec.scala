@@ -86,4 +86,85 @@ class Analytics6Spec extends GraftSuite {
         s"lang $lg: weighted marginal $m vs target $langTgt")
     }
   }
+
+  test("text_bm25_retrieval: ranked top-3 per probe from the right " +
+    "universes, scores positive and descending") {
+    val rows = SparkEntry.queries("text_bm25_retrieval")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pid, _, cid, score) =>
+      assert(pid % 97 == 0, s"probe $pid not from the probe universe")
+      assert(cid % 5 == 0, s"candidate $cid not from the cand universe")
+      assert(pid != cid)
+      assert(score > 0.0, s"($pid,$cid): non-positive BM25 $score")
+    }
+    rows.groupBy(_._1).foreach { case (pid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"probe $pid: ranks not contiguous from 1")
+      assert(sorted.length <= 3)
+      sorted.iterator.sliding(2).withPartial(false).foreach { p =>
+        assert(p(0)._4 >= p(1)._4,
+          s"probe $pid: scores not descending")
+      }
+    }
+  }
+
+  test("analytics_diff_in_diff: arms cover all customers, DiD equals " +
+    "the trend difference, internal arithmetic consistent") {
+    val rows = SparkEntry.queries("analytics_diff_in_diff")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nT, nC) = (r.getLong(0), r.getLong(1))
+    assert(nT + nC == Tables.customer(spark, sf).count())
+    assert(nT > 0 && nC > 0)
+    val (preT, preC, postT, postC) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val (trT, trC, did) =
+      (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    assert(trT == math.floor((postT - preT) * 10000.0) / 10000.0)
+    assert(trC == math.floor((postC - preC) * 10000.0) / 10000.0)
+    assert(did == math.floor((trT - trC) * 10000.0) / 10000.0)
+    Seq(preT, preC, postT, postC).foreach(v => assert(v > 0.0))
+  }
+
+  test("window_pattern_vshape: census matches a driver-side mirror " +
+    "of the quantized daily series") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("window_pattern_vshape")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double")
+        / count(lit(1)).cast("double") * 10000.0)).cast("long")
+        .as("v4"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (seg, rs) =>
+      val vs = rs.sortBy(_._2.getTime).map(_._3)
+      var nv = 0L; var maxd = 0L
+      for (i <- 1 until vs.length - 1) {
+        if (vs(i - 1) * 100 >= vs(i) * 105 &&
+            vs(i + 1) * 100 >= vs(i) * 105) {
+          nv += 1
+          maxd = math.max(maxd, math.min(vs(i - 1), vs(i + 1)) - vs(i))
+        }
+      }
+      seg -> ((vs.length.toLong, nv, maxd))
+    }
+    assert(got == expect,
+      s"v-shape census mismatch: got=$got expect=$expect")
+    assert(expect.values.exists(_._2 > 0L),
+      "fixture series produced zero V-shapes — threshold too strict " +
+        "to exercise the pattern")
+  }
 }
