@@ -47,6 +47,88 @@ import graft.Tables
 object Analytics6 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** BM25-scored (pid, cid, bm25) pairs — probe docs (doc_id%97) as
+    * bag-of-words queries vs candidate docs (doc_id%5), inverted-index
+    * term equi-join after the df≤30% stop cut, idf ln() quantized
+    * DECIMAL(28,10) at term grain, per-pair term scores quantized
+    * pre-sum, floor·10⁴. Shared by `text_bm25_retrieval` (top-3 rank)
+    * and `sim_hybrid_retrieval` (lexical arm). */
+  private def bm25Pairs(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cand = tf.filter(col("doc_id") % 5 === 0)
+    val nAvg = cand.select("doc_id").distinct()
+      .join(dl, Seq("doc_id"))
+      .agg(count(lit(1)).as("nc"),
+        (sum(col("dl")).cast("double")
+          / count(lit(1)).cast("double")).as("avgdl"))
+    val dfKeep = cand.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nAvg))
+      .filter(col("df") * 10 <= col("nc") * 3)
+      .withColumn("idf", expr(
+        """CAST(ln(1.0 + (CAST(nc - df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5))
+                AS DECIMAL(28,10))"""))
+      .select(col("w"), col("idf"), col("avgdl"))
+    val probes = tf.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("pid"), col("w"))
+    cand
+      .join(broadcast(dfKeep), Seq("w"))
+      .join(broadcast(probes),
+        Seq("w")).filter(col("pid") =!= col("doc_id"))
+      .join(dl.withColumnRenamed("doc_id", "cid_dl"),
+        col("doc_id") === col("cid_dl"))
+      .withColumn("term_score", expr(
+        """CAST(CAST(idf AS DOUBLE)
+                * (CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                AS DECIMAL(28,10))"""))
+      .groupBy(col("pid"), col("doc_id").as("cid"))
+      .agg((floor(sum(col("term_score")).cast("double") * 10000.0)
+        / 10000).as("bm25"))
+  }
+
+  /** Cosine-scored (pid, cid, cos) pairs over doc-grain hashing-trick
+    * embeddings (D=256, dim = first two md5 hex digits — the
+    * pipeline_chunk_embed_e2e embedding at document grain, no
+    * chunking), same probe/candidate universes and stop-dim cut as
+    * the lexical arm. The embedding arm of `sim_hybrid_retrieval`. */
+  private def cosPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
+          .as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+    val candsAll = emb.filter(col("doc_id") % 5 === 0)
+    val probesAll = emb.filter(col("doc_id") % 97 === 0)
+    val nc = candsAll.agg(countDistinct(col("doc_id")).as("nc"))
+    val keep = candsAll.groupBy("dim").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nc))
+      .filter(col("df") * 10 <= col("nc") * 3)
+      .select("dim")
+    val probes = probesAll.join(broadcast(keep), Seq("dim"))
+      .select(col("doc_id").as("pid"), col("dim"), col("c").as("pc"))
+    val cands = candsAll.join(broadcast(keep), Seq("dim"))
+    val pn = probes.groupBy(col("pid").as("pnid"))
+      .agg(sqrt(sum(col("pc") * col("pc")).cast("double")).as("pn"))
+    val cn = cands.groupBy(col("doc_id").as("cnid"))
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("cn"))
+    cands
+      .join(broadcast(probes), Seq("dim"))
+      .filter(col("pid") =!= col("doc_id"))
+      .groupBy(col("pid"), col("doc_id").as("cid"))
+      .agg(sum(col("pc") * col("c")).as("dot"))
+      .join(broadcast(pn), col("pid") === col("pnid"))
+      .join(cn, col("cid") === col("cnid"))
+      .select(col("pid"), col("cid"),
+        (floor(col("dot").cast("double") / (col("pn") * col("cn"))
+          * 10000.0) / 10000).as("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Recency-decay sampling: keep ∝ 2^(−age_years). The integer
     // threshold 2^48 >> age makes the acceptance test exact: age 0
@@ -240,48 +322,62 @@ object Analytics6 {
     // per-pair term scores quantized DECIMAL(28,10) pre-sum, final
     // floor·10⁴ + ccid tiebreak.
     "text_bm25_retrieval" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val cand = tf.filter(col("doc_id") % 5 === 0)
-      val nAvg = cand.select("doc_id").distinct()
-        .join(dl, Seq("doc_id"))
-        .agg(count(lit(1)).as("nc"),
-          (sum(col("dl")).cast("double")
-            / count(lit(1)).cast("double")).as("avgdl"))
-      val dfKeep = cand.groupBy("w").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nAvg))
-        .filter(col("df") * 10 <= col("nc") * 3)
-        .withColumn("idf", expr(
-          """CAST(ln(1.0 + (CAST(nc - df AS DOUBLE) + 0.5)
-                           / (CAST(df AS DOUBLE) + 0.5))
-                  AS DECIMAL(28,10))"""))
-        .select(col("w"), col("idf"), col("avgdl"))
-      val probes = tf.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("pid"), col("w"))
-      val scored = cand
-        .join(broadcast(dfKeep), Seq("w"))
-        .join(broadcast(probes),
-          Seq("w")).filter(col("pid") =!= col("doc_id"))
-        .join(dl.withColumnRenamed("doc_id", "cid_dl"),
-          col("doc_id") === col("cid_dl"))
-        .withColumn("term_score", expr(
-          """CAST(CAST(idf AS DOUBLE)
-                  * (CAST(tf AS DOUBLE) * 2.2)
-                  / (CAST(tf AS DOUBLE)
-                     + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-                  AS DECIMAL(28,10))"""))
-        .groupBy(col("pid"), col("doc_id").as("cid"))
-        .agg((floor(sum(col("term_score")).cast("double") * 10000.0)
-          / 10000).as("bm25"))
       import org.apache.spark.sql.expressions.Window
-      scored
+      bm25Pairs(s, d)
         .withColumn("rank", row_number().over(Window.partitionBy("pid")
           .orderBy(col("bm25").desc, col("cid"))))
         .filter(col("rank") <= 3)
         .select(col("pid"), col("rank").cast("long").as("rank"),
           col("cid"), col("bm25"))
+        .orderBy("pid", "rank")
+    }),
+
+    // Hybrid retrieval (r10 capstone) — THE production search
+    // architecture as ONE declared plan: the BM25 lexical arm and
+    // the doc-grain hashing-trick embedding arm each rank their
+    // top-10 per probe, fused by Reciprocal Rank Fusion
+    // (Cormack et al. 2009, k=60) over the FULL OUTER union of the
+    // two candidate lists — a doc found by only one arm still
+    // competes, exactly how lexical+vector hybrid search behaves.
+    // Composes three verified primitives (BM25, the stop-dim-pruned
+    // inverted-index cosine, RRF) without re-declaring any of their
+    // internals. Determinism: each arm's rank is already
+    // deterministic (floor·10⁴ + cid tiebreak); the fused score
+    // 1/(60+rb) + 1/(60+rc) is a fixed two-term expression of small
+    // integers (no aggregation-order hazard), floor·10⁻⁶.
+    // Scale: both arms are the proven inverted-index shapes; the
+    // fusion joins two ≤|probes|·10-row frames.
+    "sim_hybrid_retrieval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = bm25Pairs(s, d)
+        .withColumn("rb", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("bm25").desc, col("cid"))))
+        .filter(col("rb") <= 10)
+        .select(col("pid").as("bpid"), col("cid").as("bcid"),
+          col("rb"))
+      val cs = cosPairs(s, d)
+        .withColumn("rc", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rc") <= 10)
+        .select(col("pid").as("cpid"), col("cid").as("ccid"),
+          col("rc"))
+      bm.join(cs,
+          col("bpid") === col("cpid") && col("bcid") === col("ccid"),
+          "full_outer")
+        .select(coalesce(col("bpid"), col("cpid")).as("pid"),
+          coalesce(col("bcid"), col("ccid")).as("cid"),
+          col("rb"), col("rc"))
+        .withColumn("rrf", floor(
+          (coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")),
+            lit(0.0))
+           + coalesce(lit(1.0) / (lit(60.0) + col("rc").cast("double")),
+            lit(0.0))) * 1000000.0) / 1000000)
+        .withColumn("rank", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("rrf").desc, col("cid"))))
+        .filter(col("rank") <= 5)
+        .select(col("pid"), col("rank").cast("long").as("rank"),
+          col("cid"), col("rb").cast("long").as("rank_bm25"),
+          col("rc").cast("long").as("rank_cos"), col("rrf"))
         .orderBy("pid", "rank")
     }),
 
@@ -593,6 +689,109 @@ object Analytics6 {
                      FROM sc)
          SELECT pid, CAST(rank AS BIGINT) AS rank, cid, bm25
          FROM rk WHERE rank <= 3 ORDER BY pid, rank""",
+    "sim_hybrid_retrieval" ->
+      """WITH tok AS (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+              tf AS (SELECT doc_id, w, count(*) AS tf
+                     FROM tok GROUP BY doc_id, w),
+              dl AS (SELECT doc_id, count(*) AS dl
+                     FROM tok GROUP BY doc_id),
+              cand AS (SELECT * FROM tf WHERE doc_id % 5 = 0),
+              navg AS (SELECT count(*) AS nc,
+                              CAST(sum(dl) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE) AS avgdl
+                       FROM (SELECT DISTINCT c.doc_id FROM cand c)
+                       JOIN dl USING (doc_id)),
+              dfk AS (SELECT w,
+                             CAST(ln(1.0 + (CAST(nc - df AS DOUBLE)
+                                            + 0.5)
+                                          / (CAST(df AS DOUBLE) + 0.5))
+                                  AS DECIMAL(28,10)) AS idf,
+                             avgdl
+                      FROM (SELECT w, count(*) AS df
+                            FROM cand GROUP BY w) CROSS JOIN navg
+                      WHERE df * 10 <= nc * 3),
+              probes AS (SELECT doc_id AS pid, w FROM tf
+                         WHERE doc_id % 97 = 0),
+              scb AS (SELECT pid, c.doc_id AS cid,
+                             floor(CAST(sum(
+                               CAST(CAST(idf AS DOUBLE)
+                                    * (CAST(tf AS DOUBLE) * 2.2)
+                                    / (CAST(tf AS DOUBLE)
+                                       + 1.2 * (0.25
+                                                + 0.75
+                                                  * CAST(dl AS DOUBLE)
+                                                  / avgdl))
+                                    AS DECIMAL(28,10))) AS DOUBLE)
+                               * 10000.0) / 10000 AS bm25
+                      FROM cand c
+                      JOIN dfk USING (w)
+                      JOIN probes USING (w)
+                      JOIN dl ON dl.doc_id = c.doc_id
+                      WHERE pid <> c.doc_id
+                      GROUP BY pid, c.doc_id),
+              fb AS (SELECT pid AS bpid, cid AS bcid, rb FROM
+                       (SELECT *, row_number() OVER (PARTITION BY pid
+                               ORDER BY bm25 DESC, cid) AS rb
+                        FROM scb) WHERE rb <= 10),
+              emb AS (SELECT doc_id,
+                             (CAST(strpos('0123456789abcdef',
+                                     substr(md5(w), 1, 1)) - 1
+                                   AS BIGINT)) * 16
+                             + (CAST(strpos('0123456789abcdef',
+                                      substr(md5(w), 2, 1)) - 1
+                                    AS BIGINT)) AS dim,
+                             count(*) AS c
+                      FROM tok GROUP BY doc_id, dim),
+              ca AS (SELECT * FROM emb WHERE doc_id % 5 = 0),
+              pa AS (SELECT * FROM emb WHERE doc_id % 97 = 0),
+              ncc AS (SELECT count(DISTINCT doc_id) AS nc FROM ca),
+              keep AS (SELECT dim FROM
+                         (SELECT dim, count(*) AS df
+                          FROM ca GROUP BY dim) CROSS JOIN ncc
+                       WHERE df * 10 <= nc * 3),
+              pp AS (SELECT pa.doc_id AS pid, pa.dim, pa.c AS pc
+                     FROM pa JOIN keep USING (dim)),
+              cc AS (SELECT ca.* FROM ca JOIN keep USING (dim)),
+              pn AS (SELECT pid AS pnid,
+                            sqrt(CAST(sum(pc * pc) AS DOUBLE)) AS pn
+                     FROM pp GROUP BY pid),
+              cn AS (SELECT doc_id AS cnid,
+                            sqrt(CAST(sum(c * c) AS DOUBLE)) AS cn
+                     FROM cc GROUP BY doc_id),
+              dots AS (SELECT pid, cc.doc_id AS cid,
+                              CAST(sum(pc * cc.c) AS BIGINT) AS dot
+                       FROM cc JOIN pp USING (dim)
+                       WHERE pid <> cc.doc_id
+                       GROUP BY pid, cc.doc_id),
+              scc AS (SELECT pid, cid,
+                             floor(CAST(dot AS DOUBLE) / (pn * cn)
+                                   * 10000.0) / 10000 AS cos
+                      FROM dots JOIN pn ON pid = pnid
+                           JOIN cn ON cid = cnid),
+              fc AS (SELECT pid AS cpid, cid AS ccid, rc FROM
+                       (SELECT *, row_number() OVER (PARTITION BY pid
+                               ORDER BY cos DESC, cid) AS rc
+                        FROM scc) WHERE rc <= 10),
+              fused AS (SELECT coalesce(bpid, cpid) AS pid,
+                               coalesce(bcid, ccid) AS cid, rb, rc
+                        FROM fb FULL OUTER JOIN fc
+                          ON bpid = cpid AND bcid = ccid),
+              rr AS (SELECT pid, cid, rb, rc,
+                            floor((coalesce(1.0
+                                     / (60.0 + CAST(rb AS DOUBLE)), 0.0)
+                                   + coalesce(1.0
+                                     / (60.0 + CAST(rc AS DOUBLE)), 0.0))
+                                  * 1000000.0) / 1000000 AS rrf
+                     FROM fused),
+              fr AS (SELECT *, row_number() OVER (PARTITION BY pid
+                            ORDER BY rrf DESC, cid) AS rank
+                     FROM rr)
+         SELECT pid, CAST(rank AS BIGINT) AS rank, cid,
+                CAST(rb AS BIGINT) AS rank_bm25,
+                CAST(rc AS BIGINT) AS rank_cos, rrf
+         FROM fr WHERE rank <= 5 ORDER BY pid, rank""",
     "analytics_diff_in_diff" ->
       """WITH per AS (SELECT o_custkey,
                              sum(CASE WHEN o_orderdate < '1998-01-01'

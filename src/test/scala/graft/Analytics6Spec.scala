@@ -112,6 +112,40 @@ class Analytics6Spec extends GraftSuite {
     }
   }
 
+  test("sim_hybrid_retrieval: RRF recomputes exactly from the arm " +
+    "ranks, union semantics hold, fused order correct") {
+    val rows = SparkEntry.queries("sim_hybrid_retrieval")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var bothArms = 0
+    rows.foreach { r =>
+      val rb = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rc = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rb.nonEmpty || rc.nonEmpty,
+        "fused row carries neither arm rank")
+      rb.foreach(v => assert(v >= 1 && v <= 10))
+      rc.foreach(v => assert(v >= 1 && v <= 10))
+      if (rb.nonEmpty && rc.nonEmpty) bothArms += 1
+      val expect = math.floor(
+        (rb.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+          + rc.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(r.getDouble(5) == expect,
+        s"(${r.getLong(0)},${r.getLong(2)}): rrf ${r.getDouble(5)} " +
+          s"!= recomputed $expect from rb=$rb rc=$rc")
+    }
+    assert(bothArms > 0,
+      "no candidate was found by BOTH arms — fusion never fused")
+    rows.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to sorted.length).toSeq)
+      sorted.iterator.sliding(2).withPartial(false).foreach { p =>
+        assert(p(0).getDouble(5) >= p(1).getDouble(5),
+          s"probe $pid: fused scores not descending")
+      }
+    }
+  }
+
   test("analytics_diff_in_diff: arms cover all customers, DiD equals " +
     "the trend difference, internal arithmetic consistent") {
     val rows = SparkEntry.queries("analytics_diff_in_diff")(spark, sf)
