@@ -437,6 +437,78 @@ object Analytics6 {
           col("did"))
     }),
 
+    // PPS systematic sampling (r10; Hartley & Rao 1962 — the
+    // probability-proportional-to-size design behind every
+    // revenue-weighted audit sample): units = customers, size =
+    // lifetime spend in integer CENTS; walk the cumulative-size line
+    // and select a unit once per 1%-of-total boundary it crosses —
+    // n=100 draws, a whale spanning k boundaries is drawn k times
+    // (the certainty-unit convention, DECLARED via `crossings`).
+    // The selection test is PURE INTEGER: (csum·100) div total >
+    // ((csum−size)·100) div total. The global cumulative sum is the
+    // scale-safe ScaleRank.withGlobalCumsum two-pass (per-range-
+    // partition running sums + a broadcast prefix-sum synopsis —
+    // never a single-partition window over the unit table); the
+    // oracle uses the naive single-node window, which is exactly
+    // what the two-pass form must reproduce bit-for-bit.
+    "sample_pps_systematic" -> ((s, d) => {
+      val units = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      val cum = ScaleRank.withGlobalCumsum(units,
+        Seq(col("o_custkey")), col("cents"))
+      val tot = units.agg(sum(col("cents")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("crossings", expr(
+          """(csum * 100) div total
+             - ((csum - cents) * 100) div total"""))
+        .filter(col("crossings") > 0)
+        .select(col("o_custkey"), col("cents"), col("crossings"))
+        .orderBy("o_custkey")
+    }),
+
+    // Local clustering-coefficient census (r10; Watts & Strogatz
+    // 1998) — the per-node companion of `graph_triangle_count`'s
+    // single global CC: per node, lcc = 2·triangles(v) /
+    // (deg(v)·(deg(v)−1)) over the shared co-purchase graph; every
+    // oriented triangle (a<b<c, the same wedge equi-join — never
+    // all-pairs) credits all three corners. Declared as the
+    // 10-bucket lcc histogram over deg≥2 nodes (node-grain output
+    // would be corpus-proportional; the distribution is the useful
+    // census) + per-bucket exact-decimal mean. One wedge join + two
+    // bounded aggregates.
+    "graph_local_clustering" -> ((s, d) => {
+      val e = GraphOps.coPurchaseEdges(s, d, 10).localCheckpoint()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c"))
+      val perNode = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(perNode, Seq("node"), "left")
+        .withColumn("lcc",
+          floor(lit(2.0) * coalesce(col("t"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")
+            * 10000.0) / 10000)
+        .withColumn("bucket",
+          least(floor(col("lcc") * 10).cast("long"), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          (floor(sum(col("lcc").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)).cast("double") * 10000.0) / 10000)
+            .as("mean_lcc"))
+        .orderBy("bucket")
+    }),
+
     // V-shape reversal census (MATCH_RECOGNIZE-lite) per segment over
     // the daily mean-order-value series: a V at day t = strict local
     // minimum whose both neighbors sit ≥ 5% above it — the
@@ -859,6 +931,55 @@ object Analytics6 {
                 trend_c,
                 floor((trend_t - trend_c) * 10000.0) / 10000 AS did
          FROM tr""",
+    "sample_pps_systematic" ->
+      """WITH u AS (SELECT o_custkey,
+                           CAST(sum(CAST(o_totalprice
+                                         AS DECIMAL(18,2))) * 100
+                                AS BIGINT) AS cents
+                    FROM orders GROUP BY o_custkey),
+              c AS (SELECT o_custkey, cents,
+                           CAST(sum(cents) OVER (ORDER BY o_custkey)
+                                AS BIGINT) AS csum
+                    FROM u),
+              t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM u),
+              sel AS (SELECT o_custkey, cents,
+                             (csum * 100) // total
+                             - ((csum - cents) * 100) // total
+                               AS crossings
+                      FROM c CROSS JOIN t)
+         SELECT o_custkey, cents, CAST(crossings AS BIGINT) AS crossings
+         FROM sel WHERE crossings > 0 ORDER BY o_custkey""",
+    "graph_local_clustering" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem WHERE l_partkey % 10 = 0),
+              ed AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                     FROM ps a JOIN ps b
+                       ON a.ok = b.ok AND a.pk < b.pk),
+              tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                      FROM ed e1
+                      JOIN ed e2 ON e1.v = e2.u
+                      JOIN ed e3 ON e1.u = e3.u AND e2.v = e3.v),
+              pn AS (SELECT node, count(*) AS t FROM (
+                       SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+                     GROUP BY node),
+              dg AS (SELECT node, count(*) AS deg FROM (
+                       SELECT u AS node FROM ed
+                       UNION ALL SELECT v FROM ed)
+                     GROUP BY node),
+              lc AS (SELECT dg.node,
+                            floor(2.0 * CAST(coalesce(t, 0) AS DOUBLE)
+                                  / CAST(deg * (deg - 1) AS DOUBLE)
+                                  * 10000.0) / 10000 AS lcc
+                     FROM dg LEFT JOIN pn ON dg.node = pn.node
+                     WHERE deg >= 2)
+         SELECT CAST(least(floor(lcc * 10), 9) AS BIGINT) AS bucket,
+                count(*) AS n_nodes,
+                floor(CAST(sum(CAST(lcc AS DECIMAL(28,10))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 10000.0) / 10000
+                  AS mean_lcc
+         FROM lc GROUP BY bucket ORDER BY bucket""",
     "window_pattern_vshape" ->
       """WITH daily AS (SELECT c_mktsegment AS seg,
                               CAST(o_orderdate AS DATE) AS day,

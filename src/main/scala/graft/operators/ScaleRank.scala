@@ -60,4 +60,42 @@ object ScaleRank {
       .withColumn("rk", col("gr_lrk") + col("gr_off"))
       .drop("gr_mid", "gr_lrk", "gr_off")
   }
+
+  /** Distributed exact global cumulative sum (r10) — the running-sum
+    * companion of [[withGlobalRank]], same two-pass recipe: range
+    * partitions are globally ordered, so a partition-LOCAL running
+    * sum plus the total of all lower partitions IS the exact global
+    * prefix sum. The local pass is a window per range partition
+    * (group size bounded by partition sizing, never by data volume);
+    * the offsets are a prefix-sum window over the
+    * ≤`shuffle.partitions`-row per-partition-total synopsis,
+    * broadcast back. `value` must be integral (LongType) so partial
+    * sums are exact and order-independent.
+    *
+    * Output: input columns plus `csum` (inclusive global running sum
+    * of `value` under `sort`, which must be a total order). */
+  def withGlobalCumsum(df: DataFrame, sort: Seq[Column],
+                       value: Column): DataFrame = {
+    val parted = df
+      .repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("gc_v", value)
+      .withColumn("gc_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val local = parted
+      .withColumn("gc_pid", shiftright(col("gc_mid"), 33))
+    val run = local.withColumn("gc_run",
+      sum(col("gc_v")).over(Window.partitionBy("gc_pid")
+        .orderBy("gc_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offs = local.groupBy("gc_pid")
+      .agg(sum(col("gc_v")).as("gc_tot"))
+      .withColumn("gc_off", coalesce(
+        sum(col("gc_tot")).over(Window.orderBy(col("gc_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("gc_pid"), col("gc_off"))
+    run.join(broadcast(offs), Seq("gc_pid"))
+      .withColumn("csum", col("gc_run") + col("gc_off"))
+      .drop("gc_mid", "gc_pid", "gc_run", "gc_off", "gc_v")
+  }
 }

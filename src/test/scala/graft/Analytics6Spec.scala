@@ -165,6 +165,69 @@ class Analytics6Spec extends GraftSuite {
     Seq(preT, preC, postT, postC).foreach(v => assert(v > 0.0))
   }
 
+  test("sample_pps_systematic: exactly 100 boundary crossings, " +
+    "census matches a driver-side cumulative walk") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("sample_pps_systematic")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum == 100L,
+      s"crossings must sum to exactly n=100, got ${got.map(_._3).sum}")
+    // naive driver-side mirror of the two-pass distributed cumsum
+    val units = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = units.map(_._2).sum
+    var csum = 0L
+    val expect = units.flatMap { case (k, c) =>
+      val prev = csum; csum += c
+      val cross = (csum * 100) / total - (prev * 100) / total
+      if (cross > 0) Some((k, c, cross)) else None
+    }.toSeq
+    assert(got == expect,
+      s"PPS selection diverges from the naive walk: got ${got.take(3)}… " +
+        s"expect ${expect.take(3)}…")
+    // size-proportionality sanity: the selected mass share must
+    // exceed the selected unit-count share (whales over-selected)
+    val selMass = got.map(_._2).sum.toDouble / total
+    assert(selMass > got.length.toDouble / units.length,
+      "PPS did not weight selection toward large units")
+  }
+
+  test("graph_local_clustering: bucket census matches a driver-side " +
+    "per-node triangle/degree mirror") {
+    val got = SparkEntry.queries("graph_local_clustering")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    val e = graft.operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = e.toSet
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+      .map { case (n, v) => n -> v.length }
+    val triCnt = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- e; (b2, c) <- e if b2 == b && eset((a, c))) {
+      triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1
+    }
+    val expect = deg.toSeq.filter(_._2 >= 2).map { case (n, d) =>
+      val lcc = math.floor(2.0 * triCnt(n) / (d.toLong * (d - 1))
+        * 10000.0) / 10000.0
+      (math.min(math.floor(lcc * 10).toLong, 9L), lcc)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (bk, vs) =>
+      val mean = math.floor(
+        vs.map(v => BigDecimal(v._2)).sum.toDouble / vs.length
+          * 10000.0) / 10000.0
+      (bk, vs.length.toLong, mean)
+    }
+    assert(got == expect,
+      s"lcc census mismatch: got=$got expect=$expect")
+  }
+
   test("window_pattern_vshape: census matches a driver-side mirror " +
     "of the quantized daily series") {
     import org.apache.spark.sql.functions._

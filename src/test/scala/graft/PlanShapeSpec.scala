@@ -501,6 +501,20 @@ class PlanShapeSpec extends GraftSuite {
       s"an extra range sort crept below the aggregate:\n$plan")
   }
 
+  test("sample_pps_systematic: the only global window is the " +
+    "prefix-sum over the per-partition-total synopsis (the " +
+    "withGlobalCumsum contract — never a single-partition cumsum " +
+    "of the unit table)") {
+    val gw = globalWindows("sample_pps_systematic")
+    assert(gw.nonEmpty, "the offset prefix-sum window must exist")
+    gw.foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names.contains("gc_tot") || names.contains("gc_pid"),
+        s"global window over non-synopsis input " +
+          s"(${names.mkString(", ")}):\n$w")
+    }
+  }
+
   test("sample_raking_ipf: the 3 IPF rounds run ENTIRELY on the " +
     "checkpointed cell synopsis — zero parquet scans, broadcast-only " +
     "joins in the final frame") {
