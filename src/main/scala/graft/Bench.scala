@@ -171,8 +171,20 @@ object Bench {
         java.nio.file.Paths.get(repoDir, "BASELINE.md"))
       val sect = "(?s)## r(\\d+) per-query seconds.*?(?=\n## |\\z)".r
       val row = "\\|\\s*`([a-z0-9_]+)`\\s*\\|\\s*([0-9.]+)\\s*\\|".r
+      // anchors are only comparable when THIS run matches the anchor
+      // run's environment — the table header carries it as
+      // "(local[N], sfX, ...)". A default-env run (local[4]) or a
+      // different fixture scale would flag half the board and double
+      // the wall time re-running keys against numbers from a
+      // different machine shape; on mismatch the gate disarms.
+      val env = "\\(local\\[(\\d+)\\],\\s*(sf[0-9.]+)".r
       sect.findAllMatchIn(text).toSeq
         .sortBy(_.group(1).toInt).lastOption
+        .filter { m =>
+          env.findFirstMatchIn(m.group(0)).exists(e =>
+            e.group(1) == cpus &&
+              sfDir.stripSuffix("/").endsWith(e.group(2)))
+        }
         .map(m => row.findAllMatchIn(m.group(0))
           .map(r => r.group(1) -> r.group(2).toDouble).toMap)
         .getOrElse(Map.empty)

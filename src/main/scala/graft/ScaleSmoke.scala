@@ -76,16 +76,6 @@ object ScaleSmoke {
       // MERGE upsert shape (stage_merge_upsert): update batch = 1% of
       // rows → anti-join + union + fingerprint agg; the anti-join side
       // must stay broadcast (batch ≪ base) so cost tracks the base scan
-      // distributed global cumulative sum (ScaleRank.withGlobalCumsum,
-      // the sample_pps_systematic spine): cost must track the range
-      // exchange + local window, never a single-reducer sort
-      time(s"$tag/global_cumsum") {
-        graft.operators.ScaleRank.withGlobalCumsum(
-            li.select(col("l_orderkey"), col("l_linenumber"),
-              (col("l_quantity") * 100).cast("long").as("q")),
-            Seq(col("l_orderkey"), col("l_linenumber")), col("q"))
-          .agg(max(col("csum"))).count()
-      },
       time(s"$tag/merge_upsert") {
         val base = li.select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"))
@@ -95,6 +85,16 @@ object ScaleSmoke {
             base.join(upd.select("l_orderkey", "l_linenumber"),
               Seq("l_orderkey", "l_linenumber"), "left_anti"))
           .groupBy(col("l_orderkey") % 7).count().count()
+      },
+      // distributed global cumulative sum (ScaleRank.withGlobalCumsum,
+      // the sample_pps_systematic spine): cost must track the range
+      // exchange + local window, never a single-reducer sort
+      time(s"$tag/global_cumsum") {
+        graft.operators.ScaleRank.withGlobalCumsum(
+            li.select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_quantity") * 100).cast("long").as("q")),
+            Seq(col("l_orderkey"), col("l_linenumber")), col("q"))
+          .agg(max(col("csum"))).count()
       },
       // interval join via the (key, time-cell) equi rewrite — the
       // join_interval_bucketed shape with lineitem's orderkey as the

@@ -47,6 +47,34 @@ import graft.Tables
 object Analytics6 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The experimentation unit frame shared by `analytics_cuped` and
+    * `analytics_diff_in_diff`: ALL customers (absent periods
+    * contribute 0 — no unit-dropping bias), X = spend before
+    * 1998-01-01, Y = spend after, arm = first md5 hex digit of the
+    * customer key mod 2. One definition so the pair can never
+    * silently desynchronize on the cutoff or the arm hash. */
+  private def cupedUnits(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < lit("1998-01-01"),
+            col("o_totalprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("xr"),
+        sum(when(col("o_orderdate") >= lit("1998-01-01"),
+            col("o_totalprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("yr"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("xr"), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("x"),
+        coalesce(col("yr"), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("y"))
+      .withColumn("arm", expr(
+        """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 1),
+                     16, 10) AS BIGINT) % 2"""))
+  }
+
   /** BM25-scored (pid, cid, bm25) pairs — probe docs (doc_id%97) as
     * bag-of-words queries vs candidate docs (doc_id%5), inverted-index
     * term equi-join after the df≤30% stop cut, idf ln() quantized
@@ -179,25 +207,7 @@ object Analytics6 {
     // sample variances, and the variance-reduction ratio — the
     // precision gain a real experimentation platform reports.
     "analytics_cuped" -> ((s, d) => {
-      val per = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(
-          sum(when(col("o_orderdate") < lit("1998-01-01"),
-              col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("xr"),
-          sum(when(col("o_orderdate") >= lit("1998-01-01"),
-              col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("yr"))
-      val units = Tables.customer(s, d).select(col("c_custkey"))
-        .join(per, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("xr"), lit(0).cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("x"),
-          coalesce(col("yr"), lit(0).cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("y"))
-        .withColumn("arm", expr(
-          """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 1),
-                       16, 10) AS BIGINT) % 2"""))
+      val units = cupedUnits(s, d)
       val pool = units.agg(
         count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,4)")).as("sx"),
@@ -389,25 +399,8 @@ object Analytics6 {
     // cell means, the two trends, and the interaction estimate —
     // what an experimentation readout actually reports. Scale: one
     // per-unit rollup shuffle + one 4-cell aggregate.
-    "analytics_diff_in_diff" -> ((s, d) => {
-      val per = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(
-          sum(when(col("o_orderdate") < lit("1998-01-01"),
-              col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("xr"),
-          sum(when(col("o_orderdate") >= lit("1998-01-01"),
-              col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("yr"))
-      val units = Tables.customer(s, d).select(col("c_custkey"))
-        .join(per, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("xr"), lit(0).cast("decimal(18,2)")).as("x"),
-          coalesce(col("yr"), lit(0).cast("decimal(18,2)")).as("y"))
-        .withColumn("arm", expr(
-          """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 1),
-                       16, 10) AS BIGINT) % 2"""))
-      units.agg(
+    "analytics_diff_in_diff" -> ((s, d) =>
+      cupedUnits(s, d).agg(
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
           sum(when(col("arm") === 1, col("x").cast("decimal(38,4)"))
@@ -434,8 +427,7 @@ object Analytics6 {
           floor((col("trend_t") - col("trend_c")) * 10000.0) / 10000)
         .select(col("n_t"), col("n_c"), col("pre_t"), col("pre_c"),
           col("post_t"), col("post_c"), col("trend_t"), col("trend_c"),
-          col("did"))
-    }),
+          col("did"))),
 
     // PPS systematic sampling (r10; Hartley & Rao 1962 — the
     // probability-proportional-to-size design behind every
@@ -458,7 +450,10 @@ object Analytics6 {
           .cast("long").as("cents"))
       val cum = ScaleRank.withGlobalCumsum(units,
         Seq(col("o_custkey")), col("cents"))
-      val tot = units.agg(sum(col("cents")).as("total"))
+      // total = the last running sum — one tiny aggregate over the
+      // frame withGlobalCumsum already checkpointed, not a second
+      // scan+rollup of orders
+      val tot = cum.agg(max(col("csum")).as("total"))
       cum.crossJoin(broadcast(tot))
         .withColumn("crossings", expr(
           """(csum * 100) div total

@@ -343,7 +343,10 @@ object GraphOps {
     // (rep, n_members, n_edges). Oracle: recursive-CTE transitive
     // closure (the dedup_cluster_cc precedent).
     "graph_wcc_components" -> ((s, d) => {
-      val e = coPurchaseEdges(s, d, 10)
+      // checkpointed: consumed twice (the CC loop and the per-
+      // component edge census) — same multi-consumer pattern as the
+      // sibling graph keys
+      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
       val verts = Tables.lineitem(s, d)
         .filter(col("l_partkey") % 10 === 0)
         .select(col("l_partkey").as("n")).distinct()

@@ -231,7 +231,12 @@ object Streaming {
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val postings = batch.transform(postingsOf).localCheckpoint()
-            postings.write.mode("append").parquet(idx)
+            // batchId-keyed OVERWRITE, not a bare append: foreachBatch
+            // is at-least-once, and a retried batch appending its
+            // postings twice would break the declared
+            // incremental==full `consistent` contract (the
+            // stream_checkpoint_restart recipe below)
+            postings.write.mode("overwrite").parquet(s"$idx/b$batchId")
             val delta = postings.groupBy("dim")
               .agg(count(lit(1)).as("df"))
               .unionByName(postings.select("cid").distinct()
@@ -257,7 +262,7 @@ object Streaming {
       val st = s.read.parquet(s"$stats/v$lastV")
       val nChunks = st.filter(col("dim") === -1L)
         .select(col("df").as("n_chunks"))
-      val full = s.read.parquet(idx)
+      val full = s.read.parquet(s"$idx/b*")
         .groupBy("dim").agg(count(lit(1)).as("df_full"))
       st.filter(col("dim") >= 0L)
         .join(full, Seq("dim"))

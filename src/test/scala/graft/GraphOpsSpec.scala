@@ -173,9 +173,22 @@ class GraphOpsSpec extends GraftSuite {
       (r, m, edgeCnt.getOrElse(r, 0L)) }
     assert(got == expect,
       s"WCC census mismatch: got=${got.take(3)}… expect=${expect.take(3)}…")
-    // the sampled graph genuinely exercises both shapes
-    assert(expect.exists(_._2 == 1L) || expect.exists(_._2 > 1L))
+    // the sampled graph has real multi-member components (the fixture
+    // has NO isolated sampled parts at test scales — checked — so the
+    // singleton path can't be exercised here; it is pinned below)
+    assert(expect.exists(_._2 > 1L),
+      "co-purchase graph degenerated to all-singletons")
     assert(expect.map(_._2).sum == verts.length.toLong,
       "every vertex must appear in exactly one component")
+    // singleton visibility: a vertex with no edges must surface as
+    // its own component from the components() machinery
+    import org.apache.spark.sql.functions.lit
+    val vs = spark.range(3).select(
+      org.apache.spark.sql.functions.col("id").as("n"))
+    val ps = spark.range(1).select(lit(0L).as("a"), lit(1L).as("b"))
+    val lab = graft.operators.Clustering.components(vs, ps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(2L) == 2L, "isolated vertex must self-label")
+    assert(lab(0L) == 0L && lab(1L) == 0L)
   }
 }
