@@ -429,6 +429,67 @@ object Analytics6 {
           col("post_t"), col("post_c"), col("trend_t"), col("trend_c"),
           col("did"))),
 
+    // Shapley-value channel attribution (r10; Shapley 1953, the
+    // data-driven attribution of modern ad platforms — completes the
+    // attribution family beside last-touch and linear, which are
+    // position heuristics where THIS divides credit by marginal
+    // contribution over every channel coalition): journeys = per
+    // converting user, the SET of channels touched before the FIRST
+    // purchase, encoded as a 4-bit mask (click=1, error=2, signup=4,
+    // view=8); the coalition game v(S) = #journeys whose touchset ⊆ S
+    // (conversions "explained" by S); φ(c) = Σ_{S⊆C∖c} w(|S|)·
+    // (v(S∪c)−v(S)) with the |C|=4 weights kept in 24ths
+    // ({6,2,2,6}/24) so EVERYTHING through φ·24 is exact integer
+    // arithmetic — two final divisions only. Scale: ONE corpus pass
+    // (events → per-user rollup); the entire Shapley computation runs
+    // on the ≤16-row mask-count synopsis (16-row coalition spine ×
+    // 4-channel spine — constant work at any corpus size).
+    "analytics_attribution_shapley" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+      val bits = ev.join(firstP, Seq("user_id"))
+        .filter(col("ts") < col("pts"))
+        .select(col("user_id"), expr(
+          """CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                             ELSE 0 END""").as("b"))
+        .filter(col("b") > 0).distinct()
+      val masks = firstP
+        .join(bits.groupBy("user_id").agg(sum(col("b")).as("mask")),
+          Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      // coalition values over the 16-row spine: v(S) = Σ cnt[m ⊆ S]
+      val v = s.range(16).select(col("id").as("cs"))
+        .join(masks, expr("(mask & cs) = mask"), "left")
+        .groupBy("cs").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+      val ch = s.range(4).select(
+        expr("element_at(array('click','error','signup','view'), " +
+          "CAST(id + 1 AS INT))").as("channel"),
+        expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("cb"))
+      ch.join(v.select(col("cs"), col("v").as("v0")),
+          expr("(cs & cb) = 0"))
+        .join(v.select(col("cs").as("cs1"), col("v").as("v1")),
+          expr("cs1 = cs + cb"))
+        .withColumn("w24", expr(
+          """CASE (cs & 1) + (shiftright(cs, 1) & 1)
+                  + (shiftright(cs, 2) & 1) + (shiftright(cs, 3) & 1)
+             WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"""))
+        .groupBy("channel", "cb")
+        .agg(sum(col("w24") * (col("v1") - col("v0"))).as("phi24"))
+        .crossJoin(broadcast(
+          masks.agg(sum(when(col("mask") =!= 0L, col("cnt"))
+            .otherwise(0L)).as("n_explained"))))
+        .select(col("channel"), col("phi24"),
+          (floor(col("phi24").cast("double") / 24.0 * 10000.0) / 10000)
+            .as("phi"),
+          (floor(col("phi24").cast("double") / 24.0
+            / col("n_explained").cast("double") * 10000.0) / 10000)
+            .as("share_of_explained"))
+        .orderBy("channel")
+    }),
+
     // PPS systematic sampling (r10; Hartley & Rao 1962 — the
     // probability-proportional-to-size design behind every
     // revenue-weighted audit sample): units = customers, size =
@@ -926,6 +987,59 @@ object Analytics6 {
                 trend_c,
                 floor((trend_t - trend_c) * 10000.0) / 10000 AS did
          FROM tr""",
+    "analytics_attribution_shapley" ->
+      """WITH fp AS (SELECT user_id, min(ts) AS pts
+                     FROM events WHERE event_type = 'purchase'
+                     GROUP BY user_id),
+              bits AS (SELECT DISTINCT e.user_id,
+                              CASE e.event_type
+                                WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                                ELSE 0 END AS b
+                       FROM events e JOIN fp USING (user_id)
+                       WHERE e.ts < fp.pts
+                         AND e.event_type <> 'purchase'),
+              um AS (SELECT fp.user_id,
+                            coalesce(bm.mask, 0) AS mask
+                     FROM fp LEFT JOIN
+                       (SELECT user_id, sum(b) AS mask
+                        FROM bits WHERE b > 0 GROUP BY user_id) bm
+                       USING (user_id)),
+              mc AS (SELECT mask, count(*) AS cnt
+                     FROM um GROUP BY mask),
+              sp AS (SELECT unnest(range(0, 16)) AS cs),
+              v AS (SELECT cs,
+                           CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+                    FROM sp LEFT JOIN mc ON (mask & cs) = mask
+                    GROUP BY cs),
+              ch AS (SELECT ['click','error','signup','view'][i + 1]
+                              AS channel,
+                            CAST(1 << i AS BIGINT) AS cb
+                     FROM (SELECT unnest(range(0, 4)) AS i)),
+              terms AS (SELECT channel, cb,
+                               CASE (v0.cs & 1) + ((v0.cs >> 1) & 1)
+                                    + ((v0.cs >> 2) & 1)
+                                    + ((v0.cs >> 3) & 1)
+                                 WHEN 0 THEN 6 WHEN 1 THEN 2
+                                 WHEN 2 THEN 2 ELSE 6 END AS w24,
+                               v1.v - v0.v AS dv
+                        FROM ch
+                        JOIN v v0 ON (v0.cs & cb) = 0
+                        JOIN v v1 ON v1.cs = v0.cs + cb),
+              phi AS (SELECT channel,
+                             CAST(sum(w24 * dv) AS BIGINT) AS phi24
+                      FROM terms GROUP BY channel),
+              ne AS (SELECT CAST(sum(CASE WHEN mask <> 0 THEN cnt
+                                          ELSE 0 END) AS BIGINT)
+                              AS n_explained
+                     FROM mc)
+         SELECT channel, phi24,
+                floor(CAST(phi24 AS DOUBLE) / 24.0 * 10000.0) / 10000
+                  AS phi,
+                floor(CAST(phi24 AS DOUBLE) / 24.0
+                      / CAST(n_explained AS DOUBLE) * 10000.0) / 10000
+                  AS share_of_explained
+         FROM phi CROSS JOIN ne ORDER BY channel""",
     "sample_pps_systematic" ->
       """WITH u AS (SELECT o_custkey,
                            CAST(sum(CAST(o_totalprice

@@ -165,6 +165,47 @@ class Analytics6Spec extends GraftSuite {
     Seq(preT, preC, postT, postC).foreach(v => assert(v > 0.0))
   }
 
+  test("analytics_attribution_shapley: efficiency axiom exact in " +
+    "24ths, values match a driver-side brute-force Shapley") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("analytics_attribution_shapley")(
+      spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet ==
+      Set("click", "error", "signup", "view"))
+    // journey masks recomputed independently
+    val ev = Tables.events(spark, sf)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    val masks = ev.join(fp, Seq("user_id"))
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().groupBy(_.getLong(0))
+      .map { case (_, rs) =>
+        rs.map(_.getString(1) match {
+          case "click" => 1; case "error" => 2
+          case "signup" => 4; case "view" => 8; case _ => 0
+        }).sum
+      }.toSeq
+    val nUsers = fp.count().toInt
+    val allMasks = masks ++ Seq.fill(nUsers - masks.length)(0)
+    def v(s: Int): Long = allMasks.count(m => (m & s) == m).toLong
+    val w24 = Array(6, 2, 2, 6)
+    val expect = Seq("click" -> 1, "error" -> 2, "signup" -> 4,
+      "view" -> 8).map { case (name, cb) =>
+      val phi = (0 until 16).filter(s => (s & cb) == 0).map { s =>
+        w24(Integer.bitCount(s)) * (v(s | cb) - v(s))
+      }.sum
+      name -> phi
+    }.toMap
+    assert(got == expect,
+      s"Shapley mismatch: got=$got expect=$expect")
+    // efficiency: Σφ·24 = 24·(v(C) − v(∅)) = 24·(explained journeys)
+    val explained = allMasks.count(_ != 0).toLong
+    assert(got.values.sum == 24L * explained,
+      s"efficiency axiom violated: ${got.values.sum} != 24*$explained")
+  }
+
   test("sample_pps_systematic: exactly 100 boundary crossings, " +
     "census matches a driver-side cumulative walk") {
     import org.apache.spark.sql.functions._
