@@ -602,6 +602,76 @@ object Analytics6 {
           max(col("depth")).as("max_depth4"))
         .orderBy("seg")
     }),
+
+    // SAX symbolization (r10; Lin, Keogh, Lonardi & Chiu 2003, "A
+    // Symbolic Representation of Time Series" — THE classic discrete
+    // representation behind motif discovery, symbolic indexing and
+    // sequence anomaly detection at scale): the ×10⁴-quantized daily
+    // mean-order-value series per segment (window_pattern_vshape's
+    // spine) is z-normalized per segment, each day mapped to a
+    // 4-letter alphabet at the N(0,1) quartile breakpoints
+    // {−β, 0, β}, β = 0.6745, and consecutive symbol triples form
+    // SAX words; the declared result is the (segment, word) census —
+    // the motif histogram (≤ 5·4³ rows, bounded). The symbol test is
+    // EXACT INTEGER throughout: z ≷ β reduces to comparing
+    // L = n·v − Σv against β·n·σ, and squaring both sides makes it
+    // L²·10⁸ ≷ 6745²·(n·Σv² − (Σv)²) with 6745² = 45495025 —
+    // DECIMAL(38,0) (HUGEINT in the oracle) products, no sqrt, no
+    // doubles, identical bits in both engines by construction. σ = 0
+    // degenerates to L = 0 → 'c' under the declared boundary
+    // convention (a: z<−β, b: −β≤z<0, c: 0≤z≤β, d: z>β). Scale: one
+    // corpus pass collapses to the calendar-bounded daily grain
+    // (~2 400 rows/segment at ANY sf — the date range is fixed), so
+    // the moment window, the ordered lead window and the census all
+    // run on a synopsis; magnitudes are price-distribution-bounded
+    // (L ≲ 10¹³, L²·10⁸ ≲ 10³⁴ < 10³⁸), sf-invariant for the same
+    // calendar reason.
+    "timeseries_sax_words" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("seg"), to_date(col("o_orderdate")).as("day"))
+        .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+          / count(lit(1)).cast("double") * 10000.0)).cast("long")
+          .as("v4"))
+      val wSeg = Window.partitionBy("seg")
+      val wOrd = Window.partitionBy("seg").orderBy("day")
+      val sym = daily
+        .withColumn("n", count(lit(1)).over(wSeg))
+        .withColumn("sv", sum(col("v4")).over(wSeg))
+        .withColumn("sq", sum((col("v4").cast("decimal(19,0)")
+          * col("v4")).cast("decimal(38,0)")).over(wSeg))
+        .withColumn("l", col("n") * col("v4") - col("sv"))
+        .withColumn("l2e8", (col("l").cast("decimal(19,0)") * col("l"))
+          .cast("decimal(38,0)") * lit(100000000L))
+        .withColumn("dd", col("n").cast("decimal(38,0)") * col("sq")
+          - (col("sv").cast("decimal(19,0)") * col("sv"))
+            .cast("decimal(38,0)"))
+        .withColumn("bd", lit(45495025L).cast("decimal(38,0)")
+          * col("dd"))
+        .withColumn("sym",
+          when(col("l") < 0,
+            when(col("l2e8") > col("bd"), "a").otherwise("b"))
+          .otherwise(
+            when(col("l") > 0 && col("l2e8") > col("bd"), "d")
+              .otherwise("c")))
+      val census = sym
+        .withColumn("word", concat(col("sym"),
+          lead(col("sym"), 1).over(wOrd),
+          lead(col("sym"), 2).over(wOrd)))
+        .filter(col("word").isNotNull)
+        .groupBy("seg", "word").agg(count(lit(1)).as("n_windows"))
+      census
+        .withColumn("total", sum(col("n_windows")).over(wSeg))
+        .select(col("seg"), col("word"), col("n_windows"),
+          (floor(col("n_windows").cast("double")
+            / col("total").cast("double") * 10000.0) / 10000)
+            .as("share"))
+        .orderBy("seg", "word")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1121,5 +1191,51 @@ object Analytics6 {
                   AS n_vshapes,
                 CAST(max(depth) AS BIGINT) AS max_depth4
          FROM f GROUP BY seg ORDER BY seg""",
+    "timeseries_sax_words" ->
+      """WITH daily AS (SELECT c_mktsegment AS seg,
+                              CAST(o_orderdate AS DATE) AS day,
+                              CAST(floor(
+                                CAST(sum(CAST(o_totalprice
+                                              AS DECIMAL(18,2)))
+                                     AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE) * 10000.0)
+                                AS BIGINT) AS v4
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       GROUP BY seg, day),
+              mom AS (SELECT seg, count(*) AS n,
+                             CAST(sum(v4) AS HUGEINT) AS sv,
+                             sum(CAST(v4 AS HUGEINT) * v4) AS sq
+                      FROM daily GROUP BY seg),
+              z AS (SELECT daily.seg, day,
+                           CAST(n AS HUGEINT) * v4 - sv AS l,
+                           CAST(n AS HUGEINT) * sq - sv * sv AS dd
+                    FROM daily JOIN mom ON daily.seg = mom.seg),
+              sym AS (SELECT seg, day,
+                             CASE WHEN l < 0 THEN
+                               CASE WHEN l * l * 100000000 >
+                                         45495025 * dd
+                                    THEN 'a' ELSE 'b' END
+                             ELSE
+                               CASE WHEN l > 0 AND l * l * 100000000 >
+                                         45495025 * dd
+                                    THEN 'd' ELSE 'c' END
+                             END AS sym
+                      FROM z),
+              w AS (SELECT seg,
+                           sym || lead(sym, 1) OVER win
+                               || lead(sym, 2) OVER win AS word
+                    FROM sym
+                    WINDOW win AS (PARTITION BY seg ORDER BY day)),
+              c AS (SELECT seg, word, count(*) AS n_windows
+                    FROM w WHERE word IS NOT NULL
+                    GROUP BY seg, word),
+              t AS (SELECT seg, sum(n_windows) AS total
+                    FROM c GROUP BY seg)
+         SELECT seg, word, n_windows,
+                floor(CAST(n_windows AS DOUBLE)
+                      / CAST(total AS DOUBLE) * 10000.0) / 10000
+                  AS share
+         FROM c JOIN t USING (seg) ORDER BY seg, word""",
   )
 }

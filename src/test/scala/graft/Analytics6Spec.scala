@@ -305,4 +305,57 @@ class Analytics6Spec extends GraftSuite {
       "fixture series produced zero V-shapes — threshold too strict " +
         "to exercise the pattern")
   }
+
+  test("timeseries_sax_words: word census matches a driver-side " +
+    "BigInt symbolization, shares sum to ~1 per segment, all four " +
+    "symbols appear") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("timeseries_sax_words")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // driver-side mirror: same quantized daily series, exact BigInt
+    // breakpoint test L²·10⁸ ≷ 6745²·(n·Σv²−(Σv)²)
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double")
+        / count(lit(1)).cast("double") * 10000.0)).cast("long")
+        .as("v4"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (seg, rs) =>
+      val vs = rs.sortBy(_._2.getTime).map(_._3).map(BigInt(_))
+      val n = BigInt(vs.length); val sv = vs.sum
+      val sq = vs.map(v => v * v).sum
+      val dd = n * sq - sv * sv
+      val syms = vs.map { v =>
+        val l = n * v - sv
+        val hot = l * l * 100000000L > BigInt(45495025L) * dd
+        if (l < 0) { if (hot) "a" else "b" }
+        else { if (l > 0 && hot) "d" else "c" }
+      }
+      syms.sliding(3).filter(_.length == 3)
+        .map(w => (seg, w.mkString)).toSeq
+    }.groupBy(identity).map { case (k, ws) => k -> ws.length.toLong }
+    assert(got == expect,
+      s"SAX census mismatch: got=${got.toSeq.sorted.take(8)}... " +
+        s"expect=${expect.toSeq.sorted.take(8)}...")
+    // symbol coverage: the quartile breakpoints must actually split
+    // the fixture series (all 4 letters observed somewhere)
+    val letters = got.keys.flatMap(_._2.toSeq).toSet
+    assert(letters == Set('a', 'b', 'c', 'd'),
+      s"alphabet not fully exercised: $letters")
+    // shares are n/total quantized — per segment they sum to ≤1 and
+    // within 64·10⁻⁴ of 1 (floor loss bound)
+    val rows = SparkEntry.queries("timeseries_sax_words")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (seg, ss) =>
+      val tot = ss.map(_._2).sum
+      assert(tot <= 1.0 + 1e-9 && tot >= 1.0 - ss.length * 1e-4,
+        s"segment $seg share mass $tot outside floor-loss band")
+    }
+  }
 }
