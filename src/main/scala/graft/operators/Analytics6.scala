@@ -672,6 +672,60 @@ object Analytics6 {
             .as("share"))
         .orderBy("seg", "word")
     }),
+
+    // RAKE keyword extraction (r10; Rose, Engel, Cramer & Cowley
+    // 2010, "Automatic Keyword Extraction from Individual Documents"
+    // — the classic unsupervised keyphrase scorer, a curation staple
+    // for corpus topic profiling): candidate phrases are the maximal
+    // token runs between stopword boundaries (the fixture's function
+    // words 'a'/'the'); word score = degree/frequency where freq(w) =
+    // corpus occurrences inside phrases and deg(w) = Σ over those
+    // occurrences of the containing phrase's length; phrase score =
+    // Σ member-word scores. EXACT INTEGER throughout: word score is
+    // kept ×10⁴ as (deg·10⁴) div freq (floor division, bit-identical
+    // in both engines), phrase score is an integer sum of those —
+    // no doubles anywhere. Declared: top-20 phrases by score
+    // (orderBy().limit → TakeOrderedAndProject, per-partition heaps,
+    // never a single-reducer sort). Scale: the stop-count running sum
+    // is a DOC-grain ordered window (never global), word stats are
+    // map-side-combinable vocab-key aggregates, the score join is a
+    // vocab-key equi-join (bounded by vocabulary, deliberately NOT
+    // broadcast — vocab is corpus-dependent), phrase assembly is
+    // (doc, phrase)-grain.
+    "text_keyword_rake" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val ph = tok
+        .withColumn("isstop", col("w").isin("a", "the"))
+        .withColumn("pid",
+          sum(when(col("isstop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("isstop") && col("w") =!= "")
+        .select(col("doc_id"), col("pid"), col("p"), col("w"))
+      val plen = ph.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      val t2 = ph.join(plen, Seq("doc_id", "pid"))
+      val wsc = t2.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"), expr("deg * 10000 div freq").as("wscore4"))
+      t2.join(wsc, Seq("w"))
+        .groupBy("doc_id", "pid")
+        .agg(
+          concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(p, w))), x -> x.w)"))
+            .as("phrase"),
+          count(lit(1)).as("n_words"),
+          sum(col("wscore4")).as("score4"))
+        .groupBy("phrase")
+        .agg(max(col("n_words")).as("n_words"),
+          count(lit(1)).as("n_occ"), max(col("score4")).as("score4"))
+        .orderBy(col("score4").desc, col("phrase")).limit(20)
+        .select(col("phrase"), col("n_words"), col("n_occ"),
+          col("score4"))
+        .orderBy(col("score4").desc, col("phrase"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1237,5 +1291,42 @@ object Analytics6 {
                       / CAST(total AS DOUBLE) * 10000.0) / 10000
                   AS share
          FROM c JOIN t USING (seg) ORDER BY seg, word""",
+    "text_keyword_rake" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+              tok AS (SELECT doc_id, i AS p, ws[i] AS w
+                      FROM (SELECT doc_id, ws,
+                                   unnest(range(1, len(ws) + 1)) AS i
+                            FROM ws)),
+              st AS (SELECT doc_id, p, w,
+                            w IN ('a', 'the') AS isstop,
+                            sum(CASE WHEN w IN ('a', 'the')
+                                     THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY p)
+                              AS pid
+                     FROM tok),
+              ph AS (SELECT doc_id, pid, p, w FROM st
+                     WHERE NOT isstop AND w <> ''),
+              plen AS (SELECT doc_id, pid, count(*) AS plen
+                       FROM ph GROUP BY doc_id, pid),
+              t2 AS (SELECT ph.doc_id, ph.pid, ph.p, ph.w, plen.plen
+                     FROM ph JOIN plen USING (doc_id, pid)),
+              wsc AS (SELECT w,
+                             CAST(sum(plen) AS BIGINT) * 10000
+                               // count(*) AS wscore4
+                      FROM t2 GROUP BY w),
+              pinst AS (SELECT doc_id, pid,
+                               string_agg(w, ' ' ORDER BY p) AS phrase,
+                               count(*) AS n_words,
+                               CAST(sum(wscore4) AS BIGINT) AS score4
+                        FROM t2 JOIN wsc USING (w)
+                        GROUP BY doc_id, pid),
+              agg AS (SELECT phrase,
+                             CAST(max(n_words) AS BIGINT) AS n_words,
+                             count(*) AS n_occ,
+                             max(score4) AS score4
+                      FROM pinst GROUP BY phrase)
+         SELECT phrase, n_words, n_occ, score4
+         FROM agg ORDER BY score4 DESC, phrase LIMIT 20""",
   )
 }

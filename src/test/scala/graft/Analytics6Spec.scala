@@ -358,4 +358,62 @@ class Analytics6Spec extends GraftSuite {
         s"segment $seg share mass $tot outside floor-loss band")
     }
   }
+
+  test("text_keyword_rake: top-20 matches a driver-side integer RAKE, " +
+    "no stopwords leak into phrases, top-k plans as " +
+    "TakeOrderedAndProject") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_keyword_rake")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == 20)
+    got.foreach { case (phrase, nw, _, _) =>
+      val ws = phrase.split(" ")
+      assert(ws.length == nw.toInt)
+      assert(!ws.exists(w => w == "a" || w == "the"),
+        s"stopword leaked into phrase '$phrase'")
+    }
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+      "scores not descending")
+    // driver-side mirror with pure integer arithmetic
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stop = Set("a", "the")
+    val phrases = docs.flatMap { case (_, text) =>
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      text.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) out += cur.toSeq; cur.clear() }
+        else if (w.nonEmpty) cur += w
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val freq = scala.collection.mutable.Map[String, Long]()
+    val deg = scala.collection.mutable.Map[String, Long]()
+    phrases.foreach { p =>
+      p.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1
+        deg(w) = deg.getOrElse(w, 0L) + p.length
+      }
+    }
+    val wscore = freq.keys.map(w => w -> deg(w) * 10000L / freq(w)).toMap
+    val expect = phrases
+      .groupBy(p => p.mkString(" "))
+      .map { case (ptxt, ps) =>
+        (ptxt, ps.head.length.toLong, ps.length.toLong,
+          ps.head.map(wscore).sum)
+      }
+      .toSeq
+      .sortBy { case (ptxt, _, _, s4) => (-s4, ptxt) }
+      .take(20)
+    assert(got.toSeq == expect,
+      s"RAKE mismatch:\n got=${got.take(5).toSeq}\n exp=${expect.take(5)}")
+    // top-k must never be a single-reducer global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 should plan as TakeOrderedAndProject")
+  }
 }
