@@ -484,8 +484,12 @@ object Analytics6 {
         .select(col("channel"), col("phi24"),
           (floor(col("phi24").cast("double") / 24.0 * 10000.0) / 10000)
             .as("phi"),
+          // nullif guard: a corpus where no converting user has a
+          // pre-purchase touch (n_explained = 0) declares NULL share
+          // rather than an engine-dependent inf/NaN
           (floor(col("phi24").cast("double") / 24.0
-            / col("n_explained").cast("double") * 10000.0) / 10000)
+            / nullif(col("n_explained"), lit(0L)).cast("double")
+            * 10000.0) / 10000)
             .as("share_of_explained"))
         .orderBy("channel")
     }),
@@ -709,7 +713,13 @@ object Analytics6 {
       val t2 = ph.join(plen, Seq("doc_id", "pid"))
       val wsc = t2.groupBy("w")
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-        .select(col("w"), expr("deg * 10000 div freq").as("wscore4"))
+        // deg is corpus-proportional (Σ plen over occurrences): widen
+        // through DECIMAL(38,0) before the ×10⁴ so the intermediate
+        // can't overflow int64 at extreme corpus scale; the RESULT is
+        // tiny (≤ 10⁴·max phrase length, since deg ≤ freq·max_plen)
+        .select(col("w"),
+          expr("CAST(CAST(deg AS DECIMAL(38,0)) * 10000 div freq AS BIGINT)")
+            .as("wscore4"))
       t2.join(wsc, Seq("w"))
         .groupBy("doc_id", "pid")
         .agg(
@@ -1161,7 +1171,8 @@ object Analytics6 {
                 floor(CAST(phi24 AS DOUBLE) / 24.0 * 10000.0) / 10000
                   AS phi,
                 floor(CAST(phi24 AS DOUBLE) / 24.0
-                      / CAST(n_explained AS DOUBLE) * 10000.0) / 10000
+                      / CAST(nullif(n_explained, 0) AS DOUBLE)
+                      * 10000.0) / 10000
                   AS share_of_explained
          FROM phi CROSS JOIN ne ORDER BY channel""",
     "sample_pps_systematic" ->
@@ -1312,8 +1323,8 @@ object Analytics6 {
               t2 AS (SELECT ph.doc_id, ph.pid, ph.p, ph.w, plen.plen
                      FROM ph JOIN plen USING (doc_id, pid)),
               wsc AS (SELECT w,
-                             CAST(sum(plen) AS BIGINT) * 10000
-                               // count(*) AS wscore4
+                             CAST(CAST(sum(plen) AS HUGEINT) * 10000
+                                  // count(*) AS BIGINT) AS wscore4
                       FROM t2 GROUP BY w),
               pinst AS (SELECT doc_id, pid,
                                string_agg(w, ' ' ORDER BY p) AS phrase,
