@@ -225,12 +225,23 @@ object Bench {
     // Anchored to SPARK_GRAFT_BENCH_OUT or the repo root (not cwd —
     // launched elsewhere the record would silently land in the wrong
     // directory), and failures are logged, not swallowed.
+    // Record-hygiene guard (r11, ADVICE r9+r10 medium, twice
+    // recurred): a targeted subset run (SPARK_GRAFT_ONLY set) must
+    // NEVER clobber the full-board BENCH_SELF.json record — it lands
+    // in BENCH_TARGETED.json unless an explicit SPARK_GRAFT_BENCH_OUT
+    // overrides. Belt-and-braces: even without SPARK_GRAFT_ONLY, a
+    // run that timed fewer keys than the registered board (a crash
+    // mid-loop, a filtered registry) is not a board record either.
+    val isTargeted = only.isDefined ||
+      results.size + errors.size < SparkEntry.queries.size
+    val selfName =
+      if (isTargeted) "BENCH_TARGETED.json" else "BENCH_SELF.json"
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(Option(System.getProperty("user.dir"))
         .filter(d => java.nio.file.Files.exists(
           java.nio.file.Paths.get(d, "build.sbt")))
-        .map(d => s"$d/BENCH_SELF.json"))
-      .getOrElse("/root/repo/BENCH_SELF.json")
+        .map(d => s"$d/$selfName"))
+      .getOrElse(s"/root/repo/$selfName")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>

@@ -197,8 +197,8 @@ object Analytics5 {
     // one partial-aggregated pass.
     "agg_pythagorean_means" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -262,8 +262,8 @@ object Analytics5 {
       val x = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("x"))
       val g = x.groupBy("seg")
@@ -309,8 +309,8 @@ object Analytics5 {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
       val nat = rev.groupBy("s_nationkey")
         .agg(sum(col("r")).cast("decimal(38,2)").as("tot"))
@@ -397,8 +397,8 @@ object Analytics5 {
     // a comment).
     "stage_incremental_agg_maintenance" -> ((s, d) => {
       val o = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"),
           col("o_totalprice").cast("decimal(18,2)").as("p"),
@@ -603,8 +603,8 @@ object Analytics5 {
     // the clamped mean itself stays one map-side-combined aggregate.
     "agg_winsorized_mean" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -653,8 +653,8 @@ object Analytics5 {
     // different sketch).
     "agg_winsorized_approx" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -790,8 +790,8 @@ object Analytics5 {
     // one groupBy + one ordered window per segment.
     "timeseries_max_drawdown" -> ((s, d) => {
       val monthly = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("seg"),
           to_date(date_trunc("month", col("o_orderdate"))).as("month"))
@@ -827,8 +827,8 @@ object Analytics5 {
     // (Σxy − ΣxΣy/n)/(n−1), corr = cov/√(var_i·var_j), floor-scaled.
     "profile_correlation_matrix" -> ((s, d) => {
       val j = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_acctbal"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal")),
           col("o_custkey") === col("c_custkey"))
         .select(
           col("o_totalprice").cast("decimal(18,2)").as("p"),
@@ -906,8 +906,8 @@ object Analytics5 {
     // semantics.
     "analytics_ks_test" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -959,8 +959,8 @@ object Analytics5 {
     // semantics (its exact twin IS the oracle-checked key).
     "analytics_ks_sketch" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"),
           (col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -1017,8 +1017,8 @@ object Analytics5 {
     // pair fan-out as KS.
     "analytics_mann_whitney" -> ((s, d) => {
       val op = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -1062,8 +1062,8 @@ object Analytics5 {
     // output, two bounded aggregates at any scale.
     "analytics_chi2_independence" -> ((s, d) => {
       val j = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("o_orderpriority").as("prio"))
       val cells = j.groupBy("seg", "prio").agg(count(lit(1)).as("n"))

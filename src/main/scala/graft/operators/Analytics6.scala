@@ -102,9 +102,21 @@ object Analytics6 {
       .select(col("w"), col("idf"), col("avgdl"))
     val probes = tf.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("pid"), col("w"))
+    // Hint policy (r11, VERDICT r10 #1): `probes` is a 1/97 modulo
+    // slice of all postings and `dfKeep` is vocab-grain — BOTH grow
+    // with the corpus (probes linearly, vocab by Heaps' law), so a
+    // forced broadcast of either is a 100 TB scale-killer exactly like
+    // the vocab join text_keyword_rake already refuses to broadcast.
+    // Only the 1-row `nAvg` synopsis keeps its hint; the term
+    // equi-joins below are hint-free — AQE's runtime size check
+    // (spark.sql.autoBroadcastJoinThreshold) may still pick a
+    // broadcast when the actual build side is small, which is the
+    // size-bounded decision a forced hint bypasses. Pinned in
+    // PlanShapeSpec ("retrieval probe/vocab joins carry no forced
+    // broadcast hints").
     cand
-      .join(broadcast(dfKeep), Seq("w"))
-      .join(broadcast(probes),
+      .join(dfKeep, Seq("w"))
+      .join(probes,
         Seq("w")).filter(col("pid") =!= col("doc_id"))
       .join(dl.withColumnRenamed("doc_id", "cid_dl"),
         col("doc_id") === col("cid_dl"))
@@ -138,6 +150,12 @@ object Analytics6 {
       .crossJoin(broadcast(nc))
       .filter(col("df") * 10 <= col("nc") * 3)
       .select("dim")
+    // `keep` is bounded by the D=256 dim universe (two hex digits) at
+    // ANY corpus size, so its broadcast hint is a size contract, not a
+    // guess. `probes` and the probe-norm table `pn` are probe-grain —
+    // corpus-proportional under the %97 slice — so their hints are
+    // gone (same r11 policy as the lexical arm): the dim equi-join and
+    // the norm joins shuffle unless AQE's size check picks broadcast.
     val probes = probesAll.join(broadcast(keep), Seq("dim"))
       .select(col("doc_id").as("pid"), col("dim"), col("c").as("pc"))
     val cands = candsAll.join(broadcast(keep), Seq("dim"))
@@ -146,11 +164,11 @@ object Analytics6 {
     val cn = cands.groupBy(col("doc_id").as("cnid"))
       .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("cn"))
     cands
-      .join(broadcast(probes), Seq("dim"))
+      .join(probes, Seq("dim"))
       .filter(col("pid") =!= col("doc_id"))
       .groupBy(col("pid"), col("doc_id").as("cid"))
       .agg(sum(col("pc") * col("c")).as("dot"))
-      .join(broadcast(pn), col("pid") === col("pnid"))
+      .join(pn, col("pid") === col("pnid"))
       .join(cn, col("cid") === col("cnid"))
       .select(col("pid"), col("cid"),
         (floor(col("dot").cast("double") / (col("pn") * col("cn"))
@@ -207,22 +225,39 @@ object Analytics6 {
     // sample variances, and the variance-reduction ratio — the
     // precision gain a real experimentation platform reports.
     "analytics_cuped" -> ((s, d) => {
+      // Pooled-moment accumulation note (r11, ADVICE r10 low): the
+      // first/cross moments feeding θ/X̄ now accumulate EXACTLY like
+      // the second moments below — integer-quantized k$ terms,
+      // floor(·×10⁴) BIGINT per row — because DECIMAL(38,4) sums whose
+      // unscaled value passes 2^53 cast to DOUBLE non-bit-identically
+      // across engines (the measured 13th-digit var_y drift), and a
+      // drifted θ flips per-row floor(yadj·10⁴) near boundaries. With
+      // integer sums, every double that derives θ/X̄ comes from
+      // identical int64 bits in both engines by construction.
       val units = cupedUnits(s, d)
+        .withColumn("xk", col("x").cast("double") / 1000.0)
+        .withColumn("ykq", col("y").cast("double") / 1000.0)
       val pool = units.agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(38,4)")).as("sx"),
-        sum(col("y").cast("decimal(38,4)")).as("sy"),
-        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
-        sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"))
+        sum(expr("CAST(floor(xk * 10000.0) AS BIGINT)")).as("sx4"),
+        sum(expr("CAST(floor(ykq * 10000.0) AS BIGINT)")).as("sy4"),
+        sum(expr("CAST(floor(xk * xk * 10000.0) AS BIGINT)")).as("sxx4"),
+        sum(expr("CAST(floor(xk * ykq * 10000.0) AS BIGINT)")).as("sxy4"))
       val withTheta = units.crossJoin(broadcast(pool))
+        // X̄ back in dollars: (Σ⌊xk·10⁴⌋)/10⁴/n k$ × 1000; θ is the
+        // cov/var ratio over the same quantized k$ moments (unit-free,
+        // so the k$ quantization grain cancels out of its scale)
         .withColumn("xbar",
-          col("sx").cast("double") / col("n").cast("double"))
+          col("sx4").cast("double") / 10000.0
+            / col("n").cast("double") * 1000.0)
         .withColumn("theta",
-          (col("sxy").cast("double")
-            - col("sx").cast("double") * col("sy").cast("double")
+          (col("sxy4").cast("double") / 10000.0
+            - (col("sx4").cast("double") / 10000.0)
+              * (col("sy4").cast("double") / 10000.0)
               / col("n").cast("double"))
-          / (col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double")
+          / (col("sxx4").cast("double") / 10000.0
+            - (col("sx4").cast("double") / 10000.0)
+              * (col("sx4").cast("double") / 10000.0)
               / col("n").cast("double")))
         .withColumn("yadj",
           col("y").cast("double")
@@ -325,9 +360,9 @@ object Analytics6 {
     // k1=1.2, b=0.75. Same inverted-index scale shape as the
     // embedding retriever: the term equi-join only pairs docs sharing
     // a KEPT term (the df ≤ 30% stop cut — BM25's idf downweights
-    // frequent terms but the JOIN must never explode on them), probe
-    // postings + the per-term idf synopsis broadcast, candidate
-    // lengths stay an equi-join. Determinism: idf's ln() quantized
+    // frequent terms but the JOIN must never explode on them); probe
+    // postings, the per-term idf synopsis and candidate lengths are
+    // all hint-free equi-joins (r11 — see bm25Pairs' hint policy). Determinism: idf's ln() quantized
     // DECIMAL(28,10) at the term grain (the JSD/WoE ln precedent),
     // per-pair term scores quantized DECIMAL(28,10) pre-sum, final
     // floor·10⁴ + ccid tiebreak.
@@ -520,9 +555,17 @@ object Analytics6 {
       // scan+rollup of orders
       val tot = cum.agg(max(col("csum")).as("total"))
       cum.crossJoin(broadcast(tot))
+        // The boundary test widens through DECIMAL(38,0) before the
+        // ×100: total cents at the 100 TB design point is ~2e18, so
+        // csum·100 would wrap int64 silently under Spark's non-ANSI
+        // arithmetic (the oracle's HUGEINT side would not — a silent
+        // cross-engine divergence exactly at target scale). DECIMAL
+        // products are exact, `div` is floor division on positive
+        // operands in both engines, and the per-row result is ≤ 100.
         .withColumn("crossings", expr(
-          """(csum * 100) div total
-             - ((csum - cents) * 100) div total"""))
+          """CAST(CAST(csum AS DECIMAL(38,0)) * 100 div total
+             - CAST(csum - cents AS DECIMAL(38,0)) * 100 div total
+             AS BIGINT)"""))
         .filter(col("crossings") > 0)
         .select(col("o_custkey"), col("cents"), col("crossings"))
         .orderBy("o_custkey")
@@ -581,8 +624,8 @@ object Analytics6 {
     "window_pattern_vshape" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("seg"), to_date(col("o_orderdate")).as("day"))
         .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -633,8 +676,8 @@ object Analytics6 {
     "timeseries_sax_words" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("seg"), to_date(col("o_orderdate")).as("day"))
         .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -792,24 +835,35 @@ object Analytics6 {
                                      - 1) % 2 AS BIGINT) AS arm
                         FROM customer
                         LEFT JOIN per ON c_custkey = o_custkey),
+              uk AS (SELECT arm, x, y,
+                            CAST(x AS DOUBLE) / 1000.0 AS xk,
+                            CAST(y AS DOUBLE) / 1000.0 AS ykq
+                     FROM units),
               pool AS (SELECT count(*) AS n,
-                              sum(CAST(x AS DECIMAL(38,4))) AS sx,
-                              sum(CAST(y AS DECIMAL(38,4))) AS sy,
-                              sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
-                              sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
-                       FROM units),
+                              sum(CAST(floor(xk * 10000.0) AS BIGINT))
+                                AS sx4,
+                              sum(CAST(floor(ykq * 10000.0) AS BIGINT))
+                                AS sy4,
+                              sum(CAST(floor(xk * xk * 10000.0)
+                                       AS BIGINT)) AS sxx4,
+                              sum(CAST(floor(xk * ykq * 10000.0)
+                                       AS BIGINT)) AS sxy4
+                       FROM uk),
               adj AS (SELECT arm, y,
                              CAST(y AS DOUBLE)
-                             - ((CAST(sxy AS DOUBLE)
-                                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                             - ((CAST(sxy4 AS DOUBLE) / 10000.0
+                                 - (CAST(sx4 AS DOUBLE) / 10000.0)
+                                   * (CAST(sy4 AS DOUBLE) / 10000.0)
                                    / CAST(n AS DOUBLE))
-                                / (CAST(sxx AS DOUBLE)
-                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                / (CAST(sxx4 AS DOUBLE) / 10000.0
+                                   - (CAST(sx4 AS DOUBLE) / 10000.0)
+                                     * (CAST(sx4 AS DOUBLE) / 10000.0)
                                      / CAST(n AS DOUBLE)))
                                * (CAST(x AS DOUBLE)
-                                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                  - CAST(sx4 AS DOUBLE) / 10000.0
+                                    / CAST(n AS DOUBLE) * 1000.0)
                                AS yadj
-                      FROM units CROSS JOIN pool),
+                      FROM uk CROSS JOIN pool),
               ag AS (SELECT arm, count(*) AS n_units,
                             sum(CAST(y AS DECIMAL(38,4))) AS asy,
                             sum(CAST(floor(yadj * 10000.0) AS BIGINT))
@@ -1187,9 +1241,9 @@ object Analytics6 {
                     FROM u),
               t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM u),
               sel AS (SELECT o_custkey, cents,
-                             (csum * 100) // total
-                             - ((csum - cents) * 100) // total
-                               AS crossings
+                             (CAST(csum AS HUGEINT) * 100) // total
+                             - (CAST(csum - cents AS HUGEINT) * 100)
+                               // total AS crossings
                       FROM c CROSS JOIN t)
          SELECT o_custkey, cents, CAST(crossings AS BIGINT) AS crossings
          FROM sel WHERE crossings > 0 ORDER BY o_custkey""",

@@ -75,8 +75,8 @@ object Features {
     // orders join is the only data shuffle.
     "feature_target_encode" -> ((s, d) => {
       val j = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select("c_custkey", "c_mktsegment")),
+        .join(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment"),
           col("o_custkey") === col("c_custkey"))
       val per = j.groupBy(col("c_mktsegment").as("seg"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
@@ -136,8 +136,8 @@ object Features {
     // primitive: each stage is its own oracled key above).
     "pipeline_feature_e2e" -> ((s, d) => {
       val j = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
-          .select("c_custkey", "c_mktsegment", "c_acctbal")),
+        .join(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
           col("o_custkey") === col("c_custkey"))
       val stats = j.groupBy(col("c_mktsegment").as("seg"))
         .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),

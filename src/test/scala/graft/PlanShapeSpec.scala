@@ -529,4 +529,71 @@ class PlanShapeSpec extends GraftSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6,
       s"expected 6 broadcast marginal joins (2 per round x 3):\n$plan")
   }
+
+  /** Forced-hint census of a key's ANALYZED plan — the logical hints
+    * the author wrote, before AQE/optimizer decisions. The r11 hint
+    * policy (Tables.scala) is about what is FORCED, not what the
+    * runtime picks: AQE converting a small shuffle to a broadcast at
+    * test scale is exactly the size-checked behavior the policy wants,
+    * so executed-plan BroadcastHashJoin counts cannot pin it. */
+  private def resolvedHints(name: String) = {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+  }
+
+  test("retrieval probe/vocab joins carry no forced broadcast hints " +
+    "(r11, VERDICT r10 #1: probe postings are a corpus-proportional " +
+    "slice and the idf synopsis is vocab-grain/Heaps-law — only " +
+    "provably bounded synopses may keep hints)") {
+    // bm25Pairs keeps exactly ONE hint: the 1-row (nc, avgdl) corpus
+    // synopsis. probes (%97 slice), dfKeep (vocab-grain) and the
+    // candidate-length join are hint-free.
+    assert(resolvedHints("text_bm25_retrieval").size == 1,
+      "text_bm25_retrieval must hint only the 1-row nAvg synopsis")
+    // hybrid: the analyzed tree copies a shared subtree once per
+    // reference, so counting hints is fragile — pin the POLICY
+    // instead: every remaining hint must sit on a bounded synopsis
+    // (the 1-row nAvg/nc aggregates or the ≤256-row dim keep-list),
+    // never on probe postings (pid/w or pid/dim/pc outputs) or the
+    // vocab-grain idf table (w/idf/avgdl).
+    for (h <- resolvedHints("sim_hybrid_retrieval")) {
+      val out = h.child.output.map(_.name)
+      assert(out == Seq("nc", "avgdl") || out == Seq("nc") ||
+        out == Seq("dim"),
+        s"sim_hybrid_retrieval: forced hint on a non-bounded frame " +
+          s"(output ${out.mkString(",")})")
+    }
+    // semantics unchanged by the hint removal: same pair universe,
+    // no cartesian introduced by the hint-free equi-joins
+    val plan = executedPlan("text_bm25_retrieval")
+    assert(!plan.contains("CartesianProduct"),
+      s"hint-free term join must stay an equi-join:\n$plan")
+  }
+
+  test("sf-scaling dimension joins carry no forced broadcast hints " +
+    "(r11 hint-policy audit, VERDICT r10 #3: customer/supplier grow " +
+    "linearly with sf — AQE's size check decides at runtime)") {
+    // the 16 audited sites (12 in Analytics5, 2 in Analytics6, 2 in
+    // Features) — every key whose segment/acctbal lookup previously
+    // forced broadcast(customer) or broadcast(supplier)
+    val audited = Seq(
+      "agg_pythagorean_means", "analytics_theil_decomposition",
+      "analytics_hhi_concentration", "stage_incremental_agg_maintenance",
+      "agg_winsorized_mean", "agg_winsorized_approx",
+      "timeseries_max_drawdown", "profile_correlation_matrix",
+      "analytics_ks_test", "analytics_ks_sketch",
+      "analytics_mann_whitney", "analytics_chi2_independence",
+      "window_pattern_vshape", "timeseries_sax_words",
+      "feature_target_encode", "pipeline_feature_e2e")
+    for (k <- audited) {
+      val bad = resolvedHints(k).filter(_.child.collectLeaves()
+        .exists(l => l.toString.contains("customer") ||
+          l.toString.contains("supplier")))
+      assert(bad.isEmpty,
+        s"$k: forced broadcast hint on an sf-scaling table — the " +
+          s"r11 policy (Tables.scala) reserves hints for frames with " +
+          s"a size contract independent of corpus size")
+    }
+  }
 }
