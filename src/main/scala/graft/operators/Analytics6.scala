@@ -237,12 +237,21 @@ object Analytics6 {
       val units = cupedUnits(s, d)
         .withColumn("xk", col("x").cast("double") / 1000.0)
         .withColumn("ykq", col("y").cast("double") / 1000.0)
+      // r12 (ADVICE r11 low): the quantized SECOND/CROSS moment terms
+      // are ~1e10–1e11 per row (xk²·10⁴ for multi-million-dollar
+      // customers), so a BIGINT sum silently wraps int64 around ~1e8
+      // units — below the 100 TB design point. All quantized moment
+      // sums therefore accumulate as DECIMAL(38,0) (exact integer, no
+      // wrap on either engine; DuckDB sums it as HUGEINT-backed
+      // decimal). The final one-row DECIMAL(38,0)→DOUBLE cast of an
+      // exact integer is IEEE round-to-nearest on both engines, so
+      // every double deriving θ/X̄ still comes from identical bits.
       val pool = units.agg(
         count(lit(1)).as("n"),
-        sum(expr("CAST(floor(xk * 10000.0) AS BIGINT)")).as("sx4"),
-        sum(expr("CAST(floor(ykq * 10000.0) AS BIGINT)")).as("sy4"),
-        sum(expr("CAST(floor(xk * xk * 10000.0) AS BIGINT)")).as("sxx4"),
-        sum(expr("CAST(floor(xk * ykq * 10000.0) AS BIGINT)")).as("sxy4"))
+        sum(expr("CAST(CAST(floor(xk * 10000.0) AS BIGINT) AS DECIMAL(38,0))")).as("sx4"),
+        sum(expr("CAST(CAST(floor(ykq * 10000.0) AS BIGINT) AS DECIMAL(38,0))")).as("sy4"),
+        sum(expr("CAST(CAST(floor(xk * xk * 10000.0) AS BIGINT) AS DECIMAL(38,0))")).as("sxx4"),
+        sum(expr("CAST(CAST(floor(xk * ykq * 10000.0) AS BIGINT) AS DECIMAL(38,0))")).as("sxy4"))
       val withTheta = units.crossJoin(broadcast(pool))
         // X̄ back in dollars: (Σ⌊xk·10⁴⌋)/10⁴/n k$ × 1000; θ is the
         // cov/var ratio over the same quantized k$ moments (unit-free,
@@ -267,20 +276,22 @@ object Analytics6 {
       // casts of such sums are NOT bit-identical across engines
       // (measured: the two engines' var_y differed in the 13th digit).
       // So second moments accumulate as INTEGER-quantized terms in
-      // k$² units — floor((y/1000)²·10⁴) per row is an exact BIGINT,
-      // the sums stay inside int64 to ~10⁹ units, and every double
-      // that follows is derived from identical integer bits. Variances
-      // are therefore DECLARED in k$² (columns *_k2).
+      // k$² units — floor((y/1000)²·10⁴) per row is an exact value —
+      // and the sums are widened to DECIMAL(38,0) (r12: per-row terms
+      // reach ~1e11, so an int64 sum wraps near ~1e8 units; a scale-0
+      // decimal sum is exact at any corpus size and its one-row
+      // →DOUBLE cast is bit-stable). Variances are DECLARED in k$²
+      // (columns *_k2).
       withTheta
         .withColumn("yk", col("y").cast("double") / 1000.0)
         .withColumn("yak", col("yadj") / 1000.0)
         .groupBy("arm")
         .agg(count(lit(1)).as("n_units"),
           sum(col("y").cast("decimal(38,4)")).as("asy"),
-          sum(expr("CAST(floor(yadj * 10000.0) AS BIGINT)")).as("sa4"),
-          sum(expr("CAST(floor(yk * yk * 10000.0) AS BIGINT)"))
+          sum(expr("CAST(CAST(floor(yadj * 10000.0) AS BIGINT) AS DECIMAL(38,0))")).as("sa4"),
+          sum(expr("CAST(CAST(floor(yk * yk * 10000.0) AS BIGINT) AS DECIMAL(38,0))"))
             .as("s2y"),
-          sum(expr("CAST(floor(yak * yak * 10000.0) AS BIGINT)"))
+          sum(expr("CAST(CAST(floor(yak * yak * 10000.0) AS BIGINT) AS DECIMAL(38,0))"))
             .as("s2a"))
         .withColumn("nd", col("n_units").cast("double"))
         .withColumn("mean_y",
@@ -840,14 +851,18 @@ object Analytics6 {
                             CAST(y AS DOUBLE) / 1000.0 AS ykq
                      FROM units),
               pool AS (SELECT count(*) AS n,
-                              sum(CAST(floor(xk * 10000.0) AS BIGINT))
+                              sum(CAST(CAST(floor(xk * 10000.0)
+                                       AS BIGINT) AS DECIMAL(38,0)))
                                 AS sx4,
-                              sum(CAST(floor(ykq * 10000.0) AS BIGINT))
+                              sum(CAST(CAST(floor(ykq * 10000.0)
+                                       AS BIGINT) AS DECIMAL(38,0)))
                                 AS sy4,
-                              sum(CAST(floor(xk * xk * 10000.0)
-                                       AS BIGINT)) AS sxx4,
-                              sum(CAST(floor(xk * ykq * 10000.0)
-                                       AS BIGINT)) AS sxy4
+                              sum(CAST(CAST(floor(xk * xk * 10000.0)
+                                       AS BIGINT) AS DECIMAL(38,0)))
+                                AS sxx4,
+                              sum(CAST(CAST(floor(xk * ykq * 10000.0)
+                                       AS BIGINT) AS DECIMAL(38,0)))
+                                AS sxy4
                        FROM uk),
               adj AS (SELECT arm, y,
                              CAST(y AS DOUBLE)
@@ -866,14 +881,16 @@ object Analytics6 {
                       FROM uk CROSS JOIN pool),
               ag AS (SELECT arm, count(*) AS n_units,
                             sum(CAST(y AS DECIMAL(38,4))) AS asy,
-                            sum(CAST(floor(yadj * 10000.0) AS BIGINT))
-                              AS sa4,
-                            sum(CAST(floor((CAST(y AS DOUBLE) / 1000.0)
+                            sum(CAST(CAST(floor(yadj * 10000.0)
+                                  AS BIGINT) AS DECIMAL(38,0))) AS sa4,
+                            sum(CAST(CAST(floor((CAST(y AS DOUBLE) / 1000.0)
                                   * (CAST(y AS DOUBLE) / 1000.0)
-                                  * 10000.0) AS BIGINT)) AS s2y,
-                            sum(CAST(floor((yadj / 1000.0)
+                                  * 10000.0) AS BIGINT) AS DECIMAL(38,0)))
+                              AS s2y,
+                            sum(CAST(CAST(floor((yadj / 1000.0)
                                   * (yadj / 1000.0)
-                                  * 10000.0) AS BIGINT)) AS s2a
+                                  * 10000.0) AS BIGINT) AS DECIMAL(38,0)))
+                              AS s2a
                      FROM adj GROUP BY arm),
               fin AS (SELECT arm, n_units,
                              CAST(n_units AS DOUBLE) AS nd,
