@@ -954,9 +954,13 @@ object Analytics5 {
     // is DECLARED per pair (`err_bound`) so a consumer sees exactly
     // how much resolution 256 bins bought (the same honest-dial
     // contract as dedup_bbit_minhash). Analytics5Spec asserts the
-    // two-sided envelope against the exact twin per segment pair. No
-    // oracle: the histogram synopsis is the point, not SQL-mirrored
-    // semantics (its exact twin IS the oracle-checked key).
+    // two-sided envelope against the exact twin per segment pair.
+    // Oracle-checked since r12 (VERDICT r11 #2): the whole sketch is
+    // integer arithmetic over cents — binning is BIGINT floor-division
+    // (operands non-negative, so Spark `div` ≡ DuckDB `//`), the
+    // cumulative walk and sup are integer window sums, and the only
+    // doubles are exactly-rounded quotients of identical integers —
+    // so DuckDB replays it digit-for-digit.
     "analytics_ks_sketch" -> ((s, d) => {
       val op = Tables.orders(s, d)
         .join(Tables.customer(s, d)
@@ -1998,6 +2002,53 @@ object Analytics5 {
                 floor((CAST(maxd AS DOUBLE)
                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
                       * 10000.0) / 10000 AS ks_d
+         FROM agg ORDER BY s1, s2""",
+    "analytics_ks_sketch" ->
+      """WITH op AS (SELECT c.c_mktsegment AS seg,
+                            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) AS c
+                     FROM orders o JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+              mm AS (SELECT min(c) AS cmin, max(c) AS cmax FROM op),
+              binned AS (SELECT seg,
+                                CAST(((c - cmin) * 256) // (cmax - cmin + 1)
+                                     AS INTEGER) AS bin,
+                                count(*) AS m
+                         FROM op, mm GROUP BY seg, bin),
+              segs AS (SELECT DISTINCT seg FROM binned),
+              pairs AS (SELECT a.seg AS s1, b.seg AS s2
+                        FROM segs a JOIN segs b ON a.seg < b.seg),
+              perbin AS (SELECT s1, s2, bin,
+                                CAST(sum(CASE WHEN seg = s1 THEN m ELSE 0 END)
+                                     AS BIGINT) AS m1,
+                                CAST(sum(CASE WHEN seg = s2 THEN m ELSE 0 END)
+                                     AS BIGINT) AS m2
+                         FROM binned JOIN pairs ON seg = s1 OR seg = s2
+                         GROUP BY s1, s2, bin),
+              r AS (SELECT s1, s2, m1, m2,
+                           sum(m1) OVER (PARTITION BY s1, s2 ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS c1,
+                           sum(m2) OVER (PARTITION BY s1, s2 ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS c2,
+                           sum(m1) OVER (PARTITION BY s1, s2) AS n1,
+                           sum(m2) OVER (PARTITION BY s1, s2) AS n2
+                    FROM perbin),
+              agg AS (SELECT s1, s2,
+                             CAST(max(n1) AS BIGINT) AS n1,
+                             CAST(max(n2) AS BIGINT) AS n2,
+                             CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)
+                               AS maxd,
+                             max(CAST(m1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 + CAST(m2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                               AS maxbin
+                      FROM r GROUP BY s1, s2)
+         SELECT s1, s2, n1, n2,
+                floor((CAST(maxd AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                      * 10000.0) / 10000 AS ks_d_sketch,
+                ceil(maxbin * 10000.0) / 10000 AS err_bound
          FROM agg ORDER BY s1, s2""",
     "analytics_mann_whitney" ->
       """WITH op AS (SELECT c.c_mktsegment AS seg, o_orderkey,
