@@ -43,6 +43,7 @@ object SparkEntry {
     (operators.Curation2.queries, operators.Curation2.oracles),
     (operators.Analytics5.queries, operators.Analytics5.oracles),
     (operators.Analytics6.queries, operators.Analytics6.oracles),
+    (operators.Similarity3.queries, operators.Similarity3.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
