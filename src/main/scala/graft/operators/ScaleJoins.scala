@@ -66,7 +66,72 @@ object ScaleJoins {
     }
   }
 
+  /** The inner plan of `join_skew_aqe`: a deliberately hot-keyed fact
+    * (95 % of lineitem rows mapped onto join key 1) ⋈ the full orders
+    * dim. Exposed so ScaleJoinsSpec can assert the skew split in the
+    * executed plan under the same confs the declared key sets. */
+  private[graft] def skewAqePlan(s: SparkSession, d: String): DataFrame = {
+    // AQE splits a skewed partition by MAPPER ranges, so a partition
+    // fed by a single map task is unsplittable — and the small
+    // fixture parquet scans as exactly one task, silently yielding
+    // "0 skewed partitions" (debugged r12). A real cluster always has
+    // many map tasks; the round-robin repartition stands in for that.
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(8)
+      .withColumn("hk",
+        when(pmod(col("l_orderkey"), lit(20)) =!= 0, 1L)
+          .otherwise(col("l_orderkey")))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    fact.join(dim, col("hk") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Run `body` with AQE's skew-join splitter armed at sandbox scale
+    * (sub-MB thresholds stand in for the 256 MB default a real
+    * cluster keeps — at 100 TB the defaults fire on their own) and
+    * broadcast disabled on BOTH planner and AQE thresholds (the skew
+    * splitter only rewrites sort-merge joins). Every conf restored
+    * afterwards — the withBloomConfs contract. */
+  private[graft] def withSkewConfs[T](s: SparkSession)(body: => T): T = {
+    val want = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = want.map { case (k, _) => k -> s.conf.getOption(k) }
+    want.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // AQE skew-join split (r12, VERDICT r11 #3) — the RUNTIME
+    // counterpart of join_skew_salted's compile-time salting, closing
+    // the skew story beside salting/bucketing/bloom/DPP: the hot key
+    // owns ~95 % of the fact side, and instead of hand-salting,
+    // AQE's OptimizeSkewedJoin splits the oversized shuffle partition
+    // into advisory-sized slices at runtime (the dim side's matching
+    // partition is replicated per slice — exactly what salting does
+    // by hand, decided from MEASURED partition sizes instead of
+    // guessed skew). The declared key materializes under conf scope
+    // (the join_runtime_bloom precedent); ScaleJoinsSpec asserts the
+    // executed SMJ carries the skew=true marker. The oracle runs the
+    // plain hot-keyed join — the split must not change results.
+    "join_skew_aqe" -> ((s, d) => withSkewConfs(s) {
+      skewAqePlan(s, d).localCheckpoint(true)
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       val probe = Tables.lineitem(s, d)
         .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
@@ -197,6 +262,16 @@ object ScaleJoins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_aqe" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 20 <> 0 THEN 1
+                               ELSE l_orderkey END AS hk,
+                          l_extendedprice
+                   FROM lineitem)
+         SELECT o_orderpriority, count(*) AS n_items,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS revenue
+         FROM f JOIN orders ON hk = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "join_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)

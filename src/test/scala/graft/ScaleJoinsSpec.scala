@@ -33,6 +33,37 @@ class ScaleJoinsSpec extends GraftSuite {
     assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
   }
 
+  test("join_skew_aqe: AQE splits the hot partition (skew marker in " +
+      "the executed SMJ) and results equal the plain join") {
+    ScaleJoins.withSkewConfs(spark) {
+      val df = ScaleJoins.skewAqePlan(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val lower = plan.toLowerCase
+      assert(lower.contains("skew"),
+        s"no skew-split marker in the executed plan:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"skew split requires a sort-merge join:\n$plan")
+    }
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+    // semantics: the split must not change results vs the hint-free
+    // hot-keyed join at session confs
+    val aqe = ScaleJoins.queries("join_skew_aqe")(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("hk",
+        when(pmod(col("l_orderkey"), lit(20)) =!= 0, 1L)
+          .otherwise(col("l_orderkey")))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("hk") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"))
+    assert(aqe.except(plain).isEmpty && plain.except(aqe).isEmpty)
+  }
+
   test("join_runtime_bloom injects bloom_filter_might_contain on the fact side") {
     ScaleJoins.withBloomConfs(spark) {
       val df = ScaleJoins.runtimeBloomPlan(spark, sf)
