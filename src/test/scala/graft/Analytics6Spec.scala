@@ -416,4 +416,46 @@ class Analytics6Spec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-20 should plan as TakeOrderedAndProject")
   }
+
+  test("window_pattern_kstep: reach counts match a driver-side replay " +
+    "of the carry chain and attrit monotonically") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("window_pattern_kstep")(spark, sf)
+      .collect().head
+    val got = (0 to 4).map(row.getLong)
+    // monotone attrition: each step reaches a subset of the previous
+    assert(got(1) <= got(0) && got(2) <= got(1)
+      && got(3) <= got(2) && got(4) <= got(3), s"not monotone: $got")
+    // driver-side one-pass NFA replay (the declared steps verbatim)
+    val steps = Seq[(String, Option[Long])](
+      "signup" -> None,
+      "view" -> Some(12L * 3600 * 1000000),
+      "click" -> Some(8L * 3600 * 1000000),
+      "purchase" -> Some(8L * 3600 * 1000000))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val reach = Array.fill(steps.size)(0)
+    val users = ev.groupBy(_._1)
+    users.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      val st = Array.fill[Option[Long]](steps.size)(None)
+      ordered.foreach { case (_, _, t, us) =>
+        steps.zipWithIndex.foreach { case ((typ, dl), i) =>
+          val ok = t == typ && (dl match {
+            case None => true
+            case Some(w) => st(i - 1).exists(p => us - p <= w)
+          })
+          if (ok) st(i) = Some(st(i).fold(us)(math.max(_, us)))
+        }
+      }
+      steps.indices.foreach(i => if (st(i).isDefined) reach(i) += 1)
+    }
+    assert(got(0) == users.size.toLong, "n_users mismatch")
+    steps.indices.foreach(i =>
+      assert(got(i + 1) == reach(i).toLong,
+        s"step $i: declared ${got(i + 1)} vs replay ${reach(i)}"))
+  }
 }
