@@ -415,6 +415,20 @@ class Analytics6Spec extends GraftSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       "top-20 should plan as TakeOrderedAndProject")
+    // r12 shave (VERDICT r10 #5): phrase length is a (doc_id, pid)
+    // window riding the doc_id hash partitioning of the stop-count
+    // window, not a groupBy+join-back — the executed plan must show
+    // the reuse (ReusedExchange of the doc_id exchange) and carry at
+    // most 3 shuffle exchanges total: doc_id (windows), w (word
+    // stats), phrase (dedup). Final plan only — the AQE echo of the
+    // initial plan would double-count.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"(doc_id, pid) window no longer reuses the doc_id exchange:\n$plan")
+    val nShuffles = "\\+- Exchange hashpartitioning".r
+      .findAllIn(finalPlan).length
+    assert(nShuffles <= 3,
+      s"RAKE plan regressed to $nShuffles shuffle exchanges:\n$plan")
   }
 
   test("window_pattern_kstep: reach counts match a driver-side replay " +
