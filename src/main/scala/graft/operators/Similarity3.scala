@@ -10,7 +10,10 @@ import graft.Tables
   * matryoshka prefix retrieval (`sim_matryoshka_truncate`): a
   * bounded-out-degree neighbor graph (the NSW/HNSW base-layer idea —
   * Malkov & Yashunin 2016, arXiv:1603.09320) built in FIXED relational
-  * rounds, searched by FIXED-round greedy beam expansion.
+  * rounds, searched by FIXED-round greedy beam expansion, and
+  * MAINTAINED incrementally (`sim_graph_ann_insert`: beam-place a
+  * new-arrival batch on the existing graph + reverse-attach — the
+  * full index lifecycle, never a corpus rebuild per batch).
   *
   * Sequential NSW insertion is inherently serial, so the build is
   * re-expressed as relational NN-DESCENT (Dong, Moses & Li, WWW'11,
@@ -85,6 +88,9 @@ object Similarity3 {
   private val EF = 32
   /** Entry nodes: first member of the first NENT id-blocks. */
   private val NENT = 8
+  /** Insert-batch size for sim_graph_ann_insert (the INS highest ids
+    * play "today's arrivals"; the rest are yesterday's corpus). */
+  private val INS = 50
 
   /** Run `body` at 4 shuffle partitions (restored after): every frame
     * in the build/search is ≤ ~N·(2M)² tiny (id, id) rows, and the
@@ -100,22 +106,35 @@ object Similarity3 {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Re-rank candidate pairs (a, b) to each a's top-M by cosine,
+    * scoring against `e` (vec_id, embedding); keeps `cos`. */
+  private def topMFor(e: DataFrame)(cand: DataFrame): DataFrame = {
+    val wA = Window.partitionBy("a")
+      .orderBy(round(col("cos"), 4).desc, col("b"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= M)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** The bounded-degree neighbor graph: (a, b) with ≤ M rows per a. */
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame =
     withFewPartitions(s) { graphEdgesImpl(s, d) }
 
   private def graphEdgesImpl(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val wA = Window.partitionBy("a")
-      .orderBy(round(col("cos"), 4).desc, col("b"))
-    def topM(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-      .withColumn("cos", expr("cosine_sim(ea, eb)"))
-      .withColumn("rk", row_number().over(wA))
-      .filter(col("rk") <= M)
-      .select(col("a"), col("b"))
+    buildEdges(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+  }
+
+  /** NN-descent build over an arbitrary (vec_id, embedding) frame —
+    * the base-corpus parameter is what lets sim_graph_ann_insert
+    * build on yesterday's corpus and place today's batch. */
+  private def buildEdges(e: DataFrame): DataFrame = {
+    def topM(cand: DataFrame): DataFrame =
+      topMFor(e)(cand).select(col("a"), col("b"))
     // two-family seed blocks: id-range + hash (see Scaladoc)
     val cnt = e.agg(count(lit(1)).as("nv"))
     val hb = e.select(col("vec_id")).crossJoin(broadcast(cnt))
@@ -160,6 +179,13 @@ object Similarity3 {
     val entry = e.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
         && col("vec_id") < BLOCK * NENT)
       .select(col("vec_id").as("node"))
+    beamSearch(e, edges, q, entry)
+  }
+
+  /** R-round greedy beam over `edges` for query frame `q` (qid, qe),
+    * starting from `entry` (node); scores against `e`. */
+  private def beamSearch(e: DataFrame, edges: DataFrame, q: DataFrame,
+      entry: DataFrame): DataFrame = {
     val wQ = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 4).desc, col("node"))
     def rescore(cand: DataFrame): DataFrame = cand
@@ -228,6 +254,63 @@ object Similarity3 {
           (col("n_hit") * lit(1.0) / col("n_true")).as("recall10"))
         .orderBy("qid")
     }),
+
+    // Incremental insertion (r12) — the index-MAINTENANCE leg that
+    // completes the family lifecycle (build → search → recall-eval →
+    // insert), the relational form of HNSW's insertion path: the INS
+    // highest ids play "today's arrivals", the rest is yesterday's
+    // corpus whose graph is ALREADY BUILT. Each new vector is placed
+    // by the same greedy beam over the BASE graph (cost O(R·ef·M)
+    // per arrival — corpus-independent, the whole point: a daily
+    // batch never re-runs NN-descent over the corpus), its top-M beam
+    // hits become its out-edges, and the REVERSE-ATTACH step (the
+    // HNSW bidirectional-link repair) re-ranks each touched base
+    // node's list over old-neighbors ∪ new-arrival candidates, cut
+    // back to M — so arrivals become REACHABLE, not just placed
+    // (without reverse links a new node has in-degree 0 and search
+    // can never return it). Declared output: top-3 placements for the
+    // 5 lowest arrival ids + the count of base nodes whose lists
+    // actually rewired (the census that proves the attach step did
+    // work — folded into every row so the hash covers it).
+    "sim_graph_ann_insert" -> ((s, d) => withFewPartitions(s) {
+      graft.functions.GraftFunctions.register(s)
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cnt = all.agg(count(lit(1)).as("nv"))
+      val withN = all.crossJoin(broadcast(cnt))
+      val base = withN.filter(col("vec_id") < col("nv") - INS)
+        .select(col("vec_id"), col("embedding"))
+      val batch = withN.filter(col("vec_id") >= col("nv") - INS)
+      val edges = buildEdges(base)
+      val q = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val entry = base.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
+          && col("vec_id") < BLOCK * NENT)
+        .select(col("vec_id").as("node"))
+      val beam = beamSearch(all, edges, q, entry)
+      val wN = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("node"))
+      val newEdges = beam.withColumn("rk", row_number().over(wN))
+        .filter(col("rk") <= M)
+        .select(col("qid").as("a"), col("node").as("b"), col("cos"))
+        .localCheckpoint()
+      val rev = newEdges.select(col("b").as("a"), col("a").as("b"))
+      val affected = rev.select("a").distinct()
+      val updCand = edges.join(affected, Seq("a")).select("a", "b")
+        .union(rev).distinct()
+      val updated = topMFor(all)(updCand).localCheckpoint()
+      val rewired = updated.select("a", "b")
+        .join(edges, Seq("a", "b"), "left_anti")
+        .agg(countDistinct(col("a")).as("n_base_rewired"))
+      val wr = Window.partitionBy("a")
+        .orderBy(round(col("cos"), 4).desc, col("b"))
+      newEdges.crossJoin(broadcast(cnt))
+        .filter(col("a") < col("nv") - (INS - 5))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .crossJoin(broadcast(rewired))
+        .select(col("a").as("qid"), col("rank"), col("b").as("vec_id"),
+          round(col("cos"), 4).as("cos"), col("n_base_rewired"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** Index-order left-fold cosine between two `n`-CTE rows. */
@@ -261,13 +344,15 @@ object Similarity3 {
     * never diverge (the MirroredLsh.candidateSqlCtes pattern). The
     * 48-bit md5 integer is the sample_time_decay hex-fold mirror of
     * Spark's conv(substring(md5(id),1,12),16,10). */
-  private def searchCtes: String = {
-    val u48 =
-      """CAST(list_aggregate(list_transform(range(1, 13),
-           j -> (strpos('0123456789abcdef',
-                   substr(md5(CAST(vec_id AS VARCHAR)),
-                          CAST(j AS INT), 1)) - 1)
-                * pow(16, 12 - j)), 'sum') AS BIGINT)"""
+  private val sqlU48 =
+    """CAST(list_aggregate(list_transform(range(1, 13),
+         j -> (strpos('0123456789abcdef',
+                 substr(md5(CAST(vec_id AS VARCHAR)),
+                        CAST(j AS INT), 1)) - 1)
+              * pow(16, 12 - j)), 'sum') AS BIGINT)"""
+
+  /** seed→e$T NN-descent chain (assumes hb is already defined). */
+  private def sqlDescentChain: String = {
     val descent = (1 to T).map { r =>
       val prev = if (r == 1) "seed" else s"e${r - 1}"
       s"""u$r AS (SELECT a, b FROM $prev
@@ -279,6 +364,20 @@ object Similarity3 {
                         WHERE s1.a <> s2.b)),
          ${sqlTopM(s"e$r", s"c$r")}"""
     }.mkString(",\n")
+    s"""sc AS (SELECT DISTINCT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM hb x JOIN hb y
+                ON x.dblk = y.dblk AND x.vec_id <> y.vec_id
+              UNION ALL
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM hb x JOIN hb y
+                ON x.hblk = y.hblk AND x.vec_id <> y.vec_id)),
+        ${sqlTopM("seed", "sc")},
+        $descent"""
+  }
+
+  /** bc0→beam$R beam chain (assumes qv and ent are already defined). */
+  private def sqlBeamChain: String = {
     val beams = (1 to R).map { r =>
       val prev = if (r == 1) "beam0" else s"beam${r - 1}"
       s"""bc$r AS (SELECT DISTINCT qid, node FROM (
@@ -287,6 +386,12 @@ object Similarity3 {
                         FROM $prev p JOIN e$T g ON p.node = g.a)),
          ${sqlBeam(s"beam$r", s"bc$r")}"""
     }.mkString(",\n")
+    s"""bc0 AS (SELECT qid, node FROM qv, ent),
+        ${sqlBeam("beam0", "bc0")},
+        $beams"""
+  }
+
+  private def searchCtes: String =
     s"""e AS MATERIALIZED (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
@@ -297,25 +402,38 @@ object Similarity3 {
         cnt AS (SELECT count(*) AS nv FROM e),
         hb AS MATERIALIZED (SELECT vec_id,
               vec_id // $BLOCK AS dblk,
-              $u48 % ((nv + ${BLOCK - 1}) // $BLOCK) AS hblk
+              $sqlU48 % ((nv + ${BLOCK - 1}) // $BLOCK) AS hblk
             FROM e CROSS JOIN cnt),
-        sc AS (SELECT DISTINCT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b
-              FROM hb x JOIN hb y
-                ON x.dblk = y.dblk AND x.vec_id <> y.vec_id
-              UNION ALL
-              SELECT x.vec_id AS a, y.vec_id AS b
-              FROM hb x JOIN hb y
-                ON x.hblk = y.hblk AND x.vec_id <> y.vec_id)),
-        ${sqlTopM("seed", "sc")},
-        $descent,
+        $sqlDescentChain,
         qv AS (SELECT vec_id AS qid FROM e WHERE vec_id < 5),
         ent AS (SELECT vec_id AS node FROM e
                 WHERE vec_id % $BLOCK = 0 AND vec_id < ${BLOCK * NENT}),
-        bc0 AS (SELECT qid, node FROM qv, ent),
-        ${sqlBeam("beam0", "bc0")},
-        $beams"""
-  }
+        $sqlBeamChain"""
+
+  /** The insert variant: build on the base (all but the INS highest
+    * ids), beam-place the batch (the INS highest ids) as queries. */
+  private def insertCtes: String =
+    s"""e AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        n AS MATERIALIZED (SELECT vec_id, v,
+              sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                AS nrm
+            FROM e),
+        cnt AS (SELECT count(*) AS nv FROM e),
+        eb AS (SELECT vec_id FROM e CROSS JOIN cnt
+               WHERE vec_id < nv - $INS),
+        cntb AS (SELECT count(*) AS nb FROM eb),
+        hb AS MATERIALIZED (SELECT vec_id,
+              vec_id // $BLOCK AS dblk,
+              $sqlU48 % ((nb + ${BLOCK - 1}) // $BLOCK) AS hblk
+            FROM eb CROSS JOIN cntb),
+        $sqlDescentChain,
+        qv AS (SELECT vec_id AS qid FROM e CROSS JOIN cnt
+               WHERE vec_id >= nv - $INS),
+        ent AS (SELECT vec_id AS node FROM eb
+                WHERE vec_id % $BLOCK = 0 AND vec_id < ${BLOCK * NENT}),
+        $sqlBeamChain"""
 
   val oracles: Map[String, String] = Map(
     "sim_graph_ann" ->
@@ -356,5 +474,32 @@ object Similarity3 {
          FROM truth t LEFT JOIN got g
            ON g.qid = t.qid AND g.vec_id = t.vec_id
          GROUP BY t.qid ORDER BY t.qid""",
+    "sim_graph_ann_insert" ->
+      s"""WITH $insertCtes,
+              newe AS MATERIALIZED (SELECT a, b, cos FROM (
+                 SELECT qid AS a, node AS b, cos,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY round(cos, 4) DESC, node) AS rn
+                 FROM beam$R) WHERE rn <= $M),
+              rev AS (SELECT b AS a, a AS b FROM newe),
+              aff AS (SELECT DISTINCT a FROM rev),
+              updc AS (SELECT DISTINCT a, b FROM (
+                 SELECT g.a, g.b FROM e$T g JOIN aff ON g.a = aff.a
+                 UNION ALL SELECT a, b FROM rev)),
+              ${sqlTopM("upd", "updc")},
+              rw AS (SELECT count(DISTINCT u.a) AS n_base_rewired
+                     FROM upd u LEFT JOIN e$T g
+                       ON g.a = u.a AND g.b = u.b
+                     WHERE g.a IS NULL),
+              rep AS (SELECT a, b, cos,
+                             row_number() OVER (PARTITION BY a
+                               ORDER BY round(cos, 4) DESC, b) AS rn
+                      FROM newe)
+         SELECT a AS qid, CAST(rn AS INTEGER) AS rank, b AS vec_id,
+                round(cos, 4) AS cos,
+                CAST(n_base_rewired AS BIGINT) AS n_base_rewired
+         FROM rep CROSS JOIN rw CROSS JOIN cnt
+         WHERE rn <= 3 AND a < nv - ${INS - 5}
+         ORDER BY qid, rank""",
   )
 }

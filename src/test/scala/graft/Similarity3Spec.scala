@@ -59,6 +59,43 @@ class Similarity3Spec extends GraftSuite {
     assert(mean >= 0.7, s"mean recall@10 below gate: $mean")
   }
 
+  test("sim_graph_ann_insert: placements land in the base, quality " +
+    "beats the rank-10 truth bar, and the reverse attach rewires " +
+    "base lists") {
+    val rows = Similarity3.queries("sim_graph_ann_insert")(spark, sf)
+      .collect()
+    assert(rows.length == 15) // 5 reported arrivals × top-3
+    val nv = graft.Tables.embeddings(spark, sf).count()
+    val rewired = rows.map(_.getLong(4)).distinct
+    assert(rewired.length == 1 && rewired.head > 0,
+      s"reverse attach rewired nothing: ${rewired.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= nv - 50 && r.getLong(0) < nv - 45,
+        "report must cover the 5 lowest arrival ids")
+      assert(r.getLong(2) < nv - 50, "placement points outside the base")
+    }
+    // quality: each arrival's top-1 placement must be at least as
+    // close as its TRUE 10th-nearest base vector (driver-side truth)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      val qv = emb(r.getLong(0))
+      val t10 = emb.toSeq.filter(_._1 < nv - 50)
+        .map { case (_, v) => cos(qv, v) }.sorted.reverse.apply(9)
+      assert(r.getDouble(3) >= t10 - 1e-4,
+        s"arrival ${r.getLong(0)}: top-1 placement ${r.getDouble(3)} " +
+          s"below the rank-10 truth bar $t10")
+    }
+  }
+
   test("sim_graph_ann: deterministic across runs (md5 seed blocks, " +
     "rank tiebreaks, fixed rounds)") {
     val a = Similarity3.queries("sim_graph_ann")(spark, sf).collect().toSeq
