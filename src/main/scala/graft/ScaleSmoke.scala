@@ -366,11 +366,45 @@ object ScaleSmoke {
       },
     )
 
+    // round-12 shape: one NN-descent seed + top-M round of the
+    // graph-ANN build (Similarity3) — the build's per-round cost
+    // driver. Replicated corpora keep ~25-wide blocks in BOTH seed
+    // families (id-range blocks are replica-disjoint; the hash-block
+    // modulus scales with the count so hash blocks stay ~B wide), so
+    // pair count and fold work grow ~K×, never quadratically.
+    def shapes6(tag: String, emb: => org.apache.spark.sql.DataFrame) = Seq(
+      time(s"$tag/graph_ann_descent") {
+        val e = emb
+        val cnt = e.agg(count(lit(1)).as("nv"))
+        val hb = e.select(col("vec_id")).crossJoin(broadcast(cnt))
+          .select(col("vec_id"),
+            expr("CAST(vec_id div 25 AS BIGINT)").as("dblk"),
+            expr("""CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12),
+                         16, 10) AS BIGINT) % ((nv + 24) div 25)""").as("hblk"))
+        def pairs(kc: String) = hb.select(col("vec_id").as("a"), col(kc))
+          .join(hb.select(col("vec_id").as("b"), col(kc)), Seq(kc))
+          .filter(col("a") =!= col("b")).select("a", "b")
+        val seed = pairs("dblk").union(pairs("hblk")).distinct()
+        val w = Window.partitionBy("a")
+          .orderBy(round(col("cos"), 4).desc, col("b"))
+        seed
+          .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")),
+            Seq("a"))
+          .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
+            Seq("b"))
+          .withColumn("cos", expr("cosine_sim(ea, eb)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 14)
+          .count()
+      },
+    )
+
     val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++
-      shapes3("x1", 1) ++ shapes4("x1", emb1) ++ shapes5("x1", docs1, 1)
+      shapes3("x1", 1) ++ shapes4("x1", emb1) ++ shapes5("x1", docs1, 1) ++
+      shapes6("x1", emb1)
     val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK) ++
       shapes3(s"x$k", k) ++ shapes4(s"x$k", embK) ++
-      shapes5(s"x$k", docsK, k)
+      shapes5(s"x$k", docsK, k) ++ shapes6(s"x$k", embK)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns
