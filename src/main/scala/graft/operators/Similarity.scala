@@ -527,6 +527,46 @@ object Similarity {
           round(col("err"), 4).as("l1_err"),
           expr("q[0]").as("q0"), expr("q[1]").as("q1"))
         .orderBy("vec_id")),
+
+    // 1-bit sign quantization + Hamming-scan top-k (r12) — the
+    // int8 key taken to the memory floor: 64 float dims → 64 sign
+    // bits packed into TWO 32-bit words held as BIGINTs (a full
+    // 64-bit pack would put bit 63 in the sign position, where
+    // shift/compare semantics stop being portable across engines) —
+    // 16 B of code per 256 B vector. The scan stage touches ONLY the
+    // code words: bit_count(xor) is pure codegen'd integer work, and
+    // the rank keys (hamming ASC, vec_id) are integers, so the
+    // ranking mirrors exactly with no float rounding anywhere. The
+    // exact-cosine re-score joins raw vectors back for the ≤15
+    // SELECTED rows alone — the standard two-stage shape at 100 TB
+    // (coarse scan over compact codes, exact re-rank on survivors);
+    // the probe side is the bounded 5-row batch (hint allowed per
+    // the Tables.scala policy), the code⋈vector back-join is
+    // hint-free equi on vec_id (AQE broadcasts the 15-row side).
+    "sim_binary_hamming_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def word(off: Int) = expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, p) ->
+              acc + IF(CAST(element_at(embedding, p + ${off + 1}) AS DOUBLE) > 0D,
+                       shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
+      val codes = e.select(col("vec_id"), word(0).as("wlo"), word(32).as("whi"))
+      val q = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("wlo").as("plo"), col("whi").as("phi"))
+      val w = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
+      val top = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(wlo ^ plo) + bit_count(whi ^ phi) AS BIGINT)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("hamming"))
+      val qe = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      top.join(e, Seq("vec_id")).join(broadcast(qe), Seq("qid"))
+        .select(col("qid"), col("rank"), col("vec_id"), col("hamming"),
+          round(expr("cosine_sim(qe, embedding)"), 4).as("cos"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -903,6 +943,41 @@ object Similarity {
          SELECT vec_id, round(scale, 4) AS scale4, round(err, 4) AS l1_err,
                 q[1] AS q0, q[2] AS q1
          FROM r ORDER BY vec_id""",
+    "sim_binary_hamming_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              c AS (SELECT vec_id, v,
+                           CAST(list_aggregate(list_transform(range(0, 32),
+                             p -> CASE WHEN v[CAST(p + 1 AS INT)] > 0
+                                  THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                                  ELSE CAST(0 AS BIGINT) END), 'sum')
+                             AS BIGINT) AS wlo,
+                           CAST(list_aggregate(list_transform(range(32, 64),
+                             p -> CASE WHEN v[CAST(p + 1 AS INT)] > 0
+                                  THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INT))
+                                  ELSE CAST(0 AS BIGINT) END), 'sum')
+                             AS BIGINT) AS whi,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS qid, wlo AS plo, whi AS phi,
+                           v AS qv, nrm AS qnrm
+                    FROM c WHERE vec_id < 5),
+              h AS (SELECT q.qid, c.vec_id,
+                           CAST(bit_count(xor(c.wlo, q.plo))
+                                + bit_count(xor(c.whi, q.phi)) AS BIGINT)
+                             AS hamming,
+                           q.qv, q.qnrm, c.v, c.nrm
+                    FROM c JOIN q ON c.vec_id <> q.qid),
+              r AS (SELECT qid, vec_id, hamming, qv, qnrm, v, nrm,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY hamming, vec_id) AS rank
+                    FROM h)
+         SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, hamming,
+                round(list_aggregate(list_transform(range(1, 65),
+                        i -> qv[i] * v[i]), 'sum') / (qnrm * nrm), 4) AS cos
+         FROM r WHERE rank <= 3 ORDER BY qid, rank""",
     "udf_scalar" ->
       """SELECT doc_id,
                 substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'),

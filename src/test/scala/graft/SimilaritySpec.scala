@@ -146,4 +146,37 @@ class SimilaritySpec extends GraftSuite {
         s"probe $qid: MMR set is not more diverse than plain top-5")
     }
   }
+
+  test("sim_binary_hamming_topk: exactly matches a driver-side " +
+      "sign-code + hamming-rank mirror") {
+    val out = Similarity.queries("sim_binary_hamming_topk")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length == 15) // 5 probes × top-3
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def code(v: Array[Double]): Array[Boolean] = v.map(_ > 0d)
+    def ham(a: Array[Boolean], b: Array[Boolean]): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L to 4L).foreach { qid =>
+      val qc = code(vecs(qid))
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, ham(qc, code(vecs(c)))))
+        .sortBy { case (c, h) => (h, c) }.take(3)
+      val got = out.filter(_._1 == qid).sortBy(_._2)
+      assert(got.map(g => (g._3, g._4)).toSeq == want,
+        s"probe $qid: engine ${got.toSeq} != mirror $want")
+      // the cos column is the EXACT full-width cosine of the selected
+      // pair (the two-stage contract: scan on codes, re-score exact)
+      got.foreach { g =>
+        assert(math.abs(g._5 - cos(vecs(qid), vecs(g._3))) <= 5e-5)
+      }
+    }
+  }
 }
