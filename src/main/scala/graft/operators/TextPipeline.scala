@@ -332,6 +332,64 @@ object TextPipeline {
           )).as("resized_md5"),
           substring(col("text"), 1, 1).as("px0"))
         .orderBy("doc_id")),
+
+    // Perceptual-hash near-dup over the opaque payload (r12) — the
+    // image-dedup leg the multimodal family lacked: aHash (average
+    // hash) over a STUB decode (64 byte positions sampled at uniform
+    // stride stand in for an 8×8 grayscale downsample — real codecs
+    // are not in this container; the fixture is ASCII so char code ==
+    // byte value), bit_p = sample_p·64 > Σsamples (all-integer, no
+    // mean division), packed into two 32-bit words. Near-dup JOIN is
+    // 4×16-bit band pigeonhole (the dedup_simhash geometry): any pair
+    // with hamming ≤ 3 shares an identical band BY CONSTRUCTION
+    // (3 differing bits can't touch all 4 bands), so the banded
+    // equi-join is recall-complete at that radius and NEVER all-pairs
+    // — at 100 TB only 8-byte phashes shuffle, never payloads, and a
+    // band bucket holds only codes that agree on 16 bits. Exact
+    // hamming (bit_count(xor), integer codegen) verifies collisions.
+    // Output: the 10 closest candidate pairs + a census row (sampled
+    // docs, candidate-pair volume — the number that tunes the band
+    // geometry before a real run; kind='census', hamming=-1).
+    "multimodal_phash" -> ((s, d) => {
+      val ph = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, 63), p ->
+               CAST(ascii(substring(text,
+                 1 + CAST((p * (length(text) - 1)) div 63 AS INT), 1))
+                 AS BIGINT))""").as("gray"))
+        .withColumn("tot",
+          expr("aggregate(gray, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("wlo", expr(
+          """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, p) ->
+               a + IF(element_at(gray, p + 1) * 64 > tot,
+                      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))"""))
+        .withColumn("whi", expr(
+          """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, p) ->
+               a + IF(element_at(gray, p + 33) * 64 > tot,
+                      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))"""))
+        .select("doc_id", "wlo", "whi")
+      val banded = ph.select(col("doc_id"), col("wlo"), col("whi"),
+        posexplode(expr(
+          """array(wlo & 65535, shiftright(wlo, 16) & 65535,
+                   whi & 65535, shiftright(whi, 16) & 65535)"""))
+          .as(Seq("band", "bval")))
+      val pairs = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("CAST(bit_count(x.wlo ^ y.wlo) + bit_count(x.whi ^ y.whi) AS BIGINT)")
+            .as("hamming"))
+        .distinct()
+      val top = pairs.orderBy(col("hamming"), col("a"), col("b")).limit(10)
+        .select(lit("pair").as("kind"), col("a"), col("b"), col("hamming"))
+      val census = ph.agg(count(lit(1)).as("a"))
+        .crossJoin(pairs.agg(count(lit(1)).as("b"))) // 1-row × 1-row
+        .select(lit("census").as("kind"), col("a"), col("b"),
+          lit(-1L).as("hamming"))
+      top.unionByName(census).orderBy("kind", "a", "b")
+    }),
   )
 
   /** Frame sampling over an opaque binary payload (STUB decode: the
@@ -525,5 +583,49 @@ object TextPipeline {
                   AS vnorm
          FROM documents JOIN embeddings ON doc_id = vec_id
          WHERE doc_id % 50 = 0 ORDER BY doc_id""",
+    "multimodal_phash" ->
+      """WITH g AS (SELECT doc_id,
+                           list_transform(range(0, 64), p ->
+                             CAST(ascii(substring(text,
+                               1 + CAST((CAST(p AS INT) * (length(text) - 1))
+                                        // 63 AS INT), 1)) AS BIGINT)) AS gray
+                    FROM documents WHERE doc_id % 5 = 0),
+              g2 AS (SELECT doc_id, gray,
+                            list_aggregate(gray, 'sum') AS tot FROM g),
+              ph AS (SELECT doc_id,
+                            CAST(list_aggregate(list_transform(range(0, 32),
+                              p -> CASE WHEN gray[CAST(p + 1 AS INT)] * 64 > tot
+                                   THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                                   ELSE CAST(0 AS BIGINT) END), 'sum')
+                              AS BIGINT) AS wlo,
+                            CAST(list_aggregate(list_transform(range(0, 32),
+                              p -> CASE WHEN gray[CAST(p + 33 AS INT)] * 64 > tot
+                                   THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                                   ELSE CAST(0 AS BIGINT) END), 'sum')
+                              AS BIGINT) AS whi
+                     FROM g2),
+              banded AS (SELECT doc_id, wlo, whi, band,
+                                CASE band WHEN 0 THEN wlo & 65535
+                                          WHEN 1 THEN (wlo >> 16) & 65535
+                                          WHEN 2 THEN whi & 65535
+                                          ELSE (whi >> 16) & 65535
+                                END AS bval
+                         FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band)),
+              pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                               CAST(bit_count(xor(x.wlo, y.wlo))
+                                    + bit_count(xor(x.whi, y.whi)) AS BIGINT)
+                                 AS hamming
+                        FROM banded x JOIN banded y
+                          ON x.band = y.band AND x.bval = y.bval
+                             AND x.doc_id < y.doc_id),
+              top AS (SELECT 'pair' AS kind, a, b, hamming
+                      FROM pairs ORDER BY hamming, a, b LIMIT 10),
+              census AS (SELECT 'census' AS kind,
+                                (SELECT count(*) FROM ph) AS a,
+                                (SELECT count(*) FROM pairs) AS b,
+                                CAST(-1 AS BIGINT) AS hamming)
+         SELECT kind, a, b, hamming FROM top
+         UNION ALL SELECT kind, a, b, hamming FROM census
+         ORDER BY kind, a, b""",
   )
 }

@@ -152,4 +152,45 @@ class PropertiesSpec extends GraftSuite {
     assert(rate(docs.filter(_._1 >= median)) > rate(docs.filter(_._1 < median)),
       "importance weighting must favor longer documents")
   }
+
+  test("multimodal_phash: exactly matches a driver-side aHash mirror; " +
+      "every candidate pair shares an identical 16-bit band") {
+    val out = graft.operators.TextPipeline.queries("multimodal_phash")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side aHash: 64 stride-sampled codes, mean-threshold bits
+    def hash(t: String): Array[Boolean] = {
+      val g = (0 to 63).map(p => t.charAt(p * (t.length - 1) / 63).toLong)
+      val tot = g.sum
+      g.map(_ * 64 > tot).toArray
+    }
+    val codes = docs.view.mapValues(hash).toMap
+    def ham(a: Long, b: Long): Long =
+      codes(a).zip(codes(b)).count { case (x, y) => x != y }.toLong
+    def bands(id: Long): Seq[Seq[Boolean]] =
+      codes(id).grouped(16).map(_.toSeq).toSeq
+    val census = out.filter(_._1 == "census")
+    assert(census.length == 1 && census.head._2 == docs.size.toLong)
+    val pairs = out.filter(_._1 == "pair")
+    assert(pairs.nonEmpty && pairs.length <= 10)
+    pairs.foreach { case (_, a, b, h) =>
+      assert(h == ham(a, b), s"pair ($a,$b): engine hamming $h != mirror")
+      assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y },
+        s"pair ($a,$b) shares no identical band — not a banded candidate")
+    }
+    // the 10 reported pairs are the global closest among ALL banded
+    // candidates (mirror the full candidate set, not just the top)
+    val cand = (for {
+      a <- docs.keys; b <- docs.keys
+      if a < b && bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+    } yield (ham(a, b), a, b)).toSeq.sorted
+    assert(census.head._3 == cand.length.toLong,
+      s"candidate census ${census.head._3} != mirror ${cand.length}")
+    assert(pairs.sortBy(p => (p._4, p._2, p._3)).map(p => (p._4, p._2, p._3))
+      .toSeq == cand.take(pairs.length),
+      "reported pairs are not the global closest candidates")
+  }
 }
