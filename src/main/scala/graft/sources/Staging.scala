@@ -323,6 +323,36 @@ object Staging {
         .orderBy("s_nationkey")
     }),
 
+    // Built-in XML roundtrip (r12) — Spark 4's native XML source (the
+    // spark-xml package merged into core): write customer as
+    // <customers><customer>… rows, read back with an EXPLICIT schema
+    // (XML is stringly-typed on disk; the declared read schema makes
+    // the trip type-exact — Double.toString → parse is bit-exact by
+    // the Java round-trip contract), fingerprint per nation. Scale
+    // note: XML doesn't split inside a rowTag — per-FILE parallelism
+    // like multiLine JSON, fine for ingest-once staging, never the
+    // hot storage format (that's the parquet everything else reads).
+    "scan_xml_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_xml_")
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("rootTag", "customers").option("rowTag", "customer")
+        .format("xml").save(out)
+      val st = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.schema(st).option("rowTag", "customer")
+        .format("xml").load(out)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_nationkey")
+    }),
+
     // Raw text-lines ingest (spark.read.text — the log/corpus path):
     // one column per line, schema-free by construction. Round-trips
     // the documents corpus through the engine's own text sink and
@@ -749,6 +779,12 @@ object Staging {
                 round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "scan_xml_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS total,
+                min(c_name) AS first_name
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "scan_text_lines" ->
       """SELECT length(text) % 10 AS len_bucket, count(*) AS n,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
