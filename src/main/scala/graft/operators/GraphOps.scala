@@ -86,6 +86,31 @@ object GraphOps {
     * which is what makes peeling non-trivial. Same scale story: the
     * self-join is keyed on l_orderkey (equi, never all-pairs), output
     * bounded by Σ_orders C(items, 2). */
+  /** The shared 4-round label propagation over the co-purchase graph
+    * — (edges u<v, symmetric adjacency, final node→lbl frame), each
+    * round localCheckpoint'ed (the kcore plan-hygiene contract).
+    * Consumed by `graph_community_labelprop` (community census) and
+    * `graph_modularity` (community quality). */
+  private def labelPropagation(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = coPurchaseEdges(s, d, 10).localCheckpoint()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    var lab = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to 4) {
+      lab = adj.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("dst")
+          .orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    (e, adj, lab)
+  }
+
   private[graft] def coPurchaseEdges(s: SparkSession, d: String,
                                      mod: Int): DataFrame = {
     val ps = Tables.lineitem(s, d)
@@ -299,21 +324,7 @@ object GraphOps {
     // per-node argmax window per round. Output: the 20 largest
     // communities + total community count.
     "graph_community_labelprop" -> ((s, d) => {
-      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
-      val adj = e.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-      var lab = adj.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      for (_ <- 1 to 4) {
-        lab = adj.join(lab, col("src") === col("node"))
-          .groupBy(col("dst"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(Window.partitionBy("dst")
-            .orderBy(col("cnt").desc, col("lbl"))))
-          .filter(col("rn") === 1)
-          .select(col("dst").as("node"), col("lbl"))
-          .localCheckpoint()
-      }
+      val (_, _, lab) = labelPropagation(s, d)
       val one = Window.partitionBy(lit(1))
       lab.groupBy("lbl").agg(count(lit(1)).as("size"))
         .withColumn("n_comms", count(lit(1)).over(one))
@@ -323,6 +334,60 @@ object GraphOps {
         .select(col("rank").cast("long").as("rank"),
           col("lbl").as("community"), col("size").as("csize"),
           col("n_comms"))
+        .orderBy("rank")
+    }),
+
+    // Newman modularity of the labelprop partition (r12) — the
+    // quality score that tells you whether to KEEP iterating label
+    // propagation at scale (LP has no objective; modularity is the
+    // stop/tune metric, and the Louvain objective this census
+    // approximates): Q = Σ_c [intra_c/m − (deg_c/2m)²]. All three
+    // inputs are exact integers (intra edge count, community degree
+    // sum, edge count m), so per-community numerators accumulate as
+    // DECIMAL(38,0) — intra·4m and deg² wrap int64 around m ~ 2^31
+    // edges, BELOW the 100 TB design point (the cuped/pps lesson) —
+    // and the only doubles are final exact-integer→double quotients,
+    // floor-quantized. Shuffle profile: the two label joins are
+    // node-grain equi-joins; everything after is community-grain
+    // (one row per community — the bounded synopsis grain the
+    // single-partition ranking window also rides, the labelprop
+    // precedent). Output: top-15 communities by size with their
+    // (intra, deg_sum, contribution) + the global Q folded into
+    // every row.
+    "graph_modularity" -> ((s, d) => {
+      val (e, adj, lab) = labelPropagation(s, d)
+      val mf = e.agg(count(lit(1)).as("m"))
+      val deg = adj.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val degc = deg.join(lab, "node")
+        .groupBy("lbl")
+        .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("csize"))
+      val intra = e
+        .join(lab.select(col("node").as("u"), col("lbl").as("ul")), "u")
+        .join(lab.select(col("node").as("v"), col("lbl").as("vl")), "v")
+        .filter(col("ul") === col("vl"))
+        .groupBy(col("ul").as("lbl"))
+        .agg(count(lit(1)).as("intra"))
+      val one = Window.partitionBy(lit(1))
+      degc.join(intra, Seq("lbl"), "left")
+        .withColumn("intra", coalesce(col("intra"), lit(0L)))
+        .crossJoin(broadcast(mf)) // 1-row aggregate
+        .withColumn("num",
+          col("intra").cast("decimal(38,0)") * 4 * col("m")
+            - col("deg_sum").cast("decimal(38,0)") * col("deg_sum"))
+        .withColumn("den",
+          (col("m").cast("decimal(38,0)") * col("m") * 4).cast("double"))
+        .withColumn("q_contrib",
+          floor(col("num").cast("double") / col("den") * 1e6) / 1e6)
+        .withColumn("q_total",
+          floor(sum(col("num")).over(one).cast("double") / col("den") * 1e6)
+            / 1e6)
+        .withColumn("rank",
+          row_number().over(one.orderBy(col("csize").desc, col("lbl"))))
+        .filter(col("rank") <= 15)
+        .select(col("rank").cast("long").as("rank"),
+          col("lbl").as("community"), col("csize"), col("intra"),
+          col("deg_sum"), col("q_contrib"), col("q_total"))
         .orderBy("rank")
     }),
 
@@ -366,7 +431,10 @@ object GraphOps {
   /** Generated label-propagation oracle: 4 majority-vote rounds as a
     * MATERIALIZED CTE chain (same exponential-inlining medicine as
     * kcoreSql). */
-  private def labelPropSql: String = {
+  /** The shared labelprop CTE chain (ps → ed → adj → l0 → … → l4) —
+    * the oracle twin of `labelPropagation`, used by both the census
+    * and the modularity oracles so the partitions can never diverge. */
+  private def labelPropChainSql: String = {
     val rounds = (1 to 4).map { r =>
       s"""c$r AS MATERIALIZED (SELECT a.dst AS node, l.lbl AS lbl,
                   count(*) AS cnt
@@ -377,17 +445,21 @@ object GraphOps {
                           ORDER BY cnt DESC, lbl) AS rn
                         FROM c$r) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
-                                        l_partkey AS pk
-                                 FROM lineitem WHERE l_partkey % 10 = 0),
-            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
-                                FROM ps a JOIN ps b
-                                  ON a.ok = b.ok AND a.pk < b.pk),
-            adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
-                                 UNION ALL SELECT v, u FROM ed),
-            l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
-                                FROM adj),
-            $rounds,
+    s"""ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                   l_partkey AS pk
+                            FROM lineitem WHERE l_partkey % 10 = 0),
+        ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                            FROM ps a JOIN ps b
+                              ON a.ok = b.ok AND a.pk < b.pk),
+        adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
+                             UNION ALL SELECT v, u FROM ed),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+                            FROM adj),
+        $rounds"""
+  }
+
+  private def labelPropSql: String =
+    s"""WITH $labelPropChainSql,
             sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY lbl)
        SELECT rank, community, csize, n_comms FROM (
          SELECT CAST(row_number() OVER (ORDER BY csize DESC, lbl)
@@ -395,7 +467,39 @@ object GraphOps {
                 lbl AS community, csize,
                 CAST(count(*) OVER () AS BIGINT) AS n_comms
          FROM sz) WHERE rank <= 20 ORDER BY rank"""
-  }
+
+  private def modularitySql: String =
+    s"""WITH $labelPropChainSql,
+            mm AS (SELECT count(*) AS m FROM ed),
+            deg AS (SELECT src AS node, count(*) AS deg
+                    FROM adj GROUP BY src),
+            degc AS (SELECT l.lbl, CAST(sum(deg.deg) AS BIGINT) AS deg_sum,
+                            count(*) AS csize
+                     FROM deg JOIN l4 l ON l.node = deg.node
+                     GROUP BY l.lbl),
+            intra AS (SELECT la.lbl, count(*) AS intra
+                      FROM ed JOIN l4 la ON la.node = ed.u
+                              JOIN l4 lb ON lb.node = ed.v
+                      WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+            per AS (SELECT d.lbl, d.csize,
+                           CAST(coalesce(i.intra, 0) AS BIGINT) AS intra,
+                           d.deg_sum,
+                           CAST(coalesce(i.intra, 0) AS HUGEINT) * 4 * mm.m
+                             - CAST(d.deg_sum AS HUGEINT) * d.deg_sum AS num,
+                           CAST(CAST(mm.m AS HUGEINT) * mm.m * 4 AS DOUBLE)
+                             AS den
+                    FROM degc d LEFT JOIN intra i ON i.lbl = d.lbl
+                    CROSS JOIN mm)
+       SELECT rank, community, csize, intra, deg_sum, q_contrib, q_total
+       FROM (SELECT CAST(row_number() OVER (ORDER BY csize DESC, lbl)
+                         AS BIGINT) AS rank,
+                    lbl AS community, csize, intra, deg_sum,
+                    floor(CAST(num AS DOUBLE) / den * 1e6) / 1e6
+                      AS q_contrib,
+                    floor(CAST(sum(num) OVER () AS DOUBLE) / den * 1e6)
+                      / 1e6 AS q_total
+             FROM per)
+       WHERE rank <= 15 ORDER BY rank"""
 
   /** Generated k-core oracle: the same 6 peel rounds as an explicit
     * CTE chain (e0 → e6), one survivors row per round. Every round
@@ -471,6 +575,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
     "graph_community_labelprop" -> labelPropSql,
+    "graph_modularity" -> modularitySql,
     "graph_bfs_layers" -> bfsSql,
     "graph_wcc_components" ->
       """WITH RECURSIVE

@@ -191,4 +191,58 @@ class GraphOpsSpec extends GraftSuite {
     assert(lab(2L) == 2L, "isolated vertex must self-label")
     assert(lab(0L) == 0L && lab(1L) == 0L)
   }
+
+  test("graph_modularity: exactly matches a driver-side Newman-Q " +
+    "mirror over the labelprop partition") {
+    val got = operators.GraphOps.queries("graph_modularity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    // same LP mirror as the labelprop test
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lab).groupBy(identity)
+          .map { case (l, v) => l -> v.length }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = e.length.toLong
+    val intra = e.filter { case (u, v) => lab(u) == lab(v) }
+      .groupBy { case (u, _) => lab(u) }
+      .map { case (c, es) => c -> es.length.toLong }
+    val degSum = adj.toSeq.groupBy { case (n, _) => lab(n) }
+      .map { case (c, ns) => c -> ns.map(_._2.length.toLong).sum }
+    val csize = lab.values.groupBy(identity)
+      .map { case (c, v) => c -> v.size.toLong }
+    def q6(num: BigInt, den: BigInt): Double =
+      math.floor(num.toDouble / den.toDouble * 1e6) / 1e6
+    val den = BigInt(m) * m * 4
+    val qTotal = q6(csize.keys.map(c =>
+      BigInt(intra.getOrElse(c, 0L)) * 4 * m
+        - BigInt(degSum(c)) * degSum(c)).sum, den)
+    val expect = csize.toSeq.sortBy { case (c, sz) => (-sz, c) }.take(15)
+      .zipWithIndex.map { case ((c, sz), i) =>
+        val ic = intra.getOrElse(c, 0L); val ds = degSum(c)
+        (i + 1L, c, sz, ic, ds,
+          q6(BigInt(ic) * 4 * m - BigInt(ds) * ds, den), qTotal)
+      }
+    assert(got.toSeq == expect,
+      s"modularity mismatch: got=${got.take(3).toSeq}… " +
+        s"expect=${expect.take(3)}…")
+    // Q ∈ [-1/2, 1] (the Newman bounds), and Q == 0 exactly iff ONE
+    // community holds every edge (then intra·4m == deg² == 4m²
+    // term-for-term) — which is what the sf0.001 fixture's 85-edge
+    // graph collapses to; sf0.01's denser graph sits near zero
+    // (−0.000268: the dominant community holds almost every edge, so
+    // LP's partition barely differs from the null model there)
+    assert(qTotal >= -0.5 && qTotal <= 1.0, s"out-of-range Q=$qTotal")
+    if (qTotal == 0.0)
+      assert(intra.size == 1 && intra.values.sum == m,
+        "Q=0 without a single all-edge community — quantization bug")
+  }
 }
