@@ -843,9 +843,101 @@ object Analytics6 {
       staged.agg(countDistinct(col("user_id")).as("n_users"),
         reach: _*)
     }),
+
+    // Group-sequential SPRT (r12) — the SEQUENTIAL leg of the
+    // experimentation family (t-test/CUPED/DiD are fixed-horizon;
+    // real experiment platforms peek, and naive peeking inflates α —
+    // Wald's SPRT is the always-valid answer). Symmetric hypotheses
+    // (success odds 2:1 vs 1:2, i.e. p₁ = 2p₀ odds) make the
+    // log-likelihood walk EXACTLY an integer ±1-per-event random walk
+    // with integer boundaries ±K (ln(2)·(s−f) ⋛ ±K·ln2 — the ln2
+    // divides out), so the whole test is transcendental-free and
+    // mirrors bit-for-bit; K=25 ≈ α=β=2^-25-grade evidence at event
+    // grain, reached mid-experiment by the fixture's p≈0.4 drift.
+    // Scale shape: this is the GROUP-sequential form — per-event
+    // steps aggregate per (arm, daily look) FIRST (a plain groupBy:
+    // map-side partials, shuffle carries 8 arms × 30 days rows),
+    // and the sequential walk runs over that bounded synopsis (the
+    // per-arm window rides a ≤ arms×calendar frame — never
+    // event-grain; a per-EVENT walk would serialize each arm's
+    // stream, which is exactly what interim "looks" exist to avoid).
+    // First-crossing pick is a rank-pinning row_number filter
+    // (hint-audit exempt class).
+    "analytics_sprt_group_sequential" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 25
+      val looks = Tables.events(s, d)
+        // 'error' events are not Bernoulli outcomes of the experiment
+        // — excluding them leaves success (purchase|click) vs failure
+        // (view|signup) balanced 2:2, i.e. a DRIFTLESS null walk:
+        // crossings are variance-driven, so arms decide at different
+        // looks in both directions and one fixture arm never decides
+        // (all three decision branches are live data, not dead code)
+        .filter(col("event_type") =!= "error")
+        .select((col("user_id") % 8).as("arm"), to_date(col("ts")).as("look"),
+          when(col("event_type").isin("purchase", "click"), 1L)
+            .otherwise(-1L).as("step"))
+        .groupBy("arm", "look")
+        .agg(sum(col("step")).as("net"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("arm").orderBy("look")
+      val walked = looks
+        .withColumn("walk", sum(col("net")).over(w))
+        .withColumn("li", row_number().over(w).cast("long"))
+      val hit = walked.filter(abs(col("walk")) >= K)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("arm").orderBy("li")))
+        .filter(col("rn") === 1)
+        .select(col("arm"), col("li").as("decided_at"),
+          col("walk").as("walk_dec"))
+      val tot = walked.groupBy("arm").agg(
+        sum(col("n")).as("n_events"), count(lit(1)).as("n_looks"),
+        sum(col("net")).as("final_walk"))
+      tot.join(hit, Seq("arm"), "left")
+        .select(col("arm"), col("n_events"), col("n_looks"),
+          coalesce(col("decided_at"), lit(-1L)).as("decided_at"),
+          when(col("walk_dec") >= K, lit("accept_h1"))
+            .when(col("walk_dec") <= -K, lit("accept_h0"))
+            .otherwise(lit("continue")).as("decision"),
+          coalesce(col("walk_dec"), col("final_walk")).as("walk_at"),
+          col("final_walk"))
+        .orderBy("arm")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "analytics_sprt_group_sequential" ->
+      """WITH lk AS (SELECT user_id % 8 AS arm, CAST(ts AS DATE) AS look,
+                            CAST(sum(CASE WHEN event_type IN
+                                   ('purchase', 'click')
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS net,
+                            count(*) AS n
+                     FROM events WHERE event_type <> 'error'
+                     GROUP BY arm, look),
+              wk AS (SELECT arm, look, net, n,
+                            CAST(sum(net) OVER (PARTITION BY arm
+                              ORDER BY look) AS BIGINT) AS walk,
+                            CAST(row_number() OVER (PARTITION BY arm
+                              ORDER BY look) AS BIGINT) AS li
+                     FROM lk),
+              hit AS (SELECT arm, li AS decided_at, walk AS walk_dec
+                      FROM (SELECT arm, li, walk,
+                                   row_number() OVER (PARTITION BY arm
+                                     ORDER BY li) AS rn
+                            FROM wk WHERE abs(walk) >= 25)
+                      WHERE rn = 1),
+              tot AS (SELECT arm, CAST(sum(n) AS BIGINT) AS n_events,
+                             count(*) AS n_looks,
+                             CAST(sum(net) AS BIGINT) AS final_walk
+                      FROM wk GROUP BY arm)
+         SELECT t.arm, n_events, n_looks,
+                coalesce(h.decided_at, -1) AS decided_at,
+                CASE WHEN h.walk_dec >= 25 THEN 'accept_h1'
+                     WHEN h.walk_dec <= -25 THEN 'accept_h0'
+                     ELSE 'continue' END AS decision,
+                coalesce(h.walk_dec, t.final_walk) AS walk_at,
+                final_walk
+         FROM tot t LEFT JOIN hit h ON h.arm = t.arm
+         ORDER BY t.arm""",
     "window_pattern_kstep" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                            epoch_us(ts) AS us

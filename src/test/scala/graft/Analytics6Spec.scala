@@ -472,4 +472,45 @@ class Analytics6Spec extends GraftSuite {
       assert(got(i + 1) == reach(i).toLong,
         s"step $i: declared ${got(i + 1)} vs replay ${reach(i)}"))
   }
+
+  test("analytics_sprt_group_sequential: exactly matches a driver-side " +
+    "walk replay; the decision IS the first ±25 crossing") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("analytics_sprt_group_sequential")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 8)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error")
+      .select((col("user_id") % 8).as("arm"), to_date(col("ts")).as("look"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+    val K = 25L
+    got.foreach { case (arm, nEv, nLooks, decAt, dec, walkAt, finW) =>
+      val mine = ev.filter(_._1 == arm)
+      assert(nEv == mine.length.toLong, s"arm $arm event count")
+      val byLook = mine.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, es) =>
+          es.count(e => Set("purchase", "click")(e._3)).toLong * 2 -
+            es.length }
+      assert(nLooks == byLook.length.toLong, s"arm $arm look count")
+      val walk = byLook.scanLeft(0L)(_ + _).tail
+      assert(finW == walk.last, s"arm $arm final walk")
+      val firstHit = walk.indexWhere(w => math.abs(w) >= K)
+      if (firstHit < 0) {
+        assert(decAt == -1L && dec == "continue" && walkAt == walk.last,
+          s"arm $arm: no crossing but decided ($decAt, $dec)")
+      } else {
+        assert(decAt == firstHit + 1L, s"arm $arm decision look")
+        assert(walkAt == walk(firstHit), s"arm $arm decision walk")
+        assert(dec == (if (walk(firstHit) >= K) "accept_h1"
+                       else "accept_h0"), s"arm $arm direction")
+        // sequential contract: no EARLIER look had crossed
+        assert(walk.take(firstHit).forall(w => math.abs(w) < K),
+          s"arm $arm: crossing before the declared decision")
+      }
+    }
+  }
 }
