@@ -120,21 +120,26 @@ object Governance {
     }),
 
     // Referential-integrity audit (r7): orphan counts + parent
-    // coverage for the three FK edges of the star. Each branch is one
-    // LEFT ANTI join (orphans) plus one distinct-count (coverage) —
-    // at 100 TB the parent side is the broadcast/bloom side exactly
-    // as in join_runtime_bloom; nothing here scans a fact table
-    // twice (orphans and referenced-parent counts share the child
-    // aggregate). The fixture is FK-clean by construction, so
-    // non-zero orphans would themselves be the alarm — the declared
-    // zeros are load-bearing.
+    // coverage for the three FK edges of the star. Each branch is a
+    // key-grain LEFT join of the child's distinct-key aggregate
+    // against the parent's key column; nothing here scans a fact
+    // table twice (orphans and referenced-parent counts share the
+    // child aggregate). HINT-FREE since r12: the parent sides
+    // (orders/customer/part) scale with sf, so a forced broadcast()
+    // plans an unbuildable build side at 100 TB — this was the one
+    // surviving policy violation the r11 `broadcast(Tables.*)` grep
+    // missed (the hint wrapped a derived projection); AQE's size
+    // check broadcasts at fixture scale and sort-merges at 100 TB.
+    // Pinned in PlanShapeSpec's audited-key list. The fixture is
+    // FK-clean by construction, so non-zero orphans would themselves
+    // be the alarm — the declared zeros are load-bearing.
     "dq_referential_integrity" -> ((s, d) => {
       def edge(child: DataFrame, ck: String, parent: DataFrame,
                pk: String, name: String): DataFrame = {
         val refs = child.groupBy(col(ck).as("k"))
           .agg(count(lit(1)).as("n_child"))
         val par = parent.select(col(pk).as("pkk"))
-        val joined = refs.join(broadcast(par), col("k") === col("pkk"),
+        val joined = refs.join(par, col("k") === col("pkk"),
           "left")
         joined.agg(
           sum(col("n_child")).cast("bigint").as("n_child_rows"),

@@ -652,7 +652,11 @@ class PlanShapeSpec extends GraftSuite {
       "analytics_ks_test", "analytics_ks_sketch",
       "analytics_mann_whitney", "analytics_chi2_independence",
       "window_pattern_vshape", "timeseries_sax_words",
-      "feature_target_encode", "pipeline_feature_e2e")
+      "feature_target_encode", "pipeline_feature_e2e",
+      // r12: the one site the r11 grep missed — broadcast() wrapped a
+      // derived projection of orders/customer/part, not Tables.* —
+      // now hint-free and pinned here
+      "dq_referential_integrity")
     for (k <- audited) {
       val bad = resolvedHints(k).filter(hintsSfScalingTable)
       assert(bad.isEmpty,
