@@ -178,6 +178,47 @@ object Governance {
         .orderBy("event_type")
     }),
 
+    // Cross-table reconciliation (r12) — the DQ gate referential
+    // integrity can't see: FKs can be perfectly clean while the MONEY
+    // disagrees. Recompute each order's total from its lineitems
+    // (Σ extprice·(1−disc)·(1+tax) — the TPC-H identity) and bucket
+    // every order by how far o_totalprice sits from it. The fixture
+    // is synthetic and honors the identity for 0 orders — exactly the
+    // report a reconciliation job exists to produce. Determinism: the
+    // per-line product is one double expression (identical IEEE ops
+    // in both engines) immediately quantized to DECIMAL(28,10); sums
+    // and the diff stay exact decimals end-to-end; bucket edges are
+    // decimal COMPARISONS (absdiff·100 ⋚ total — no division, no
+    // rounding at the boundary). Scale: one lineitem aggregate keyed
+    // by orderkey (map-side partials), one key-grain equi-join
+    // against orders — hint-free, AQE decides (the FK-audit lesson);
+    // buckets are a ≤5-row synopsis.
+    "dq_reconciliation_totals" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).cast("decimal(28,10)").as("line"))
+        .groupBy("ok").agg(sum(col("line")).as("recomputed"))
+      val rec = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(28,10)").as("booked"))
+        .join(li, col("o_orderkey") === col("ok"), "left")
+        .withColumn("absdiff",
+          abs(col("booked") - coalesce(col("recomputed"),
+            lit(0).cast("decimal(28,10)"))))
+        .withColumn("bucket",
+          when(col("recomputed").isNull, "missing_lines")
+            .when(col("absdiff") === 0, "exact")
+            .when(col("absdiff") * 100 < col("booked"), "lt_1pct")
+            .when(col("absdiff") * 10 < col("booked"), "lt_10pct")
+            .otherwise("gte_10pct"))
+      rec.groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("absdiff")).cast("double"), 4).as("total_absdiff"),
+          round(max(col("absdiff")).cast("double"), 4).as("max_absdiff"))
+        .orderBy("bucket")
+    }),
+
     // Snapshot diff between two staged versions: v2 is a deterministic
     // mutation of v1 (keys %10==0 changed, %10==3 removed, negated
     // keys added). Rows are content-hashed; one full-outer join on the
@@ -330,6 +371,35 @@ object Governance {
                 CAST(date_diff('day', last_day, gmax) AS INTEGER)
                   AS lag_days, n
          FROM pt, g ORDER BY event_type""",
+    "dq_reconciliation_totals" ->
+      """WITH li AS (SELECT l_orderkey AS ok,
+                            sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                     * (1.0 + l_tax)
+                                AS DECIMAL(28,10))) AS recomputed
+                     FROM lineitem GROUP BY l_orderkey),
+              rec AS (SELECT o.o_orderkey,
+                             CAST(o.o_totalprice AS DECIMAL(28,10))
+                               AS booked,
+                             li.recomputed
+                      FROM orders o LEFT JOIN li ON li.ok = o.o_orderkey),
+              cls AS (SELECT booked,
+                             abs(booked - coalesce(recomputed,
+                               CAST(0 AS DECIMAL(28,10)))) AS absdiff,
+                             CASE
+                               WHEN recomputed IS NULL THEN 'missing_lines'
+                               WHEN abs(booked - recomputed) = 0
+                                 THEN 'exact'
+                               WHEN abs(booked - recomputed) * 100 < booked
+                                 THEN 'lt_1pct'
+                               WHEN abs(booked - recomputed) * 10 < booked
+                                 THEN 'lt_10pct'
+                               ELSE 'gte_10pct'
+                             END AS bucket
+                      FROM rec)
+         SELECT bucket, count(*) AS n_orders,
+                round(CAST(sum(absdiff) AS DOUBLE), 4) AS total_absdiff,
+                round(CAST(max(absdiff) AS DOUBLE), 4) AS max_absdiff
+         FROM cls GROUP BY bucket ORDER BY bucket""",
     "dq_expectations" ->
       """WITH nn AS (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) AS v
                      FROM lineitem),

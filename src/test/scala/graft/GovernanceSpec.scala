@@ -94,4 +94,38 @@ class GovernanceSpec extends GraftSuite {
       .filter(col("o_orderkey").between(1000L, 5000L)).count()
     assert(full == pruned, "pruning changed the result")
   }
+
+  test("dq_reconciliation_totals: buckets exactly match a driver-side " +
+    "BigDecimal mirror; every order lands in exactly one bucket") {
+    val got = Governance.queries("dq_reconciliation_totals")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .collect().map(r => (r.getLong(0),
+        // mirror the engine exactly: ONE double product, then quantize
+        BigDecimal(r.getDouble(1) * (1.0 - r.getDouble(2))
+          * (1.0 + r.getDouble(3)))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)))
+    val recomputed = lines.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(10,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val want = orders.groupBy { case (ok, booked) =>
+      recomputed.get(ok) match {
+        case None => "missing_lines"
+        case Some(rc) =>
+          val d = (booked - rc).abs
+          if (d == 0) "exact"
+          else if (d * 100 < booked) "lt_1pct"
+          else if (d * 10 < booked) "lt_10pct"
+          else "gte_10pct"
+      }
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got == want, s"bucket census: got=$got want=$want")
+    assert(got.values.sum == orders.length.toLong,
+      "orders lost or double-counted across buckets")
+  }
 }
