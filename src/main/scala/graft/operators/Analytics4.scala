@@ -52,6 +52,73 @@ object Analytics4 {
         .orderBy("pri")
     }),
 
+    // Partial autocorrelation, lags 1–3 (r12) — the AR-order
+    // diagnostic beside the plain ACF above (ACF says "correlated at
+    // lag k", PACF says "correlated AFTER removing lags < k" — the
+    // PACF cutoff picks p for an AR(p) forecast). Durbin–Levinson
+    // unrolled three levels as closed-form double arithmetic over
+    // sample ACF inputs. Determinism (the cuped discipline): the
+    // series carries integer CENTS (decimal-sum × 100 → BIGINT,
+    // never double×100), each lag's five co-moments accumulate as
+    // DECIMAL(38,0) (cents² terms wrap int64), and r₁..r₃ derive as
+    // quotients of exact-integer→double casts — so both engines run
+    // the Levinson recursion on IDENTICAL doubles and the 1e-4 floor
+    // quantizer can't straddle. Scale: the window and moments ride
+    // the daily synopsis (days × 5 priorities — group grain), one
+    // groupBy, no joins.
+    "timeseries_pacf" -> ((s, d) => {
+      val w = Window.partitionBy("pri").orderBy("day")
+      val cents = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("xc"))
+      val lagged = (1 to 3).foldLeft(cents) { (df, k) =>
+        df.withColumn(s"y$k", lag(col("xc"), k).over(w))
+      }
+      def moments(k: Int): Seq[Column] = {
+        val y = col(s"y$k"); val has = y.isNotNull
+        Seq(
+          count(when(has, 1)).as(s"n$k"),
+          sum(when(has, col("xc")).cast("decimal(38,0)")).as(s"sx$k"),
+          sum(when(has, y).cast("decimal(38,0)")).as(s"sy$k"),
+          sum(when(has,
+            col("xc").cast("decimal(38,0)") * y).cast("decimal(38,0)"))
+            .as(s"sxy$k"),
+          sum(when(has,
+            col("xc").cast("decimal(38,0)") * col("xc"))
+            .cast("decimal(38,0)")).as(s"sxx$k"),
+          sum(when(has, y.cast("decimal(38,0)") * y).cast("decimal(38,0)"))
+            .as(s"syy$k"))
+      }
+      val cols = (1 to 3).flatMap(moments)
+      val agg = lagged.groupBy("pri")
+        .agg(count(lit(1)).as("n_days"), cols: _*)
+      def rk(k: Int): Column = (
+        (col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k"))
+          .cast("double")
+          / sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k"))
+              .cast("double")
+            * (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))
+              .cast("double")))
+      agg
+        .withColumn("r1", rk(1)).withColumn("r2", rk(2))
+        .withColumn("r3", rk(3))
+        .withColumn("phi22",
+          (col("r2") - col("r1") * col("r1"))
+            / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .withColumn("phi33",
+          (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+            / (lit(1.0) - col("phi21") * col("r1")
+               - col("phi22") * col("r2")))
+        .select(col("pri"), col("n_days"),
+          (floor(col("r1") * 1e4) / 1e4).as("pacf1"),
+          (floor(col("phi22") * 1e4) / 1e4).as("pacf2"),
+          (floor(col("phi33") * 1e4) / 1e4).as("pacf3"))
+        .orderBy("pri")
+    }),
+
     // Seasonal-naive residual anomalies: forecast(day) = rev(day-7);
     // a day is anomalous when |residual| > 2σ of its series'
     // residuals. Two-pass like feature_scale_standardize: the σ side
@@ -674,7 +741,56 @@ object Analytics4 {
     }),
   )
 
+  /** The PACF oracle, moments generated programmatically so the 18
+    * aggregate expressions can't drift from the Spark side's. */
+  private val pacfSql: String = {
+    val moms = (1 to 3).map { k =>
+      s"""count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS n$k,
+          sum(CASE WHEN y$k IS NOT NULL THEN CAST(xc AS HUGEINT) END)
+            AS sx$k,
+          sum(CASE WHEN y$k IS NOT NULL THEN CAST(y$k AS HUGEINT) END)
+            AS sy$k,
+          sum(CASE WHEN y$k IS NOT NULL THEN CAST(xc AS HUGEINT) * y$k END)
+            AS sxy$k,
+          sum(CASE WHEN y$k IS NOT NULL THEN CAST(xc AS HUGEINT) * xc END)
+            AS sxx$k,
+          sum(CASE WHEN y$k IS NOT NULL THEN CAST(y$k AS HUGEINT) * y$k END)
+            AS syy$k"""
+    }.mkString(",\n")
+    val rks = (1 to 3).map { k =>
+      s"""CAST(n$k * sxy$k - sx$k * sy$k AS DOUBLE)
+          / sqrt(CAST(n$k * sxx$k - sx$k * sx$k AS DOUBLE)
+                 * CAST(n$k * syy$k - sy$k * sy$k AS DOUBLE)) AS r$k"""
+    }.mkString(",\n")
+    s"""WITH cents AS (SELECT o_orderpriority AS pri,
+                              CAST(o_orderdate AS DATE) AS day,
+                              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   * 100 AS BIGINT) AS xc
+                       FROM orders GROUP BY 1, 2),
+            lagged AS (SELECT pri, xc,
+                              lag(xc, 1) OVER w AS y1,
+                              lag(xc, 2) OVER w AS y2,
+                              lag(xc, 3) OVER w AS y3
+                       FROM cents
+                       WINDOW w AS (PARTITION BY pri ORDER BY day)),
+            agg AS (SELECT pri, count(*) AS n_days, $moms
+                    FROM lagged GROUP BY pri),
+            rs AS (SELECT pri, n_days, $rks FROM agg),
+            p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+                   FROM rs),
+            p21 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2),
+            p3 AS (SELECT *, (r3 - phi21 * r2 - phi22 * r1)
+                             / (1.0 - phi21 * r1 - phi22 * r2) AS phi33
+                   FROM p21)
+       SELECT pri, n_days,
+              floor(r1 * 1e4) / 1e4 AS pacf1,
+              floor(phi22 * 1e4) / 1e4 AS pacf2,
+              floor(phi33 * 1e4) / 1e4 AS pacf3
+       FROM p3 ORDER BY pri"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "timeseries_pacf" -> pacfSql,
     "timeseries_autocorr" ->
       s"""WITH $dailySql,
               lagd AS (SELECT pri, rev,

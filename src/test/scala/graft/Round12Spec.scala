@@ -33,4 +33,42 @@ class Round12Spec extends GraftSuite {
     assert(got.toSeq == want.toSeq,
       "XML roundtrip fingerprint diverged from the parquet source")
   }
+
+  test("timeseries_pacf: exactly matches a driver-side Durbin-Levinson " +
+      "mirror on BigInt cent moments") {
+    val got = SparkEntry.queries("timeseries_pacf")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("xc"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    got.foreach { case (pri, nDays, p1, p2, p3) =>
+      val series = daily.filter(_._1 == pri).sortBy(_._2).map(_._3)
+      assert(nDays == series.length.toLong, s"$pri day count")
+      def r(k: Int): Double = {
+        val pairs = series.drop(k).zip(series.dropRight(k))
+        val n = BigInt(pairs.length)
+        val sx = pairs.map(p => BigInt(p._1)).sum
+        val sy = pairs.map(p => BigInt(p._2)).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      }
+      val (r1, r2, r3) = (r(1), r(2), r(3))
+      val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi21 = r1 - phi22 * r1
+      val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+        (1.0 - phi21 * r1 - phi22 * r2)
+      def q4(x: Double): Double = math.floor(x * 1e4) / 1e4
+      assert((p1, p2, p3) == ((q4(r1), q4(phi22), q4(phi33))),
+        s"$pri: engine ($p1,$p2,$p3) != mirror " +
+          s"(${q4(r1)},${q4(phi22)},${q4(phi33)})")
+    }
+  }
 }
