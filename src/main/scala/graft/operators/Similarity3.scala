@@ -311,6 +311,62 @@ object Similarity3 {
           round(col("cos"), 4).as("cos"), col("n_base_rewired"))
         .orderBy("qid", "rank")
     }),
+
+    // Tombstone deletion + hole repair (r12) — the DELETE leg that
+    // completes the family's index CRUD (build → search → recall →
+    // insert → delete), HNSW's deletion problem relationally: drop a
+    // scattered 1/37 of the corpus (vec_id % 37 = 3 — disjoint from
+    // the % BLOCK = 0 entry spine by arithmetic), then REPAIR every
+    // surviving node whose out-list lost a neighbor by re-ranking
+    // over (its surviving neighbors ∪ its deleted neighbors'
+    // surviving neighbors) — the "route through the hole" rule that
+    // keeps the graph navigable without touching unaffected nodes
+    // (repair cost ∝ holes·M², corpus-independent — a tombstone
+    // batch never rebuilds). Search then runs over the REPAIRED
+    // graph from surviving entries: a deleted node can never be
+    // returned because it exists neither as entry nor as any edge
+    // target. Output: top-3 per query over the repaired graph +
+    // (n_deleted, n_affected) census folded into every row.
+    "sim_graph_ann_delete" -> ((s, d) => withFewPartitions(s) {
+      graft.functions.GraftFunctions.register(s)
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def isDel(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(c, lit(37)) === 3
+      val edges = buildEdges(all)
+      val live = edges.filter(!isDel(col("a"))).localCheckpoint()
+      val holes = live.filter(isDel(col("b")))
+      val keepE = live.filter(!isDel(col("b")))
+      val affected = holes.select("a").distinct()
+      val viaDeleted = holes
+        .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .filter(!isDel(col("c")) && col("c") =!= col("a"))
+        .select(col("a"), col("c").as("b"))
+      val pool = keepE.join(affected, Seq("a")).select("a", "b")
+        .union(viaDeleted).distinct()
+      val repaired = topMFor(all)(pool).select("a", "b").localCheckpoint()
+      val finalEdges = keepE.join(affected, Seq("a"), "left_anti")
+        .select("a", "b").union(repaired)
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val entry = all.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
+          && col("vec_id") < BLOCK * NENT && !isDel(col("vec_id")))
+        .select(col("vec_id").as("node"))
+      val nDel = all.filter(isDel(col("vec_id")))
+        .agg(count(lit(1)).as("n_deleted"))
+      val nAff = affected.agg(count(lit(1)).as("n_affected"))
+      val wr = Window.partitionBy("qid")
+        .orderBy(round(col("cos"), 4).desc, col("node"))
+      beamSearch(all, finalEdges, q, entry)
+        .filter(col("node") =!= col("qid"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .crossJoin(broadcast(nDel)) // 1-row census
+        .crossJoin(broadcast(nAff)) // 1-row census
+        .select(col("qid"), col("rank"), col("node").as("vec_id"),
+          round(col("cos"), 4).as("cos"),
+          col("n_deleted"), col("n_affected"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** Index-order left-fold cosine between two `n`-CTE rows. */
@@ -376,14 +432,17 @@ object Similarity3 {
         $descent"""
   }
 
-  /** bc0→beam$R beam chain (assumes qv and ent are already defined). */
-  private def sqlBeamChain: String = {
+  /** bc0→beam$R beam chain (assumes qv and ent are already defined);
+    * `edgeTable` lets the delete key beam over the REPAIRED graph. */
+  private def sqlBeamChain: String = sqlBeamChainOver(s"e$T")
+
+  private def sqlBeamChainOver(edgeTable: String): String = {
     val beams = (1 to R).map { r =>
       val prev = if (r == 1) "beam0" else s"beam${r - 1}"
       s"""bc$r AS (SELECT DISTINCT qid, node FROM (
               SELECT qid, node FROM $prev
               UNION ALL SELECT p.qid, g.b AS node
-                        FROM $prev p JOIN e$T g ON p.node = g.a)),
+                        FROM $prev p JOIN $edgeTable g ON p.node = g.a)),
          ${sqlBeam(s"beam$r", s"bc$r")}"""
     }.mkString(",\n")
     s"""bc0 AS (SELECT qid, node FROM qv, ent),
@@ -434,6 +493,42 @@ object Similarity3 {
         ent AS (SELECT vec_id AS node FROM eb
                 WHERE vec_id % $BLOCK = 0 AND vec_id < ${BLOCK * NENT}),
         $sqlBeamChain"""
+
+  /** The delete variant: full-corpus build, tombstone vec_id%37=3,
+    * repair affected lists over survivor pools, beam the repaired
+    * graph from surviving entries. */
+  private def deleteCtes: String =
+    s"""e AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        n AS MATERIALIZED (SELECT vec_id, v,
+              sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                AS nrm
+            FROM e),
+        cnt AS (SELECT count(*) AS nv FROM e),
+        hb AS MATERIALIZED (SELECT vec_id,
+              vec_id // $BLOCK AS dblk,
+              $sqlU48 % ((nv + ${BLOCK - 1}) // $BLOCK) AS hblk
+            FROM e CROSS JOIN cnt),
+        $sqlDescentChain,
+        live AS MATERIALIZED (SELECT a, b FROM e$T WHERE a % 37 <> 3),
+        holes AS (SELECT a, b FROM live WHERE b % 37 = 3),
+        keepe AS (SELECT a, b FROM live WHERE b % 37 <> 3),
+        aff AS (SELECT DISTINCT a FROM holes),
+        viad AS (SELECT h.a, g.b FROM holes h JOIN e$T g ON g.a = h.b
+                 WHERE g.b % 37 <> 3 AND g.b <> h.a),
+        pool AS (SELECT DISTINCT a, b FROM (
+              SELECT k.a, k.b FROM keepe k JOIN aff ON k.a = aff.a
+              UNION ALL SELECT a, b FROM viad)),
+        ${sqlTopM("rep", "pool")},
+        redges AS MATERIALIZED (SELECT a, b FROM keepe
+              WHERE a NOT IN (SELECT a FROM aff)
+              UNION ALL SELECT a, b FROM rep),
+        qv AS (SELECT vec_id AS qid FROM e WHERE vec_id < 5),
+        ent AS (SELECT vec_id AS node FROM e
+                WHERE vec_id % $BLOCK = 0 AND vec_id < ${BLOCK * NENT}
+                  AND vec_id % 37 <> 3),
+        ${sqlBeamChainOver("redges")}"""
 
   val oracles: Map[String, String] = Map(
     "sim_graph_ann" ->
@@ -501,5 +596,20 @@ object Similarity3 {
          FROM rep CROSS JOIN rw CROSS JOIN cnt
          WHERE rn <= 3 AND a < nv - ${INS - 5}
          ORDER BY qid, rank""",
+    "sim_graph_ann_delete" ->
+      s"""WITH $deleteCtes,
+              nd AS (SELECT count(*) AS n_deleted FROM e
+                     WHERE vec_id % 37 = 3),
+              na AS (SELECT count(*) AS n_affected FROM aff),
+              rk AS (SELECT qid, node, cos,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cos, 4) DESC, node) AS rn
+                     FROM beam$R WHERE node <> qid)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, node AS vec_id,
+                round(cos, 4) AS cos,
+                CAST(n_deleted AS BIGINT) AS n_deleted,
+                CAST(n_affected AS BIGINT) AS n_affected
+         FROM rk CROSS JOIN nd CROSS JOIN na
+         WHERE rn <= 3 ORDER BY qid, rank""",
   )
 }

@@ -102,4 +102,41 @@ class Similarity3Spec extends GraftSuite {
     val b = Similarity3.queries("sim_graph_ann")(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("sim_graph_ann_delete: no tombstoned node is ever returned, " +
+    "census matches the tombstone rule, quality beats the survivor " +
+    "rank-10 truth bar") {
+    val rows = Similarity3.queries("sim_graph_ann_delete")(spark, sf)
+      .collect()
+    assert(rows.length == 15) // 5 queries × top-3 over the repaired graph
+    rows.foreach { r =>
+      assert(r.getLong(2) % 37 != 3,
+        s"query ${r.getLong(0)} returned tombstoned node ${r.getLong(2)}")
+    }
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val nDel = emb.keys.count(_ % 37 == 3).toLong
+    assert(rows.map(_.getLong(4)).distinct.toSeq == Seq(nDel),
+      "n_deleted census != the % 37 = 3 tombstone rule")
+    val nAff = rows.map(_.getLong(5)).distinct
+    assert(nAff.length == 1 && nAff.head > 0,
+      "repair touched no lists — holes went unrepaired")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      val qv = emb(r.getLong(0))
+      val t10 = emb.toSeq
+        .filter { case (id, _) => id % 37 != 3 && id != r.getLong(0) }
+        .map { case (_, v) => cos(qv, v) }.sorted.reverse.apply(9)
+      assert(r.getDouble(3) >= t10 - 1e-4,
+        s"query ${r.getLong(0)}: post-delete top-1 ${r.getDouble(3)} " +
+          s"below the survivor rank-10 truth bar $t10")
+    }
+  }
 }
