@@ -253,6 +253,32 @@ object Functions {
           reverse(col("n_name")).as("rev"))
         .orderBy("n_nationkey")),
 
+    // Native collation (r12) — Spark 4's COLLATE support: grouping
+    // and equality under UTF8_LCASE without rewriting expressions to
+    // lower() at every use site (the collation travels WITH the
+    // column through the plan — the catalog-level fix for
+    // case-insensitive business keys). Corpus is case-mangled
+    // deterministically (even doc_id → UPPER) so every frequent word
+    // genuinely spans 2 case variants; grouping on the collated
+    // column must fuse them. UTF8_LCASE == lower()-equivalence on
+    // this pure-ASCII fixture, which is exactly what lets DuckDB
+    // mirror it; output keys are lower()-projected (a collated
+    // group's representative case is undeclared — never output it
+    // raw). Top-20 by (count DESC, word) — a total pick order.
+    "fn_collation_group" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
+        .select(when(col("doc_id") % 2 === 0, upper(col("w0")))
+          .otherwise(col("w0")).as("w"))
+      tok.groupBy(expr("collate(w, 'UTF8_LCASE')").as("wc"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("w")).as("n_case_variants"))
+        .select(lower(col("wc")).as("word"), col("n"),
+          col("n_case_variants"))
+        .orderBy(col("n").desc, col("word")).limit(20)
+        .orderBy("word")
+    }),
+
     // Struct family: named_struct construction, field access, struct
     // round-trip through an array element.
     "fn_struct" -> ((s, d) =>
@@ -344,6 +370,20 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_collation_group" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS w0
+                      FROM documents),
+              m AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(w0)
+                                ELSE w0 END AS w
+                    FROM tok),
+              g AS (SELECT lower(w) AS word, count(*) AS n,
+                           count(DISTINCT w) AS n_case_variants
+                    FROM m GROUP BY lower(w))
+         SELECT word, n, n_case_variants
+         FROM (SELECT *, row_number() OVER (ORDER BY n DESC, word) AS rn
+               FROM g)
+         WHERE rn <= 20 ORDER BY word""",
     "fn_decimal" ->
       """WITH base AS (
            SELECT l_returnflag,

@@ -71,4 +71,30 @@ class Round12Spec extends GraftSuite {
           s"(${q4(r1)},${q4(phi22)},${q4(phi33)})")
     }
   }
+
+  test("fn_collation_group: UTF8_LCASE grouping fuses the case-mangled " +
+      "variants that a raw groupBy keeps apart") {
+    val got = SparkEntry.queries("fn_collation_group")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    // every frequent word was mangled into BOTH cases by the even/odd
+    // doc split, and the collated groupBy must have fused them
+    got.foreach { case (w, n, variants) =>
+      assert(w == w.toLowerCase, s"output key '$w' not lower-projected")
+      assert(variants == 2L,
+        s"'$w' ($n rows): collation fused $variants case variants, " +
+          "expected the UPPER and lower forms")
+    }
+    // control: the same aggregate WITHOUT collation sees 2 groups per
+    // word — collation is doing real work, not mirroring a no-op
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
+      .select(when(col("doc_id") % 2 === 0, upper(col("w0")))
+        .otherwise(col("w0")).as("w"))
+      .groupBy("w").count()
+      .filter(lower(col("w")).isin(got.map(_._1): _*))
+      .count()
+    assert(raw == 40L,
+      s"control: expected 40 un-collated groups for 20 words, got $raw")
+  }
 }
