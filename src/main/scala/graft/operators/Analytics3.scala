@@ -302,6 +302,59 @@ object Analytics3 {
         .orderBy("prev", "next")
     }),
 
+    // Absorbing-state hitting probability (r12) — the question the
+    // transition matrix above exists to answer: from each state, the
+    // probability of REACHING 'purchase' within K=4 steps under the
+    // empirical chain with 'purchase' made absorbing (conversion
+    // attribution's "how far is each state from the money"). Four
+    // unrolled rounds of h ← P·h over the state synopsis (≤ 5×5
+    // transition rows — everything after the one event-grain window
+    // pass is group-grain). Determinism: h is carried as an INTEGER
+    // quantile hq = ⌊h·10¹²⌋ (BIGINT); each update's numerator
+    // Σ n·hq accumulates DECIMAL(38,0)/HUGEINT (n·hq wraps int64
+    // once n reaches ~10⁷ per pair — the 100 TB point), and the
+    // single double division per (state, round) floor-requantizes to
+    // the 10⁻¹² grid — both engines walk identical integers round by
+    // round (the cuped/pps discipline applied to a fixpoint loop).
+    "analytics_markov_hitting" -> ((s, d) => {
+      val Q = 1000000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val pair = trans.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val tot = pair.groupBy("prev").agg(sum(col("n")).as("t"))
+      val states = pair.select(col("prev").as("state"))
+        .union(pair.select(col("next"))).distinct().localCheckpoint()
+      var h = states.withColumn("hq",
+        when(col("state") === "purchase", lit(Q)).otherwise(lit(0L)))
+      for (_ <- 1 to 4) {
+        val num = pair
+          .join(h.select(col("state").as("next"), col("hq")), Seq("next"))
+          .groupBy("prev")
+          .agg(sum(col("n").cast("decimal(38,0)") * col("hq")).as("numq"))
+        h = states
+          .join(num.select(col("prev").as("state"), col("numq")),
+            Seq("state"), "left")
+          .join(tot.select(col("prev").as("state"), col("t")),
+            Seq("state"), "left")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(Q))
+              .otherwise(coalesce(
+                floor(col("numq").cast("double") / col("t").cast("double"))
+                  .cast("long"), lit(0L))).as("hq"))
+          .localCheckpoint()
+      }
+      h.join(tot.select(col("prev").as("state"), col("t")),
+          Seq("state"), "left")
+        .select(col("state"), coalesce(col("t"), lit(0L)).as("n_out"),
+          (col("hq").cast("double") / 1e12).as("hit4"))
+        .orderBy("state")
+    }),
+
     // Equi-height histogram (round 6) — the quantile-bucket companion
     // of the equi-width `agg_histogram`: ntile(8) over each segment's
     // ordered values gives buckets holding equal ROW counts however
@@ -534,6 +587,53 @@ object Analytics3 {
     }),
   )
 
+  /** Hitting-probability oracle: the four h ← P·h rounds generated
+    * from one template (the labelprop-chain pattern) so the per-round
+    * quantization can't drift from the Spark loop's. */
+  private def markovHittingSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""n$r AS (SELECT p.prev,
+                         CAST(sum(CAST(p.n AS HUGEINT) * h.hq) AS HUGEINT)
+                           AS numq
+                  FROM pair p JOIN h${r - 1} h ON h.state = p.next
+                  GROUP BY p.prev),
+          h$r AS (SELECT st.state,
+                         CASE WHEN st.state = 'purchase'
+                              THEN CAST(1000000000000 AS BIGINT)
+                              ELSE CAST(coalesce(
+                                floor(CAST(n.numq AS DOUBLE)
+                                      / CAST(tot.t AS DOUBLE)), 0)
+                                AS BIGINT)
+                         END AS hq
+                  FROM st LEFT JOIN n$r n ON n.prev = st.state
+                          LEFT JOIN tot ON tot.prev = st.state)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, event_id,
+                          epoch_us(ts) AS us
+                   FROM events),
+            t0 AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS prev
+                   FROM e),
+            pair AS (SELECT prev, event_type AS next, count(*) AS n
+                     FROM t0 WHERE prev IS NOT NULL
+                     GROUP BY prev, event_type),
+            tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS t
+                    FROM pair GROUP BY prev),
+            st AS (SELECT DISTINCT prev AS state FROM pair
+                   UNION SELECT DISTINCT next FROM pair),
+            h0 AS (SELECT state,
+                          CAST(CASE WHEN state = 'purchase'
+                               THEN 1000000000000 ELSE 0 END AS BIGINT)
+                            AS hq
+                   FROM st),
+            $rounds
+       SELECT h4.state, CAST(coalesce(tot.t, 0) AS BIGINT) AS n_out,
+              CAST(h4.hq AS DOUBLE) / 1e12 AS hit4
+       FROM h4 LEFT JOIN tot ON tot.prev = h4.state
+       ORDER BY h4.state"""
+  }
+
   val oracles: Map[String, String] = Map(
     "analytics_daily_active_growth" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -568,6 +668,7 @@ object Analytics3 {
                            * 10000) AS DOUBLE) / 10000 AS p
          FROM pair JOIN tot ON tot.prev = pair.prev
          ORDER BY pair.prev, pair.next""",
+    "analytics_markov_hitting" -> markovHittingSql,
     "agg_histogram_equiheight" ->
       """WITH b AS (SELECT o_orderpriority AS prio, o_orderkey,
                            o_totalprice,

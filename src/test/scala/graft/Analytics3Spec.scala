@@ -164,4 +164,45 @@ class Analytics3Spec extends GraftSuite {
         s"event $id: driver=${expected(id)} engine=$v")
     }
   }
+
+  test("analytics_markov_hitting: exactly matches a driver-side " +
+    "integer-quantized h <- P*h replay; purchase is absorbing") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics3.queries("analytics_markov_hitting")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.find(_._1 == "purchase").exists(_._3 == 1.0),
+      "the absorbing state must have hit4 == 1")
+    // rebuild the transition counts driver-side (same window order)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pair = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._3, e._4)).map(_._2).toSeq
+      seq.zip(seq.drop(1))
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val tot = pair.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = (pair.keys.map(_._1) ++ pair.keys.map(_._2)).toSeq.distinct
+    val Q = 1000000000000L
+    var h: Map[String, Long] =
+      states.map(st => st -> (if (st == "purchase") Q else 0L)).toMap
+    (1 to 4).foreach { _ =>
+      h = states.map { st =>
+        st -> (if (st == "purchase") Q
+               else {
+                 val num = states.map(nx =>
+                   BigInt(pair.getOrElse((st, nx), 0L)) * h(nx)).sum
+                 tot.get(st).fold(0L)(t =>
+                   math.floor(num.toDouble / t.toDouble).toLong)
+               })
+      }.toMap
+    }
+    got.foreach { case (st, nOut, hit4) =>
+      assert(nOut == tot.getOrElse(st, 0L), s"$st out-count")
+      assert(hit4 == h(st).toDouble / 1e12,
+        s"$st: engine $hit4 != mirror ${h(st).toDouble / 1e12}")
+    }
+  }
 }
