@@ -119,6 +119,46 @@ object Analytics4 {
         .orderBy("pri")
     }),
 
+    // Rolling OLS trend slope (r12) — the local-trend estimator
+    // beside the global Theil–Sen and the EWMA smoother: per series,
+    // the least-squares slope of revenue-vs-day over a sliding
+    // 14-day frame (cents/day — sign flips mark local trend
+    // reversals, which is what the moving-average keys can't give).
+    // The five regression moments (n, Σt, Σy, Σty, Σt²) are WINDOW
+    // SUMS of integers over the day-grain synopsis — one frame pass,
+    // no self-join (the closed-form the window API exists for);
+    // t·y terms accumulate DECIMAL(38,0)/HUGEINT (cents × day-index
+    // wraps int64 at daily revenue ~10⁵ larger — the 100 TB point);
+    // the slope is ONE double division of exact integers, floored at
+    // 1e-4. Report sampled at every 97th day index (bounded output,
+    // full windows only — n = 14 exactly).
+    "timeseries_rolling_ols" -> ((s, d) => {
+      val W = 14
+      val wo = Window.partitionBy("pri").orderBy("day")
+      val wf = wo.rowsBetween(-(W - 1), Window.currentRow)
+      val cents = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("yc"))
+        .withColumn("li", row_number().over(wo).cast("long"))
+      cents
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("st", sum(col("li").cast("decimal(38,0)")).over(wf))
+        .withColumn("sy", sum(col("yc").cast("decimal(38,0)")).over(wf))
+        .withColumn("sty",
+          sum(col("li").cast("decimal(38,0)") * col("yc")).over(wf))
+        .withColumn("stt",
+          sum(col("li").cast("decimal(38,0)") * col("li")).over(wf))
+        .filter(col("n") === W && col("li") % 97 === 0)
+        .select(col("pri"), col("li"),
+          (floor((col("n") * col("sty") - col("st") * col("sy"))
+              .cast("double")
+            / (col("n") * col("stt") - col("st") * col("st"))
+              .cast("double") * 1e4) / 1e4).as("slope_cents_per_day"))
+        .orderBy("pri", "li")
+    }),
+
     // Seasonal-naive residual anomalies: forecast(day) = rev(day-7);
     // a day is anomalous when |residual| > 2σ of its series'
     // residuals. Two-pass like feature_scale_standardize: the σ side
@@ -791,6 +831,32 @@ object Analytics4 {
 
   val oracles: Map[String, String] = Map(
     "timeseries_pacf" -> pacfSql,
+    "timeseries_rolling_ols" ->
+      """WITH cents AS (SELECT o_orderpriority AS pri,
+                               CAST(o_orderdate AS DATE) AS day,
+                               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                    * 100 AS BIGINT) AS yc
+                        FROM orders GROUP BY 1, 2),
+              idx AS (SELECT pri, yc,
+                             CAST(row_number() OVER (PARTITION BY pri
+                               ORDER BY day) AS BIGINT) AS li
+                      FROM cents),
+              rolled AS (SELECT pri, li,
+                                count(*) OVER w AS n,
+                                sum(CAST(li AS HUGEINT)) OVER w AS st,
+                                sum(CAST(yc AS HUGEINT)) OVER w AS sy,
+                                sum(CAST(li AS HUGEINT) * yc) OVER w AS sty,
+                                sum(CAST(li AS HUGEINT) * li) OVER w AS stt
+                         FROM idx
+                         WINDOW w AS (PARTITION BY pri ORDER BY li
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT pri, li,
+                floor(CAST(n * sty - st * sy AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE) * 1e4) / 1e4
+                  AS slope_cents_per_day
+         FROM rolled
+         WHERE n = 14 AND li % 97 = 0
+         ORDER BY pri, li""",
     "timeseries_autocorr" ->
       s"""WITH $dailySql,
               lagd AS (SELECT pri, rev,

@@ -97,4 +97,41 @@ class Round12Spec extends GraftSuite {
     assert(raw == 40L,
       s"control: expected 40 un-collated groups for 20 words, got $raw")
   }
+
+  test("timeseries_rolling_ols: sampled slopes exactly match a " +
+      "driver-side 14-day OLS on BigInt cent moments") {
+    val got = SparkEntry.queries("timeseries_rolling_ols")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byPri = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray)
+    var mirrored = 0
+    byPri.foreach { case (pri, ys) =>
+      (14 to ys.length).foreach { li =>
+        if (li % 97 == 0) {
+          val win = (li - 13 to li).map(i => (BigInt(i), BigInt(ys(i - 1))))
+          val n = BigInt(14)
+          val st = win.map(_._1).sum; val sy = win.map(_._2).sum
+          val sty = win.map(p => p._1 * p._2).sum
+          val stt = win.map(p => p._1 * p._1).sum
+          val slope = math.floor((n * sty - st * sy).toDouble
+            / (n * stt - st * st).toDouble * 1e4) / 1e4
+          assert(got((pri, li.toLong)) == slope,
+            s"$pri@$li: engine ${got((pri, li.toLong))} != mirror $slope")
+          mirrored += 1
+        }
+      }
+    }
+    assert(mirrored == got.size, "row-count mismatch vs the mirror")
+    // local trend is a SIGNAL, not a constant: both signs occur
+    assert(got.values.exists(_ > 0) && got.values.exists(_ < 0),
+      "rolling slopes degenerate to one sign — not a trend detector")
+  }
 }
