@@ -288,9 +288,66 @@ object Joins {
           round(avg(col("gap_sec")), 4).as("avg_gap_sec"))
         .orderBy("has_click")
     }),
+
+    // Point-in-time join (r12) — the FEATURE-STORE primitive the asof
+    // family doesn't cover: each event joined to the DIMENSION
+    // VERSION valid at event time (SCD2-style explicit
+    // [valid_from, valid_to) windows), so training features are
+    // exactly what production would have seen at that moment — the
+    // temporal-leakage guard (joining the CURRENT dim row trains on
+    // the future). The versioned dim derives deterministically from
+    // customer (3 versions per key at fixed day boundaries, a
+    // ±100-per-version balance drift as the versioned attribute).
+    // Scale shape: equi-join on the key with the validity range as a
+    // co-partitioned post-filter — per-key blowup is bounded by the
+    // version count (≤3), never a cartesian; exactly how a 100 TB
+    // feature store lays out PIT lookups (key-bucketed, version
+    // ranges scanned within the key's rows). Each event matches
+    // EXACTLY one version — spec-pinned.
+    "join_point_in_time" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("uid"), col("c_acctbal"))
+        .withColumn("v", explode(expr("sequence(0, 2)")))
+        .select(col("uid"), col("v"),
+          (col("c_acctbal") + col("v") * 100).cast("decimal(18,2)")
+            .as("bal_v"),
+          to_timestamp(when(col("v") === 0, lit("1970-01-01 00:00:00"))
+            .when(col("v") === 1, lit("2024-01-11 00:00:00"))
+            .otherwise(lit("2024-01-21 00:00:00"))).as("valid_from"),
+          to_timestamp(when(col("v") === 0, lit("2024-01-11 00:00:00"))
+            .when(col("v") === 1, lit("2024-01-21 00:00:00"))
+            .otherwise(lit("9999-01-01 00:00:00"))).as("valid_to"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .join(dim, col("user_id") === col("uid")
+          && col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+        .groupBy("v", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("bal_v")).cast("double"), 4).as("sum_bal"))
+        .orderBy("v", "event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "join_point_in_time" ->
+      """WITH dim AS (SELECT c_custkey AS uid, v,
+                             CAST(c_acctbal + v * 100 AS DECIMAL(18,2))
+                               AS bal_v,
+                             CASE v WHEN 0 THEN TIMESTAMP '1970-01-01'
+                                    WHEN 1 THEN TIMESTAMP '2024-01-11'
+                                    ELSE TIMESTAMP '2024-01-21'
+                             END AS valid_from,
+                             CASE v WHEN 0 THEN TIMESTAMP '2024-01-11'
+                                    WHEN 1 THEN TIMESTAMP '2024-01-21'
+                                    ELSE TIMESTAMP '9999-01-01'
+                             END AS valid_to
+                      FROM customer, (SELECT unnest([0, 1, 2]) AS v))
+         SELECT v, event_type, count(*) AS n_events,
+                round(CAST(sum(bal_v) AS DOUBLE), 4) AS sum_bal
+         FROM events e JOIN dim
+           ON dim.uid = e.user_id
+              AND e.ts >= dim.valid_from AND e.ts < dim.valid_to
+         GROUP BY v, event_type ORDER BY v, event_type""",
     "join_shuffle_large" ->
       """SELECT o_orderstatus, count(*) AS n_items,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)

@@ -134,4 +134,29 @@ class Round12Spec extends GraftSuite {
     assert(got.values.exists(_ > 0) && got.values.exists(_ < 0),
       "rolling slopes degenerate to one sign — not a trend detector")
   }
+
+  test("join_point_in_time: every event matches EXACTLY one dim " +
+      "version, and versions partition the timeline at the declared " +
+      "day boundaries") {
+    val got = SparkEntry.queries("join_point_in_time")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // exactly-one-version: joined row count == event count (no event
+    // lost to a validity gap, none duplicated by overlapping windows)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(got.map(_._3).sum == nEvents,
+      s"PIT join produced ${got.map(_._3).sum} rows for $nEvents events")
+    // boundary correctness: per-version counts equal direct ts-bucket
+    // counts at the declared day edges
+    val buckets = Tables.events(spark, sf)
+      .select(when(col("ts") < to_timestamp(lit("2024-01-11 00:00:00")), 0)
+        .when(col("ts") < to_timestamp(lit("2024-01-21 00:00:00")), 1)
+        .otherwise(2).as("v"))
+      .groupBy("v").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perV = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perV == buckets,
+      s"version counts $perV != ts-bucket truth $buckets")
+    assert(perV.keySet == Set(0, 1, 2) && perV.values.forall(_ > 0),
+      "all three dim versions must be exercised by the fixture span")
+  }
 }
