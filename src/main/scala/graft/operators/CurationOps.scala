@@ -235,6 +235,61 @@ object CurationOps {
         .orderBy("stage")
     }),
 
+    // Supervised training-set assembly e2e (r12) — the PIT sibling of
+    // the LM-mix pipeline above: candidates = 'view' events; FEATURES
+    // come from the point-in-time customer-dim version valid at event
+    // time (the join_point_in_time primitive — joining the current
+    // dim row would train on the future); the LABEL is forward-
+    // looking BY DESIGN (purchase by the same user within 72 h — an
+    // anti-join-shaped EXISTS bounded per user by the time window);
+    // the SPLIT is the content-hash coin (md5 < '2' ≈ 12.5 % test —
+    // reproducible across engines/runs/partitionings, the
+    // sample_hash_split contract: features must never leak across
+    // the split on re-ingest). Output: the class-balance ×
+    // feature-bucket × split census — the table you eyeball before
+    // any training run. Scale: one event-grain equi-join per stage
+    // (user-bucketed label lookup, key-bucketed PIT lookup), census
+    // is group-grain.
+    "pipeline_pit_training_e2e" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+      val cand = ev.filter(col("event_type") === "view")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("uid"), col("c_acctbal"))
+        .withColumn("v", explode(expr("sequence(0, 2)")))
+        .select(col("uid"), col("v"),
+          (col("c_acctbal") + col("v") * 100).cast("decimal(18,2)")
+            .as("bal_v"),
+          to_timestamp(when(col("v") === 0, lit("1970-01-01 00:00:00"))
+            .when(col("v") === 1, lit("2024-01-11 00:00:00"))
+            .otherwise(lit("2024-01-21 00:00:00"))).as("vf"),
+          to_timestamp(when(col("v") === 0, lit("2024-01-11 00:00:00"))
+            .when(col("v") === 1, lit("2024-01-21 00:00:00"))
+            .otherwise(lit("9999-01-01 00:00:00"))).as("vt"))
+      val feat = cand.join(dim, col("user_id") === col("uid")
+          && col("ts") >= col("vf") && col("ts") < col("vt"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          floor(col("bal_v") / 1000).cast("long").as("bal_bucket"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("us").as("p_us"))
+      val H72 = 72L * 3600 * 1000000
+      val labeled = feat.join(pur,
+          col("user_id") === col("p_uid")
+            && col("p_us") > col("us")
+            && col("p_us") <= col("us") + H72, "left")
+        .groupBy("event_id", "bal_bucket")
+        .agg(max(when(col("p_uid").isNotNull, 1L).otherwise(0L))
+          .as("label"))
+      labeled
+        .withColumn("split",
+          when(md5(col("event_id").cast("string")) < "2", "test")
+            .otherwise("train"))
+        .groupBy("split", "label", "bal_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "label", "bal_bucket")
+    }),
+
     "pipeline_curation_e2e" -> ((s, d) => {
       val all = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
@@ -341,6 +396,41 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pit_training_e2e" ->
+      """WITH dim AS (SELECT c_custkey AS uid, v,
+                             CAST(c_acctbal + v * 100 AS DECIMAL(18,2))
+                               AS bal_v,
+                             CASE v WHEN 0 THEN TIMESTAMP '1970-01-01'
+                                    WHEN 1 THEN TIMESTAMP '2024-01-11'
+                                    ELSE TIMESTAMP '2024-01-21'
+                             END AS vf,
+                             CASE v WHEN 0 THEN TIMESTAMP '2024-01-11'
+                                    WHEN 1 THEN TIMESTAMP '2024-01-21'
+                                    ELSE TIMESTAMP '9999-01-01'
+                             END AS vt
+                      FROM customer, (SELECT unnest([0, 1, 2]) AS v)),
+              feat AS (SELECT e.user_id, e.event_id, epoch_us(e.ts) AS us,
+                              CAST(floor(bal_v / 1000) AS BIGINT)
+                                AS bal_bucket
+                       FROM events e JOIN dim
+                         ON dim.uid = e.user_id
+                            AND e.ts >= dim.vf AND e.ts < dim.vt
+                       WHERE e.event_type = 'view'),
+              pur AS (SELECT user_id AS p_uid, epoch_us(ts) AS p_us
+                      FROM events WHERE event_type = 'purchase'),
+              lab AS (SELECT f.event_id, f.bal_bucket,
+                             max(CASE WHEN p.p_uid IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS label
+                      FROM feat f LEFT JOIN pur p
+                        ON p.p_uid = f.user_id
+                           AND p.p_us > f.us
+                           AND p.p_us <= f.us + 259200000000
+                      GROUP BY f.event_id, f.bal_bucket)
+         SELECT CASE WHEN md5(CAST(event_id AS VARCHAR)) < '2'
+                     THEN 'test' ELSE 'train' END AS split,
+                CAST(label AS BIGINT) AS label, bal_bucket,
+                count(*) AS n
+         FROM lab GROUP BY 1, 2, 3 ORDER BY split, label, bal_bucket""",
     "pipeline_training_mix_e2e" ->
       """WITH docs AS (SELECT doc_id, text,
                               CAST(len(string_split(text, ' ')) AS BIGINT)

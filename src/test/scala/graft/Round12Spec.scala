@@ -159,4 +159,32 @@ class Round12Spec extends GraftSuite {
     assert(perV.keySet == Set(0, 1, 2) && perV.values.forall(_ > 0),
       "all three dim versions must be exercised by the fixture span")
   }
+
+  test("pipeline_pit_training_e2e: row conservation, both classes " +
+      "live, and the 72h label matches a driver-side replay") {
+    val got = SparkEntry.queries("pipeline_pit_training_e2e")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nViews = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(got.map(_._4).sum == nViews,
+      "every view event must land in exactly one census cell")
+    assert(got.exists(_._2 == 1L) && got.exists(_._2 == 0L),
+      "both label classes must be live in the fixture")
+    assert(Set("train", "test").subsetOf(got.map(_._1).toSet),
+      "both splits must be populated")
+    // label replay: per-class totals from a driver-side 72h scan
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val purByUser: Map[Long, Seq[Long]] = ev.filter(_._2 == "purchase")
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSeq }
+    val h72 = 72L * 3600 * 1000000
+    val wantPos = ev.filter(_._2 == "view").count { case (u, _, us) =>
+      purByUser.getOrElse(u, Seq.empty[Long])
+        .exists(p => p > us && p <= us + h72)
+    }.toLong
+    assert(got.filter(_._2 == 1L).map(_._4).sum == wantPos,
+      "positive-label total != driver-side 72h replay")
+  }
 }
