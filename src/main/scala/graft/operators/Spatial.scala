@@ -182,9 +182,119 @@ object Spatial {
             count(lit(1))), 6).as("lon_avg"))
         .orderBy("rid")
     }),
+
+    // Polygon geometry (r12) — the VECTOR leg beside the grid-bucket
+    // joins: signed area + centroid + perimeter of per-nation star
+    // octagons via the shoelace formula, on INTEGER tenth-degree
+    // vertices synthesized from the nation spine (no geometry
+    // library exists here and none is needed — shoelace is pure
+    // cross-product arithmetic, which is how a columnar engine
+    // evaluates ST_Area anyway). Determinism: every cross product
+    // (x_k·y_{k+1} − x_{k+1}·y_k) is an exact BIGINT, so area2 and
+    // the centroid numerators are order-independent integer sums;
+    // the per-edge sqrt lengths are floor-quantized to 1e-6 BEFORE
+    // summing (a raw double Σ over edges would depend on partial-agg
+    // order). Winding is CCW by construction → area2 > 0 is a free
+    // validity check. Scale: per-polygon vertex frames are constant
+    // (8), the window rides (rid, k) — embarrassingly parallel per
+    // polygon, the exact shape a 100 TB geo table needs.
+    "spatial_polygon_shoelace" -> ((s, d) => {
+      val base = Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("rid"),
+        ((col("n_nationkey") * 61 % 24) * 150 - 1800).cast("long").as("cx10"),
+        ((col("n_nationkey") * 37 % 14) * 120 - 850).cast("long").as("cy10"),
+        (col("n_nationkey") % 5 * 4 + 10).cast("long").as("r"))
+        .withColumn("ss", expr("(r + 1) div 2"))
+      val verts = base
+        .select(col("rid"), col("cx10"), col("cy10"),
+          posexplode(expr(
+            """transform(sequence(0, 7), k -> named_struct(
+                 'dx', CASE k WHEN 0 THEN r WHEN 1 THEN ss WHEN 2 THEN 0L
+                              WHEN 3 THEN -ss WHEN 4 THEN -r
+                              WHEN 5 THEN -ss WHEN 6 THEN 0L ELSE ss END,
+                 'dy', CASE k WHEN 0 THEN 0L WHEN 1 THEN ss WHEN 2 THEN r
+                              WHEN 3 THEN ss WHEN 4 THEN 0L
+                              WHEN 5 THEN -ss WHEN 6 THEN -r ELSE -ss END))"""))
+            .as(Seq("k", "v")))
+        .select(col("rid"), col("k"),
+          (col("cx10") + col("v.dx")).as("vx"),
+          (col("cy10") + col("v.dy")).as("vy"))
+      val w = Window.partitionBy("rid").orderBy("k")
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val edges = verts
+        .withColumn("nx", coalesce(lead(col("vx"), 1).over(w),
+          first(col("vx")).over(wAll)))
+        .withColumn("ny", coalesce(lead(col("vy"), 1).over(w),
+          first(col("vy")).over(wAll)))
+        .withColumn("cross", col("vx") * col("ny") - col("nx") * col("vy"))
+        .withColumn("elen6",
+          floor(sqrt(((col("nx") - col("vx")) * (col("nx") - col("vx"))
+            + (col("ny") - col("vy")) * (col("ny") - col("vy")))
+            .cast("double")) * 1e6).cast("long"))
+      edges.groupBy("rid")
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("cross")).as("area2"),
+          sum((col("vx") + col("nx")) * col("cross")).as("cxnum"),
+          sum((col("vy") + col("ny")) * col("cross")).as("cynum"),
+          sum(col("elen6")).as("perim6"))
+        .select(col("rid"), col("n_vertices"), col("area2"),
+          (floor(col("cxnum").cast("double")
+            / (col("area2") * 3).cast("double") * 1e4) / 1e4).as("cx"),
+          (floor(col("cynum").cast("double")
+            / (col("area2") * 3).cast("double") * 1e4) / 1e4).as("cy"),
+          (col("perim6").cast("double") / 1e6).as("perimeter"))
+        .orderBy("rid")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "spatial_polygon_shoelace" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+                              CAST((n_nationkey * 61 % 24) * 150 - 1800
+                                   AS BIGINT) AS cx10,
+                              CAST((n_nationkey * 37 % 14) * 120 - 850
+                                   AS BIGINT) AS cy10,
+                              CAST(n_nationkey % 5 * 4 + 10 AS BIGINT) AS r,
+                              CAST((n_nationkey % 5 * 4 + 10 + 1) // 2
+                                   AS BIGINT) AS ss
+                       FROM nation),
+              verts AS (SELECT rid, k,
+                               cx10 + CASE k WHEN 0 THEN r WHEN 1 THEN ss
+                                             WHEN 2 THEN 0 WHEN 3 THEN -ss
+                                             WHEN 4 THEN -r WHEN 5 THEN -ss
+                                             WHEN 6 THEN 0 ELSE ss END AS vx,
+                               cy10 + CASE k WHEN 0 THEN 0 WHEN 1 THEN ss
+                                             WHEN 2 THEN r WHEN 3 THEN ss
+                                             WHEN 4 THEN 0 WHEN 5 THEN -ss
+                                             WHEN 6 THEN -r ELSE -ss END AS vy
+                        FROM base, (SELECT unnest(range(0, 8)) AS k)),
+              edges AS (SELECT rid, vx, vy,
+                               coalesce(lead(vx) OVER w,
+                                 first_value(vx) OVER wa) AS nx,
+                               coalesce(lead(vy) OVER w,
+                                 first_value(vy) OVER wa) AS ny
+                        FROM verts
+                        WINDOW w AS (PARTITION BY rid ORDER BY k),
+                               wa AS (PARTITION BY rid ORDER BY k
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)),
+              cr AS (SELECT rid, vx * ny - nx * vy AS cross_t,
+                            vx, vy, nx, ny,
+                            CAST(floor(sqrt(CAST((nx - vx) * (nx - vx)
+                                   + (ny - vy) * (ny - vy) AS DOUBLE))
+                                 * 1e6) AS BIGINT) AS elen6
+                     FROM edges)
+         SELECT rid, count(*) AS n_vertices,
+                CAST(sum(cross_t) AS BIGINT) AS area2,
+                floor(CAST(sum((vx + nx) * cross_t) AS DOUBLE)
+                      / CAST(CAST(sum(cross_t) AS BIGINT) * 3 AS DOUBLE)
+                      * 1e4) / 1e4 AS cx,
+                floor(CAST(sum((vy + ny) * cross_t) AS DOUBLE)
+                      / CAST(CAST(sum(cross_t) AS BIGINT) * 3 AS DOUBLE)
+                      * 1e4) / 1e4 AS cy,
+                CAST(sum(elen6) AS DOUBLE) / 1e6 AS perimeter
+         FROM cr GROUP BY rid ORDER BY rid""",
     "spatial_dbscan_core" ->
       s"""WITH $pointsSql,
               offs AS (SELECT dx, dy

@@ -187,4 +187,26 @@ class Round12Spec extends GraftSuite {
     assert(got.filter(_._2 == 1L).map(_._4).sum == wantPos,
       "positive-label total != driver-side 72h replay")
   }
+
+  test("spatial_polygon_shoelace: area matches the star closed form " +
+      "8·r·s, winding is CCW, centroid sits on the center by symmetry") {
+    val got = SparkEntry.queries("spatial_polygon_shoelace")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 25)
+    got.foreach { case (rid, nv, area2, cx, cy, perim) =>
+      assert(nv == 8L)
+      val r = rid % 5 * 4 + 10; val ss = (r + 1) / 2
+      assert(area2 == 8 * r * ss,
+        s"polygon $rid: area2 $area2 != closed form ${8 * r * ss}")
+      assert(area2 > 0, s"polygon $rid: winding not CCW")
+      // the star is point-symmetric about its center → centroid == center
+      assert(cx == ((rid * 61 % 24) * 150 - 1800).toDouble, s"$rid cx")
+      assert(cy == ((rid * 37 % 14) * 120 - 850).toDouble, s"$rid cy")
+      // perimeter: 8 equal edges of length sqrt((r-s)^2 + s^2)
+      val e = math.floor(math.sqrt(((r - ss) * (r - ss) + ss * ss)
+        .toDouble) * 1e6) / 1e6
+      assert(math.abs(perim - 8 * e) < 1e-9, s"$rid perimeter")
+    }
+  }
 }
