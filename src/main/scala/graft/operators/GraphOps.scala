@@ -311,6 +311,82 @@ object GraphOps {
         .orderBy("dist")
     }),
 
+    // k-hop betweenness centrality (r12) — Brandes' algorithm
+    // (2001, "A faster algorithm for betweenness centrality")
+    // truncated at 3 hops from 4 fixed sources: forward multi-source
+    // BFS accumulates shortest-path COUNTS σ per layer (σ(v) = Σ σ(u)
+    // over layer-(r−1) predecessors — integer, exact), then the
+    // backward dependency pass folds δ(u) = Σ (σu/σv)(1+δv) down the
+    // layers. This is the sampled/k-bounded form every large-graph
+    // system ships (exact betweenness is O(V·E) — unshippable at
+    // 100 TB); sources and depth are DECLARED constants, so cost is
+    // 3 forward + 2 backward relational rounds regardless of graph
+    // size. Determinism (the markov_hitting discipline): δ is
+    // carried as the integer quantile δq = ⌊δ·10⁶⌋; each backward
+    // term is the pure-integer ⌊σu·(10⁶+δq_v) / σv⌋ (div == // on
+    // non-negatives), so both engines accumulate identical integers
+    // — no double ever enters a sum. Ceiling: σ·(10⁶+δq) wraps int64
+    // when σ·(reachable+1) ≳ 9·10¹²; past that the term widens to
+    // DECIMAL(38,0)/HUGEINT (the cuped path — not needed at any
+    // fixture scale, noted for the 100 TB operator).
+    "graph_betweenness_khop" -> ((s, d) => {
+      val Q = 1000000L
+      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      val nodes = adj.select(col("a").as("node")).distinct()
+      val srcs = nodes.orderBy("node").limit(4)
+        .select(col("node").as("qsrc"))
+      var layers = srcs.select(col("qsrc"), col("qsrc").as("node"),
+        lit(1L).as("sigma"), lit(0).as("dist")).localCheckpoint()
+      var frontier = layers
+      for (r <- 1 to 3) {
+        val next = frontier.join(adj, col("node") === col("a"))
+          .groupBy(col("qsrc"), col("b"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .withColumnRenamed("b", "node")
+          .join(layers.select("qsrc", "node"), Seq("qsrc", "node"),
+            "left_anti")
+          .withColumn("dist", lit(r))
+          .select("qsrc", "node", "sigma", "dist")
+          .localCheckpoint()
+        layers = layers.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      def layer(r: Int) = layers.filter(col("dist") === r)
+      def succ(r: Int) = layer(r)
+        .select(col("qsrc"), col("node").as("unode"), col("sigma").as("us"))
+        .join(adj, col("unode") === col("a"))
+        .join(layer(r + 1).select(col("qsrc").as("vq"),
+          col("node").as("vnode"), col("sigma").as("vs")),
+          col("qsrc") === col("vq") && col("b") === col("vnode"))
+        .select(col("qsrc"), col("unode"), col("us"),
+          col("vnode"), col("vs"))
+      def deps(r: Int, dNext: DataFrame): DataFrame = {
+        val terms = succ(r)
+          .join(dNext, Seq("qsrc", "vnode"))
+          .select(col("qsrc"), col("unode"),
+            expr(s"(us * ($Q + dq)) div vs").as("term"))
+          .groupBy("qsrc", "unode").agg(sum(col("term")).as("tq"))
+        layer(r).select(col("qsrc"), col("node").as("unode"))
+          .join(terms, Seq("qsrc", "unode"), "left")
+          .select(col("qsrc"), col("unode"),
+            coalesce(col("tq"), lit(0L)).as("dq"))
+      }
+      val d3 = layer(3).select(col("qsrc"), col("node").as("vnode"),
+        lit(0L).as("dq"))
+      val d2 = deps(2, d3)
+      val d1 = deps(1, d2.withColumnRenamed("unode", "vnode"))
+      d1.select(col("unode").as("node"), col("dq"))
+        .unionByName(d2.select(col("unode").as("node"), col("dq")))
+        .unionByName(d3.select(col("vnode").as("node"), col("dq")))
+        .groupBy("node").agg(sum(col("dq")).as("bq"))
+        .orderBy(col("bq").desc, col("node")).limit(15)
+        .select(col("node"), (col("bq").cast("double") / 1e6).as("btw"))
+        .orderBy(col("btw").desc, col("node"))
+    }),
+
     // Synchronous label propagation communities (r9; Raghavan et al.
     // 2007): every node starts as its own label; each round a node
     // adopts the MAJORITY label among its neighbors (tiebreak:
@@ -458,6 +534,88 @@ object GraphOps {
         $rounds"""
   }
 
+  /** k-hop betweenness oracle — forward σ layers + backward integer
+    * δ-quantile folds, the same ⌊σu·(10⁶+δq)/σv⌋ terms as the Spark
+    * side (div == // on non-negatives). */
+  private def betweennessSql: String = {
+    def succ(r: Int, u: String, v: String): String =
+      s"""s$r AS (SELECT u.qsrc, u.node AS unode, u.sigma AS us,
+                         v.node AS vnode, v.sigma AS vs
+                  FROM $u u JOIN adj ON adj.a = u.node
+                            JOIN $v v ON v.qsrc = u.qsrc
+                                      AND v.node = adj.b)"""
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                        l_partkey AS pk
+                                 FROM lineitem WHERE l_partkey % 10 = 0),
+            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                                FROM ps a JOIN ps b
+                                  ON a.ok = b.ok AND a.pk < b.pk),
+            adj AS MATERIALIZED (SELECT u AS a, v AS b FROM ed
+                                 UNION ALL SELECT v, u FROM ed),
+            srcs AS (SELECT node AS qsrc FROM (
+                       SELECT DISTINCT a AS node FROM adj)
+                     ORDER BY node LIMIT 4),
+            f0 AS MATERIALIZED (SELECT qsrc, qsrc AS node,
+                                       CAST(1 AS BIGINT) AS sigma
+                                FROM srcs),
+            n1 AS MATERIALIZED (SELECT f.qsrc, adj.b AS node,
+                                       CAST(sum(f.sigma) AS BIGINT) AS sigma
+                                FROM f0 f JOIN adj ON adj.a = f.node
+                                WHERE NOT EXISTS (SELECT 1 FROM f0 p
+                                  WHERE p.qsrc = f.qsrc AND p.node = adj.b)
+                                GROUP BY f.qsrc, adj.b),
+            l1 AS MATERIALIZED (SELECT qsrc, node FROM f0
+                                UNION ALL SELECT qsrc, node FROM n1),
+            n2 AS MATERIALIZED (SELECT f.qsrc, adj.b AS node,
+                                       CAST(sum(f.sigma) AS BIGINT) AS sigma
+                                FROM n1 f JOIN adj ON adj.a = f.node
+                                WHERE NOT EXISTS (SELECT 1 FROM l1 p
+                                  WHERE p.qsrc = f.qsrc AND p.node = adj.b)
+                                GROUP BY f.qsrc, adj.b),
+            l2 AS MATERIALIZED (SELECT qsrc, node FROM l1
+                                UNION ALL SELECT qsrc, node FROM n2),
+            n3 AS MATERIALIZED (SELECT f.qsrc, adj.b AS node,
+                                       CAST(sum(f.sigma) AS BIGINT) AS sigma
+                                FROM n2 f JOIN adj ON adj.a = f.node
+                                WHERE NOT EXISTS (SELECT 1 FROM l2 p
+                                  WHERE p.qsrc = f.qsrc AND p.node = adj.b)
+                                GROUP BY f.qsrc, adj.b),
+            ${succ(2, "n2", "n3")},
+            d3 AS (SELECT qsrc, node AS vnode, CAST(0 AS BIGINT) AS dq
+                   FROM n3),
+            d2 AS MATERIALIZED (SELECT l.qsrc, l.node AS unode,
+                     CAST(coalesce(t.tq, 0) AS BIGINT) AS dq
+                   FROM n2 l LEFT JOIN (
+                     SELECT s.qsrc, s.unode,
+                            CAST(sum((s.us * (1000000 + d.dq)) // s.vs)
+                              AS BIGINT) AS tq
+                     FROM s2 s JOIN d3 d ON d.qsrc = s.qsrc
+                                         AND d.vnode = s.vnode
+                     GROUP BY s.qsrc, s.unode) t
+                     ON t.qsrc = l.qsrc AND t.unode = l.node),
+            ${succ(1, "n1", "n2")},
+            d1 AS MATERIALIZED (SELECT l.qsrc, l.node AS unode,
+                     CAST(coalesce(t.tq, 0) AS BIGINT) AS dq
+                   FROM n1 l LEFT JOIN (
+                     SELECT s.qsrc, s.unode,
+                            CAST(sum((s.us * (1000000 + d.dq)) // s.vs)
+                              AS BIGINT) AS tq
+                     FROM s1 s JOIN d2 d ON d.qsrc = s.qsrc
+                                         AND d.unode = s.vnode
+                     GROUP BY s.qsrc, s.unode) t
+                     ON t.qsrc = l.qsrc AND t.unode = l.node),
+            uni AS (SELECT unode AS node, dq FROM d1
+                    UNION ALL SELECT unode, dq FROM d2
+                    UNION ALL SELECT vnode, dq FROM d3),
+            bq AS (SELECT node, CAST(sum(dq) AS BIGINT) AS bq
+                   FROM uni GROUP BY node)
+       SELECT node, CAST(bq AS DOUBLE) / 1e6 AS btw
+       FROM (SELECT node, bq,
+                    row_number() OVER (ORDER BY bq DESC, node) AS rn
+             FROM bq)
+       WHERE rn <= 15 ORDER BY btw DESC, node"""
+  }
+
   private def labelPropSql: String =
     s"""WITH $labelPropChainSql,
             sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY lbl)
@@ -576,6 +734,7 @@ object GraphOps {
     "graph_kcore" -> kcoreSql,
     "graph_community_labelprop" -> labelPropSql,
     "graph_modularity" -> modularitySql,
+    "graph_betweenness_khop" -> betweennessSql,
     "graph_bfs_layers" -> bfsSql,
     "graph_wcc_components" ->
       """WITH RECURSIVE

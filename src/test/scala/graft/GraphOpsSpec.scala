@@ -245,4 +245,49 @@ class GraphOpsSpec extends GraftSuite {
       assert(intra.size == 1 && intra.values.sum == m,
         "Q=0 without a single all-edge community — quantization bug")
   }
+
+  test("graph_betweenness_khop: exactly matches a driver-side " +
+    "truncated-Brandes replay with integer delta quantiles") {
+    val got = operators.GraphOps.queries("graph_betweenness_khop")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.length <= 15)
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val Q = 1000000L
+    val srcs = adj.keys.toSeq.sorted.take(4)
+    val bq = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    srcs.foreach { s0 =>
+      // forward: layers with path counts
+      var layers = Vector(Map(s0 -> 1L))
+      var seen = Set(s0)
+      (1 to 3).foreach { _ =>
+        val next = collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        layers.last.foreach { case (u, su) =>
+          adj(u).foreach(v => if (!seen.contains(v)) next(v) += su)
+        }
+        layers :+= next.toMap
+        seen ++= next.keys
+      }
+      // backward: integer delta quantiles, term = (su*(Q+dqv)) / sv
+      var dq: Map[Long, Long] = layers(3).keys.map(_ -> 0L).toMap
+      (2 to 1 by -1).foreach { r =>
+        val nxt = layers(r + 1)
+        dq = layers(r).map { case (u, su) =>
+          u -> adj(u).filter(nxt.contains).map(v =>
+            su * (Q + dq(v)) / nxt(v)).sum
+        }
+        dq.foreach { case (n, d) => bq(n) += d }
+      }
+      layers(3).keys.foreach(n => bq(n) += 0L)
+    }
+    val want = bq.toSeq.sortBy { case (n, b) => (-b, n) }.take(15)
+      .map { case (n, b) => (n, b.toDouble / 1e6) }
+      .sortBy { case (n, b) => (-b, n) }
+    assert(got == want,
+      s"betweenness mismatch: got=${got.take(3)}… want=${want.take(3)}…")
+  }
 }
