@@ -390,6 +390,44 @@ object TextPipeline {
           lit(-1L).as("hamming"))
       top.unionByName(census).orderBy("kind", "a", "b")
     }),
+
+    // Audio-frame energy census (r12) — the AUDIO leg of the
+    // multimodal family (phash covers images, frame_sample covers
+    // video): STUB decode treats the payload bytes as centered PCM
+    // samples (ascii − 100 — real codecs aren't in this container;
+    // the Spark-side frame/window/census plumbing is the real thing),
+    // frames = non-overlapping 32-sample windows, per-frame energy =
+    // Σ sample² (exact integers end-to-end — no sqrt, no doubles
+    // anywhere in this key). "Quiet" frames are SELF-CALIBRATED
+    // against the doc's own mean frame energy via the integer
+    // cross-multiplication sum_sq·n_frames < Σenergy (no division,
+    // no threshold constant to tune per corpus). Scale: pure per-row
+    // nested-HOF projection (codegen'd), zero shuffles before the
+    // presentation sort — the same map-only shape the chunking keys
+    // pipeline into batch UDFs at 100 TB.
+    "multimodal_audio_rms" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0)
+        .withColumn("nf", expr("CAST(length(text) div 32 AS INT)"))
+        .filter(col("nf") > 0)
+        .withColumn("frames", expr(
+          """transform(sequence(0, nf - 1), f ->
+               aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, i) ->
+                 a + CAST((ascii(substring(text, f * 32 + i, 1)) - 100)
+                     * (ascii(substring(text, f * 32 + i, 1)) - 100)
+                     AS BIGINT)))"""))
+        .withColumn("energy",
+          expr("aggregate(frames, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("peak", expr(
+          """aggregate(sequence(1, nf * 32), CAST(0 AS BIGINT), (a, i) ->
+               greatest(a, CAST(abs(ascii(substring(text, i, 1)) - 100)
+                               AS BIGINT)))"""))
+        .select(col("doc_id"), col("nf").cast("long").as("n_frames"),
+          col("energy"),
+          expr("CAST(size(filter(frames, x -> x * nf < energy)) AS BIGINT)")
+            .as("n_quiet"), col("peak"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Frame sampling over an opaque binary payload (STUB decode: the
@@ -627,5 +665,33 @@ object TextPipeline {
          SELECT kind, a, b, hamming FROM top
          UNION ALL SELECT kind, a, b, hamming FROM census
          ORDER BY kind, a, b""",
+    "multimodal_audio_rms" ->
+      """WITH d AS (SELECT doc_id, text,
+                           CAST(length(text) // 32 AS INT) AS nf
+                    FROM documents
+                    WHERE doc_id % 11 = 0 AND length(text) // 32 >= 1),
+              fr AS (SELECT doc_id, nf,
+                            list_transform(range(0, nf), f ->
+                              list_aggregate(list_transform(range(1, 33),
+                                i -> CAST((ascii(substring(text,
+                                       CAST(f * 32 + i AS INT), 1)) - 100)
+                                     * (ascii(substring(text,
+                                       CAST(f * 32 + i AS INT), 1)) - 100)
+                                     AS BIGINT)), 'sum')) AS frames,
+                            CAST(list_aggregate(list_transform(
+                              range(1, nf * 32 + 1),
+                              i -> CAST(abs(ascii(substring(text,
+                                     CAST(i AS INT), 1)) - 100)
+                                   AS BIGINT)), 'max') AS BIGINT) AS peak
+                     FROM d),
+              en AS (SELECT doc_id, nf, frames, peak,
+                            CAST(list_aggregate(frames, 'sum') AS BIGINT)
+                              AS energy
+                     FROM fr)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, energy,
+                CAST(len(list_filter(frames, x -> x * nf < energy))
+                     AS BIGINT) AS n_quiet,
+                peak
+         FROM en ORDER BY doc_id""",
   )
 }

@@ -209,4 +209,29 @@ class Round12Spec extends GraftSuite {
       assert(math.abs(perim - 8 * e) < 1e-9, s"$rid perimeter")
     }
   }
+
+  test("multimodal_audio_rms: frame census exactly matches a " +
+      "driver-side PCM-stub replay") {
+    val got = SparkEntry.queries("multimodal_audio_rms")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, nf, energy, nQuiet, peak) =>
+      val t = docs(id)
+      val samples = t.map(c => (c.toInt - 100).toLong)
+      assert(nf == t.length / 32, s"doc $id frame count")
+      val frames = samples.take(nf.toInt * 32).grouped(32)
+        .map(_.map(x => x * x).sum).toSeq
+      assert(energy == frames.sum, s"doc $id energy")
+      assert(nQuiet == frames.count(_ * nf < energy), s"doc $id quiet")
+      assert(peak == samples.take(nf.toInt * 32).map(math.abs).max,
+        s"doc $id peak")
+    }
+    // self-calibration produces a real split, not all-or-nothing
+    assert(got.exists(_._4 > 0) && got.exists(r => r._4 < r._2),
+      "quiet-frame detection degenerate across the corpus")
+  }
 }
