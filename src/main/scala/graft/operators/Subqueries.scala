@@ -63,6 +63,36 @@ object Subqueries {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // Quantified comparisons (r12) — the ANY/ALL member completing
+    // the subquery family (scalar / EXISTS / IN / LATERAL / ANY-ALL).
+    // Spark's parser has NO quantified-subquery syntax (measured:
+    // `> ALL (SELECT …)` is a PARSE_SYNTAX_ERROR in 4.1.2), so the
+    // engine side declares the textbook REWRITE — x > ALL(S) ⇔
+    // x > max(S), x < ANY(S) ⇔ x < max(S) (valid because the fixture
+    // subqueries are non-empty and null-free; with NULLs the
+    // quantifier is three-valued and the rewrite needs a guard) —
+    // while the ORACLE runs the REAL ANY/ALL syntax in DuckDB: the
+    // hash match IS the cross-formulation evidence the rewrite is
+    // the quantifier (the join_asof_native pattern). Both scalar
+    // subqueries reduce to 1-row aggregates broadcast to the scan —
+    // the only shape a quantifier over an sf-scaling subquery may
+    // take at 100 TB (never a per-row probe).
+    "subquery_any_all" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_v")
+      s.sql(
+        """SELECT p_brand, count(*) AS n,
+          |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+          |             AS DOUBLE), 4) AS total
+          |FROM graft_part_v
+          |WHERE p_retailprice > (SELECT max(p_retailprice / 2)
+          |                       FROM graft_part_v
+          |                       WHERE p_partkey % 100 = 0)
+          |  AND p_retailprice < (SELECT max(p_retailprice)
+          |                       FROM graft_part_v
+          |                       WHERE p_partkey % 50 = 0)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
     // Correlated LATERAL join (SQL-surface lateral subquery): a
     // per-order aggregate computed in the FROM clause. Catalyst
     // decorrelates it to an outer join against a grouped aggregate —
@@ -162,6 +192,16 @@ object Subqueries {
        FROM tree GROUP BY depth ORDER BY depth"""
 
   val oracles: Map[String, String] = Map(
+    "subquery_any_all" ->
+      """SELECT p_brand, count(*) AS n,
+                round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS total
+         FROM part
+         WHERE p_retailprice > ALL (SELECT p_retailprice / 2 FROM part
+                                    WHERE p_partkey % 100 = 0)
+           AND p_retailprice < ANY (SELECT p_retailprice FROM part
+                                    WHERE p_partkey % 50 = 0)
+         GROUP BY p_brand ORDER BY p_brand""",
     "sql_text_star_revenue" -> sqlTextStarRevenue,
     "sql_recursive_cte" -> sqlRecursiveCte,
     "subquery_lateral" ->

@@ -234,4 +234,23 @@ class Round12Spec extends GraftSuite {
     assert(got.exists(_._4 > 0) && got.exists(r => r._4 < r._2),
       "quiet-frame detection degenerate across the corpus")
   }
+
+  test("subquery_any_all: the max-rewrite agrees with a third, " +
+      "driver-side quantifier evaluation and filters non-trivially") {
+    val got = SparkEntry.queries("subquery_any_all")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val allSet = parts.filter(_._1 % 100 == 0).map(_._3 / 2)
+    val anySet = parts.filter(_._1 % 50 == 0).map(_._3)
+    // literal quantifier semantics, no rewrite
+    val kept = parts.filter { case (_, _, p) =>
+      allSet.forall(p > _) && anySet.exists(p < _) }
+    val want = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == want,
+      "max-rewrite disagrees with literal forall/exists evaluation")
+    assert(kept.nonEmpty && kept.length < parts.length,
+      "quantifier filter degenerate (kept all or nothing)")
+  }
 }
