@@ -387,6 +387,46 @@ object GraphOps {
         .orderBy(col("btw").desc, col("node"))
     }),
 
+    // Deterministic random-walk corpus (r12) — the DeepWalk/node2vec
+    // DATA-PREP primitive (Perozzi et al. 2014): graph embeddings
+    // train on walk sequences exactly like an LM trains on text, and
+    // at 100 TB the walk GENERATION is the Spark job (training is
+    // downstream). Each sampled start takes 4 steps; the "random"
+    // neighbor pick is the engine's standard md5 content-coin over
+    // (start, step, current, candidate) — rerun- and partitioning-
+    // independent (a seeded RNG is executor-order-dependent in a
+    // distributed engine; the hash coin is the only reproducible
+    // randomness — the sample_hash_split argument applied to graphs).
+    // Each step is one frontier⋈adjacency equi-join + a rank-pinning
+    // row_number pick (one row per start — the hint-audit-exempt
+    // class); state per step is (starts × 1) rows. Symmetric
+    // co-purchase adjacency has no dead ends by construction.
+    "graph_random_walk_corpus" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d, 10).localCheckpoint()
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      val starts = adj.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+        .select(col("node").as("start"), col("node"))
+      var walk = starts.withColumn("step", lit(0))
+      var frontier = walk
+      for (r <- 1 to 4) {
+        val next = frontier.join(adj, col("node") === col("a"))
+          .withColumn("coin", expr(
+            s"""md5(concat(CAST(start AS STRING), ':', '$r', ':',
+                 CAST(node AS STRING), ':', CAST(b AS STRING)))"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("start").orderBy(col("coin"), col("b"))))
+          .filter(col("rn") === 1)
+          .select(col("start"), col("b").as("node"), lit(r).as("step"))
+          .localCheckpoint()
+        walk = walk.unionByName(next)
+        frontier = next
+      }
+      walk.orderBy("start", "step")
+    }),
+
     // Synchronous label propagation communities (r9; Raghavan et al.
     // 2007): every node starts as its own label; each round a node
     // adopts the MAJORITY label among its neighbors (tiebreak:
@@ -532,6 +572,40 @@ object GraphOps {
         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
                             FROM adj),
         $rounds"""
+  }
+
+  /** Random-walk oracle: the same md5 coin per (start, step,
+    * current, candidate), steps generated from one template. */
+  private def randomWalkSql: String = {
+    val steps = (1 to 4).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""w$r AS MATERIALIZED (SELECT start, node, $r AS step FROM (
+            SELECT w.start, adj.b AS node,
+                   row_number() OVER (PARTITION BY w.start
+                     ORDER BY md5(concat(CAST(w.start AS VARCHAR), ':',
+                       '$r', ':', CAST(w.node AS VARCHAR), ':',
+                       CAST(adj.b AS VARCHAR))), adj.b) AS rn
+            FROM $prev w JOIN adj ON adj.a = w.node) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                                        l_partkey AS pk
+                                 FROM lineitem WHERE l_partkey % 10 = 0),
+            ed AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+                                FROM ps a JOIN ps b
+                                  ON a.ok = b.ok AND a.pk < b.pk),
+            adj AS MATERIALIZED (SELECT u AS a, v AS b FROM ed
+                                 UNION ALL SELECT v, u FROM ed),
+            w0 AS (SELECT node AS start, node, 0 AS step FROM (
+                     SELECT DISTINCT a AS node FROM adj)
+                   WHERE node % 7 = 0),
+            $steps
+       SELECT start, CAST(step AS INTEGER) AS step, node
+       FROM (SELECT start, step, node FROM w0
+             UNION ALL SELECT start, step, node FROM w1
+             UNION ALL SELECT start, step, node FROM w2
+             UNION ALL SELECT start, step, node FROM w3
+             UNION ALL SELECT start, step, node FROM w4)
+       ORDER BY start, step"""
   }
 
   /** k-hop betweenness oracle — forward σ layers + backward integer
@@ -735,6 +809,7 @@ object GraphOps {
     "graph_community_labelprop" -> labelPropSql,
     "graph_modularity" -> modularitySql,
     "graph_betweenness_khop" -> betweennessSql,
+    "graph_random_walk_corpus" -> randomWalkSql,
     "graph_bfs_layers" -> bfsSql,
     "graph_wcc_components" ->
       """WITH RECURSIVE

@@ -290,4 +290,41 @@ class GraphOpsSpec extends GraftSuite {
     assert(got == want,
       s"betweenness mismatch: got=${got.take(3)}… want=${want.take(3)}…")
   }
+
+  test("graph_random_walk_corpus: exactly matches a driver-side " +
+    "md5-coin walk replay; walks never leave the edge set") {
+    val got = operators.GraphOps.queries("graph_random_walk_corpus")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    val e = operators.GraphOps.coPurchaseEdges(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct }
+    def md5hex(s0: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val starts = adj.keys.filter(_ % 7 == 0).toSeq.sorted
+    val want = starts.flatMap { s0 =>
+      var cur = s0
+      (0, s0) +: (1 to 4).map { r =>
+        cur = adj(cur).minBy(b =>
+          (md5hex(s"$s0:$r:$cur:$b"), b))
+        (r, cur)
+      }
+    }.zip(starts.flatMap(s0 => Seq.fill(5)(s0)))
+      .map { case ((st, n), s0) => (s0, st, n) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == want,
+      s"walk mismatch: got=${got.take(6)}… want=${want.take(6)}…")
+    // every consecutive pair is a real edge
+    got.groupBy(_._1).foreach { case (_, w) =>
+      w.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(adj(a._3).contains(b._3),
+          s"walk used a non-edge ${a._3}->${b._3}")
+        case _ => ()
+      }
+    }
+  }
 }
