@@ -103,6 +103,68 @@ object TextModel {
       unigramScored(s, d, Some(col("doc_id") % 11 === 0))
         .orderBy("doc_id")),
 
+    // BPE tokenizer TRAINING, two unrolled rounds (r12) — the
+    // tokenizer-prep op between raw text and every token-count key
+    // in this file (Sennrich et al. 2016): count adjacent-symbol
+    // pairs over the word-frequency table, merge the most frequent
+    // pair corpus-wide, re-segment, repeat. This is the actual BPE
+    // inner loop run relationally: the corpus state is the
+    // word-freq synopsis (Zipf-bounded — words, not tokens, shuffle),
+    // each round is one pair-explode + one weighted count + a 1-row
+    // rank-pinned argmax broadcast back into a string rewrite
+    // (replace of ' a b ' inside sentinel-padded symbol strings).
+    // DECLARED merge semantics = SQL replace(): left-to-right
+    // non-overlapping WITH separator consumption — on a run like
+    // 'a b a b' the second occurrence loses its leading space and is
+    // skipped; identical in Spark, DuckDB, and Java (the spec mirror
+    // uses String.replace for exactly this reason), diverging from
+    // canonical greedy BPE only on pattern runs ≥ 2. At 100 TB the
+    // word-freq table is exactly how production BPE trainers shard.
+    // Output: the two chosen merges + the top-10 NEXT candidates
+    // (what round 3 would see) — stage-tagged, rank-ordered.
+    "text_bpe_train_rounds" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .filter(length(col("w")) >= 2)
+      val sym0 = words.select(col("f"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sy"))
+        .localCheckpoint()
+      def pairCounts(sym: DataFrame): DataFrame = sym
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(split(sy, ' ')) - 1), i ->
+               concat(element_at(split(sy, ' '), i), ' ',
+                      element_at(split(sy, ' '), i + 1)))""")).as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("wt"))
+      def top1(pc: DataFrame): DataFrame = pc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("wt").desc, col("pair"))))
+        .filter(col("rn") === 1).select(col("pair"), col("wt"))
+      def applyMerge(sym: DataFrame, m: DataFrame): DataFrame = sym
+        .crossJoin(broadcast(m)) // 1-row merge pick
+        .select(col("f"), expr(
+          """trim(replace(concat(' ', sy, ' '), concat(' ', pair, ' '),
+                 concat(' ', replace(pair, ' ', ''), ' ')))""").as("sy"))
+      val m1 = top1(pairCounts(sym0)).localCheckpoint()
+      val sym1 = applyMerge(sym0, m1).localCheckpoint()
+      val m2 = top1(pairCounts(sym1)).localCheckpoint()
+      val sym2 = applyMerge(sym1, m2).localCheckpoint()
+      val remaining = pairCounts(sym2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("wt").desc, col("pair"))))
+        .filter(col("rank") <= 10)
+        .select(lit("remaining").as("stage"), col("rank").cast("long"),
+          col("pair"), col("wt"))
+      m1.select(lit("merge1").as("stage"), lit(1L).as("rank"),
+          col("pair"), col("wt"))
+        .unionByName(m2.select(lit("merge2").as("stage"),
+          lit(1L).as("rank"), col("pair"), col("wt")))
+        .unionByName(remaining)
+        .orderBy("stage", "rank")
+    }),
+
     // Bigram-LM surprise (round 6): the next rung above the unigram
     // score — P(w2|w1) = c(w1,w2)/c(w1·) fitted on the corpus, per-doc
     // mean −ln P over consecutive token pairs. Same scale shape as the
@@ -318,7 +380,58 @@ object TextModel {
     }),
   )
 
+  /** BPE oracle — the same pair-count / argmax / rewrite template
+    * per round, generated so the three pair-count expressions can't
+    * drift from the Spark side's. */
+  private def bpeSql: String = {
+    def pairs(sym: String): String =
+      s"""SELECT pair, CAST(sum(f) AS BIGINT) AS wt FROM (
+            SELECT f, unnest(list_transform(
+              range(1, len(string_split(sy, ' '))), i ->
+                concat(string_split(sy, ' ')[i], ' ',
+                       string_split(sy, ' ')[i + 1]))) AS pair
+            FROM $sym) GROUP BY pair"""
+    def top1(pc: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT pair, wt FROM (
+            SELECT pair, wt,
+                   row_number() OVER (ORDER BY wt DESC, pair) AS rn
+            FROM $pc) WHERE rn = 1)"""
+    def merge(sym: String, m: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT f,
+            trim(replace(' ' || sy || ' ', ' ' || pair || ' ',
+                 ' ' || replace(pair, ' ', '') || ' ')) AS sy
+            FROM $sym CROSS JOIN $m)"""
+    s"""WITH words AS (SELECT w, count(*) AS f FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 25 = 0)
+            WHERE length(w) >= 2 GROUP BY w),
+          sym0 AS MATERIALIZED (SELECT CAST(f AS BIGINT) AS f,
+              trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sy
+              FROM words),
+          pc0 AS MATERIALIZED (${pairs("sym0")}),
+          ${top1("pc0", "m1")},
+          ${merge("sym0", "m1", "sym1")},
+          pc1 AS MATERIALIZED (${pairs("sym1")}),
+          ${top1("pc1", "m2")},
+          ${merge("sym1", "m2", "sym2")},
+          pc2 AS MATERIALIZED (${pairs("sym2")}),
+          rem AS (SELECT 'remaining' AS stage, CAST(rn AS BIGINT) AS rank,
+                         pair, wt FROM (
+                    SELECT pair, wt,
+                           row_number() OVER (ORDER BY wt DESC, pair) AS rn
+                    FROM pc2) WHERE rn <= 10)
+       SELECT stage, rank, pair, wt FROM (
+         SELECT 'merge1' AS stage, CAST(1 AS BIGINT) AS rank, pair, wt
+         FROM m1
+         UNION ALL
+         SELECT 'merge2', CAST(1 AS BIGINT), pair, wt FROM m2
+         UNION ALL
+         SELECT stage, rank, pair, wt FROM rem)
+       ORDER BY stage, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train_rounds" -> bpeSql,
     "text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, lang,
                              unnest(string_split(text, ' ')) AS w

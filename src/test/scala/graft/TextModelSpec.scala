@@ -99,4 +99,47 @@ class TextModelSpec extends GraftSuite {
         s"context '$w1': KN probabilities sum to $total, not 1")
     }
   }
+
+  test("text_bpe_train_rounds: exactly matches a driver-side BPE " +
+    "trainer; merged symbols feed the next round's candidates") {
+    val got = TextModel.queries("text_bpe_train_rounds")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val words = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // symbol strings + String.replace — the EXACT engine semantics
+    // (left-to-right non-overlapping with separator consumption,
+    // identical in Spark/DuckDB/Java; the declared merge semantics)
+    var syms: Map[String, Long] =
+      words.map { case (w, f) => w.map(_.toString).mkString(" ") -> f }
+    def pairCounts: Map[String, Long] =
+      syms.toSeq.flatMap { case (sy, f) =>
+        val ts = sy.split(" ")
+        ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" -> f }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def top1: (String, Long) =
+      pairCounts.toSeq.minBy { case (p, wt) => (-wt, p) }
+    def applyMerge(p: String): Unit =
+      syms = syms.toSeq.map { case (sy, f) =>
+        (" " + sy + " ").replace(" " + p + " ",
+          " " + p.replace(" ", "") + " ").trim -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (p1, w1) = top1; applyMerge(p1)
+    val (p2, w2) = top1; applyMerge(p2)
+    val rem = pairCounts.toSeq.sortBy { case (p, wt) => (-wt, p) }.take(10)
+    val want =
+      Seq(("merge1", 1L, p1, w1), ("merge2", 1L, p2, w2)) ++
+        rem.zipWithIndex.map { case ((p, wt), i) =>
+          ("remaining", i + 1L, p, wt) }
+    assert(got.toSeq == want.sortBy(t => (t._1, t._2)),
+      s"BPE mismatch: got=${got.take(4).toSeq} want=${want.take(4)}")
+    // the merge actually propagated: some later candidate contains a
+    // multi-char symbol (e.g. 'm er') — the signature of real BPE
+    assert(got.exists(r => r._1 == "remaining" &&
+      r._3.split(" ").exists(_.length > 1)),
+      "no merged symbol appears in round-3 candidates — merges inert")
+  }
 }
