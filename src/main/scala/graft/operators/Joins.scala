@@ -233,6 +233,44 @@ object Joins {
             .as("gap_us_within"))
     }),
 
+    // Bucketed tolerance as-of (r12) — the SCALE PATH for the key
+    // above, the join_interval_bucketed idea applied to as-of: a
+    // tolerance-bounded as-of never needs the unbounded per-user
+    // range scan (which is Θ(clicks-per-user) per purchase however
+    // it's planned) — cell = ⌊us/tol⌋ makes every admissible click
+    // live in the purchase's cell or the one before, so the probe
+    // side replicates ×2 (a constant) and the join is PURE EQUI on
+    // (user, cell): hash-partitionable, skew-saltable, AQE-splittable
+    // — the join a 100 TB event store can actually run. Exact
+    // refine (c ≤ p ∧ p − c ≤ tol) keeps only true matches;
+    // recall-complete at radius tol BY CONSTRUCTION. The oracle runs
+    // the PLAIN tolerance join — the hash match IS the equivalence
+    // proof (the interval_bucketed contract). The unbounded
+    // n_matched_any column of the plain key is deliberately absent:
+    // bounded lookback is what buys the equi-join.
+    "join_asof_tolerance_bucketed" -> ((s, d) => {
+      val tolUs = 10L * 60 * 1000000
+      val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val probes = p.withColumn("cell",
+        explode(expr(s"array(p_us div $tolUs, p_us div $tolUs - 1)")))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+        .withColumn("cell", expr(s"c_us div $tolUs"))
+      val m = probes.join(c,
+          probes("user_id") === c("c_user") && probes("cell") === c("cell"))
+        .filter(col("c_us") <= col("p_us")
+          && col("p_us") - col("c_us") <= tolUs)
+        .groupBy("p_id").agg(max(col("c_us")).as("m_us"))
+      p.join(m, Seq("p_id"), "left")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("m_us")).as("n_within_tol"),
+          coalesce(sum(col("p_us") - col("m_us")), lit(0L)).cast("bigint")
+            .as("gap_us_within"))
+    }),
+
     // As-of NEAREST (r8) — completes the merge_asof direction triple
     // (backward = join_asof_native, forward = join_asof_forward):
     // each purchase matched to the click minimizing |c_us − p_us|,
@@ -474,6 +512,23 @@ object Joins {
                   AS n_within_tol,
                 CAST(coalesce(sum(CASE WHEN p_us - m_us <= 600000000
                   THEN p_us - m_us END), 0) AS BIGINT) AS gap_us_within
+         FROM m""",
+    "join_asof_tolerance_bucketed" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+              p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, us AS c_us
+                    FROM e WHERE event_type = 'click'),
+              m AS (SELECT p_id, p_us, max(c_us) AS m_us
+                    FROM p LEFT JOIN c
+                      ON user_id = c_user AND c_us <= p_us
+                         AND p_us - c_us <= 600000000
+                    GROUP BY p_id, p_us)
+         SELECT count(*) AS n_purchases,
+                count(m_us) AS n_within_tol,
+                CAST(coalesce(sum(p_us - m_us), 0) AS BIGINT)
+                  AS gap_us_within
          FROM m""",
     "join_asof_native" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

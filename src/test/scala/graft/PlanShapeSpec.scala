@@ -186,6 +186,18 @@ class PlanShapeSpec extends GraftSuite {
       s"filtered dim side should broadcast:\n$plan")
   }
 
+  test("join_asof_tolerance_bucketed joins PURE EQUI on (user, cell) " +
+      "— no nested-loop fallback, range only as post-filter (r12)") {
+    val plan = executedPlan("join_asof_tolerance_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketed asof degenerated to a range join:\n$plan")
+    // the probe side's 2-cell replication is a Generate (explode),
+    // and the match join carries the cell key
+    assert(plan.contains("Generate explode"),
+      s"2-cell probe replication missing:\n$plan")
+  }
+
   test("text_span_dedup explodes spans ONCE and runs join-free") {
     // the naive shape (span frame joined with its own per-hash marks)
     // re-ran the 1M-span explode+md5 on both sides of the join — the
