@@ -20,6 +20,28 @@ object Features {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Hashed feature crosses (r12) — the wide-and-deep featurizer
+    // (Cheng et al. 2016): user × event_type crossed into a FIXED
+    // 4096-bucket space via the engine's md5 coin (12 hex bits), so
+    // the feature dimensionality is a constant however many ids the
+    // corpus has — the property that makes crosses servable at
+    // 100 TB. The declared output is the bucket-OCCUPANCY histogram
+    // (how many buckets carry 1, 2, … distinct crosses): the
+    // collision census you read before trusting a hashed cross —
+    // too-hot buckets mean the space is too small for the
+    // cardinality. Crosses are distinct-deduped FIRST (group-grain),
+    // so the histogram is over the cross vocabulary, not event
+    // traffic; everything after the distinct is synopsis-grain.
+    "feature_hash_cross" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .withColumn("bucket", expr(
+          """CAST(conv(substring(md5(concat(CAST(user_id AS STRING), 'x',
+               event_type)), 1, 3), 16, 10) AS BIGINT) % 4096"""))
+        .groupBy("bucket").agg(count(lit(1)).as("load"))
+        .groupBy("load").agg(count(lit(1)).as("n_buckets"))
+        .orderBy("load")
+    }),
     // Min-max + z-score scaling of c_acctbal per market segment — the
     // canonical two-pass scaler: pass 1 is a 5-row stats aggregate
     // (min/max exact; mean/var from exact decimal sums so the result
@@ -164,6 +186,21 @@ object Features {
   )
 
   val oracles: Map[String, String] = Map(
+    "feature_hash_cross" ->
+      """WITH crosses AS (SELECT DISTINCT user_id, event_type
+                          FROM events),
+              b AS (SELECT ((strpos(a, substr(hh, 1, 1)) - 1) * 256
+                            + (strpos(a, substr(hh, 2, 1)) - 1) * 16
+                            + (strpos(a, substr(hh, 3, 1)) - 1)) % 4096
+                             AS bucket
+                    FROM (SELECT md5(CAST(user_id AS VARCHAR) || 'x'
+                                     || event_type) AS hh,
+                                 '0123456789abcdef' AS a
+                          FROM crosses)),
+              l AS (SELECT bucket, count(*) AS load FROM b
+                    GROUP BY bucket)
+         SELECT CAST(load AS BIGINT) AS load, count(*) AS n_buckets
+         FROM l GROUP BY load ORDER BY load""",
     "feature_woe_encode" ->
       """WITH o AS (SELECT o_orderpriority AS cat,
                            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0

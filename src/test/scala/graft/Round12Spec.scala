@@ -253,4 +253,17 @@ class Round12Spec extends GraftSuite {
     assert(kept.nonEmpty && kept.length < parts.length,
       "quantifier filter degenerate (kept all or nothing)")
   }
+
+  test("feature_hash_cross: occupancy histogram conserves the cross " +
+      "vocabulary and stays inside the 4096-bucket space") {
+    val got = SparkEntry.queries("feature_hash_cross")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCrosses = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(got.map { case (load, nb) => load * nb }.sum == nCrosses,
+      "histogram does not conserve the distinct-cross count")
+    assert(got.map(_._2).sum <= 4096L,
+      "more occupied buckets than the declared 4096 space")
+    assert(got.forall(_._1 >= 1L), "zero-load buckets must not appear")
+  }
 }
