@@ -93,6 +93,47 @@ object Subqueries {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     }),
 
+    // SQL scripting (r12) — Spark 4's procedural SQL surface
+    // (BEGIN/DECLARE/SET/WHILE, spark.sql.scripting.enabled): an
+    // adaptive-threshold search that DOUBLES a price cutoff until
+    // fewer than 1000 orders survive — the driver-side control loop
+    // every production job hides in Python, expressed in the engine's
+    // own language. Each WHILE iteration is ONE full aggregate query
+    // (the loop variable is driver state, the data work is
+    // distributed — the right split: control on the driver, scans on
+    // the cluster); power(2.0, int) is exact in both engines.
+    // DuckDB has no scripting, so the oracle computes the SAME
+    // fixpoint declaratively (first k in 1..40 with count < 1000 via
+    // a correlated sweep) — the hash match proves the procedural and
+    // declarative forms agree, the subquery_any_all cross-formulation
+    // pattern. Cost note: ~19 sequential iterations each plan+codegen
+    // their own literal (~4.6 s at sf0.1) — the scripting-machinery
+    // floor, the procedural analog of the streaming keys' microbatch
+    // floor; a production loop would bisect (5 probes) or sweep
+    // declaratively like the oracle when the data fits one pass.
+    "sql_scripting_while" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE k INT DEFAULT 0;
+          |  DECLARE n BIGINT DEFAULT 0;
+          |  SET n = (SELECT count(*) FROM graft_orders_v);
+          |  WHILE n >= 1000 AND k < 40 DO
+          |    SET k = k + 1;
+          |    SET n = (SELECT count(*) FROM graft_orders_v
+          |             WHERE o_totalprice > power(2.0, k));
+          |  END WHILE;
+          |  SELECT k, CAST(power(2.0, k) AS DOUBLE) AS threshold,
+          |         n AS n_above;
+          |END""".stripMargin).localCheckpoint(true)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    }),
+
     // Correlated LATERAL join (SQL-surface lateral subquery): a
     // per-order aggregate computed in the FROM clause. Catalyst
     // decorrelates it to an outer join against a grouped aggregate —
@@ -192,6 +233,16 @@ object Subqueries {
        FROM tree GROUP BY depth ORDER BY depth"""
 
   val oracles: Map[String, String] = Map(
+    "sql_scripting_while" ->
+      """WITH ks AS (SELECT unnest(range(1, 41)) AS k),
+              cnt AS (SELECT k,
+                             (SELECT count(*) FROM orders
+                              WHERE o_totalprice > power(2.0, k)) AS n
+                      FROM ks)
+         SELECT CAST(k AS INT) AS k,
+                CAST(power(2.0, k) AS DOUBLE) AS threshold,
+                CAST(n AS BIGINT) AS n_above
+         FROM cnt WHERE n < 1000 ORDER BY k LIMIT 1""",
     "subquery_any_all" ->
       """SELECT p_brand, count(*) AS n,
                 round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))

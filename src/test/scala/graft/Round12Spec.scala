@@ -266,4 +266,20 @@ class Round12Spec extends GraftSuite {
       "more occupied buckets than the declared 4096 space")
     assert(got.forall(_._1 >= 1L), "zero-load buckets must not appear")
   }
+
+  test("sql_scripting_while: the loop's answer IS the fixpoint — " +
+      "k is the FIRST doubling that drops below 1000 survivors") {
+    val Array(row) = SparkEntry.queries("sql_scripting_while")(spark, sf)
+      .collect()
+    val (k, thr, n) = (row.getInt(0), row.getDouble(1), row.getLong(2))
+    assert(thr == math.pow(2.0, k))
+    val orders = Tables.orders(spark, sf)
+    def above(kk: Int): Long =
+      orders.filter(col("o_totalprice") > math.pow(2.0, kk)).count()
+    assert(n == above(k), "reported survivor count wrong")
+    assert(n < 1000L, "loop exited above the target")
+    assert(k >= 1 && above(k - 1) >= 1000L,
+      s"k=$k is not the FIRST threshold below target " +
+        s"(k-1 gives ${above(k - 1)})")
+  }
 }
