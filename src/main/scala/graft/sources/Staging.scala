@@ -323,6 +323,32 @@ object Staging {
         .orderBy("s_nationkey")
     }),
 
+    // Hidden _metadata row lineage (r12) — Spark's per-row file
+    // provenance columns (_metadata.file_path / row_index), the
+    // row-level lineage surface CDC and debugging pipelines lean on:
+    // stage customer one file per segment (coalesce(1) inside
+    // partitionBy so row_index is contiguous per segment), read back
+    // selecting the HIDDEN struct, and fingerprint row_index per
+    // segment — sum(row_index) must equal n(n−1)/2 and max must be
+    // n−1 exactly iff the lineage column is 0-based contiguous per
+    // file, which is what the oracle derives from the ORIGINAL table
+    // with no file system in sight (file names are uuid-bearing and
+    // deliberately never output). Scale: _metadata is generated at
+    // the reader — zero extra I/O; the census is group-grain.
+    "scan_row_lineage_metadata" -> ((s, d) => {
+      val out = tmpDir("graft_lineage_")
+      Tables.customer(s, d).coalesce(1)
+        .write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+      s.read.parquet(out)
+        .select(col("c_mktsegment"), col("_metadata.row_index").as("ri"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          min(col("ri")).as("ri_min"),
+          max(col("ri")).as("ri_max"),
+          sum(col("ri")).as("ri_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Built-in XML roundtrip (r12) — Spark 4's native XML source (the
     // spark-xml package merged into core): write customer as
     // <customers><customer>… rows, read back with an EXPLICIT schema
@@ -779,6 +805,12 @@ object Staging {
                 round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
                   AS total
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "scan_row_lineage_metadata" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(0 AS BIGINT) AS ri_min,
+                CAST(count(*) - 1 AS BIGINT) AS ri_max,
+                CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS ri_sum
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "scan_xml_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n,
                 round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)

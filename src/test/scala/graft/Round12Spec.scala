@@ -282,4 +282,27 @@ class Round12Spec extends GraftSuite {
       s"k=$k is not the FIRST threshold below target " +
         s"(k-1 gives ${above(k - 1)})")
   }
+
+  test("scan_row_lineage_metadata: one file per segment, row_index " +
+      "contiguous 0-based per file (the lineage contract)") {
+    val got = SparkEntry.queries("scan_row_lineage_metadata")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == 5) // the 5 market segments
+    got.foreach { case (seg, n, riMin, riMax, riSum) =>
+      assert(riMin == 0L && riMax == n - 1 && riSum == n * (n - 1) / 2,
+        s"$seg: row_index not contiguous 0-based (n=$n, " +
+          s"min=$riMin max=$riMax sum=$riSum)")
+    }
+    // layout: exactly one parquet part per segment directory
+    val root = new java.io.File("/tmp/graft_scratch/graft_lineage_")
+    val segDirs = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_mktsegment="))
+    assert(segDirs.length == 5)
+    segDirs.foreach { dir =>
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${dir.getName}: expected 1 part file, got ${parts.length}")
+    }
+  }
 }
