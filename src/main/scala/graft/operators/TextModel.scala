@@ -103,6 +103,64 @@ object TextModel {
       unigramScored(s, d, Some(col("doc_id") % 11 === 0))
         .orderBy("doc_id")),
 
+    // Bigram-LM text GENERATION (r12) — the sampling leg of the LM
+    // family (fit → score → perplexity → GENERATE): 5 sequences of 6
+    // steps, each next-token draw a WEIGHTED sample from the fitted
+    // bigram distribution P(w2|w1) — the weighted generalization of
+    // graph_random_walk_corpus's uniform pick. The draw is exact
+    // integer arithmetic: per context, tokens carry cumulative-count
+    // intervals [lo, hi) from a context-partitioned window cumsum
+    // (vocab-grain, integer, order w2); the coin is the 48-bit md5
+    // integer of (seq, step, current) mod the context total; the
+    // drawn token is the unique interval containing the coin — an
+    // equi-join on the context + a range filter over ≤|vocab| rows.
+    // Rerun/partitioning-independent where any RNG would not be;
+    // the range table builds ONCE (checkpointed) and each step is
+    // one bounded join. Output: the generated (seq, step, token)
+    // corpus.
+    "text_bigram_generate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1), i ->
+               named_struct('w1', element_at(t, i),
+                            'w2', element_at(t, i + 1)))""")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("w1").orderBy("w2")
+      val ranges = cb
+        .withColumn("hi", sum(col("c")).over(wc))
+        .withColumn("lo", col("hi") - col("c"))
+        .withColumn("tot", sum(col("c")).over(
+          Window.partitionBy("w1")))
+        .select("w1", "w2", "lo", "hi", "tot")
+        .localCheckpoint()
+      val starts = toks
+        .select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("cw").desc, col("w"))))
+        .filter(col("rn") <= 5)
+        .select(col("w").as("seq"), col("w").as("token"))
+      var gen = starts.withColumn("step", lit(0))
+      var frontier = gen
+      for (r <- 1 to 6) {
+        val next = frontier
+          .join(ranges, col("token") === col("w1"))
+          .withColumn("coin", expr(
+            s"""CAST(conv(substring(md5(concat(seq, ':', '$r', ':',
+                  token)), 1, 12), 16, 10) AS BIGINT) % tot"""))
+          .filter(col("lo") <= col("coin") && col("coin") < col("hi"))
+          .select(col("seq"), col("w2").as("token"), lit(r).as("step"))
+          .localCheckpoint()
+        gen = gen.unionByName(next)
+        frontier = next
+      }
+      gen.orderBy("seq", "step")
+    }),
+
     // BPE tokenizer TRAINING, two unrolled rounds (r12) — the
     // tokenizer-prep op between raw text and every token-count key
     // in this file (Sennrich et al. 2016): count adjacent-symbol
@@ -380,6 +438,55 @@ object TextModel {
     }),
   )
 
+  /** Generation oracle — same integer interval draw per step; the
+    * 48-bit coin is the sample_time_decay hex-strpos fold. */
+  private def bigramGenSql: String = {
+    def u48(key: String): String =
+      s"""CAST(list_aggregate(list_transform(range(1, 13),
+            j -> (strpos('0123456789abcdef',
+                    substr(md5($key), CAST(j AS INT), 1)) - 1)
+                 * pow(16, 12 - j)), 'sum') AS BIGINT)"""
+    val steps = (1 to 6).map { r =>
+      val prev = if (r == 1) "g0" else s"g${r - 1}"
+      s"""g$r AS MATERIALIZED (SELECT seq, w2 AS token, $r AS step FROM (
+            SELECT f.seq, rg.w2, rg.lo, rg.hi,
+                   ${u48(s"f.seq || ':' || '$r' || ':' || f.token")}
+                     % rg.tot AS coin
+            FROM $prev f JOIN ranges rg ON rg.w1 = f.token)
+          WHERE lo <= coin AND coin < hi)"""
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t
+                      FROM documents),
+            big AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+                      SELECT t, unnest(range(1, len(t))) AS i
+                      FROM toks WHERE len(t) >= 2)),
+            cb AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            ranges AS MATERIALIZED (SELECT w1, w2,
+                CAST(sum(c) OVER (PARTITION BY w1 ORDER BY w2)
+                     AS BIGINT) AS hi,
+                CAST(sum(c) OVER (PARTITION BY w1 ORDER BY w2) - c
+                     AS BIGINT) AS lo,
+                CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS tot
+              FROM cb),
+            uni AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            g0 AS (SELECT seq, token, 0 AS step FROM (
+                     SELECT w AS seq, w AS token,
+                            row_number() OVER (ORDER BY count(*) DESC, w)
+                              AS rn
+                     FROM uni GROUP BY w) WHERE rn <= 5),
+            $steps
+       SELECT seq, CAST(step AS INTEGER) AS step, token
+       FROM (SELECT seq, step, token FROM g0
+             UNION ALL SELECT seq, step, token FROM g1
+             UNION ALL SELECT seq, step, token FROM g2
+             UNION ALL SELECT seq, step, token FROM g3
+             UNION ALL SELECT seq, step, token FROM g4
+             UNION ALL SELECT seq, step, token FROM g5
+             UNION ALL SELECT seq, step, token FROM g6)
+       ORDER BY seq, step"""
+  }
+
   /** BPE oracle — the same pair-count / argmax / rewrite template
     * per round, generated so the three pair-count expressions can't
     * drift from the Spark side's. */
@@ -432,6 +539,7 @@ object TextModel {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train_rounds" -> bpeSql,
+    "text_bigram_generate" -> bigramGenSql,
     "text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, lang,
                              unnest(string_split(text, ' ')) AS w

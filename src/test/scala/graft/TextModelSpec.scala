@@ -142,4 +142,54 @@ class TextModelSpec extends GraftSuite {
       r._3.split(" ").exists(_.length > 1)),
       "no merged symbol appears in round-3 candidates — merges inert")
   }
+
+  test("text_bigram_generate: exactly matches a driver-side weighted " +
+    "md5-interval draw; every step is a real corpus bigram") {
+    val got = TextModel.queries("text_bigram_generate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(1)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0).split(" ").toSeq)
+    val bigrams = docs.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity _).view.mapValues(_.size.toLong).toMap
+    val byCtx = bigrams.toSeq.groupBy(_._1._1).map { case (w1, xs) =>
+      // interval order = ORDER BY w2 (the window's declared order)
+      val sorted = xs.sortBy(_._1._2)
+      val cum = sorted.scanLeft(0L)(_ + _._2).tail
+      w1 -> sorted.map(_._1._2).zip(cum.map(h => h) zip
+        (0L +: cum.dropRight(1))).map { case (w2, (hi, lo)) => (w2, lo, hi) }
+    }
+    val uni = docs.flatten.groupBy(identity _).view.mapValues(_.size.toLong)
+    val starts = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(5).map(_._1)
+    def u48(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = starts.flatMap { s0 =>
+      var cur = s0
+      (0, s0) +: (1 to 6).map { r =>
+        val ranges = byCtx(cur)
+        val tot = ranges.last._3
+        val coin = u48(s"$s0:$r:$cur") % tot
+        cur = ranges.find(x => x._2 <= coin && coin < x._3).get._1
+        (r, cur)
+      }
+    }.zip(starts.flatMap(s0 => Seq.fill(7)(s0)))
+      .map { case ((st, tk), s0) => (s0, st, tk) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == want,
+      s"generation mismatch: got=${got.take(8)}… want=${want.take(8)}…")
+    // every consecutive pair is a bigram observed in the corpus
+    got.groupBy(_._1).foreach { case (_, sq) =>
+      sq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(bigrams.contains((a, b)),
+          s"generated pair ($a,$b) never occurs in the corpus")
+        case _ => ()
+      }
+    }
+  }
 }
