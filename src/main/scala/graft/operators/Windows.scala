@@ -23,6 +23,45 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // FIFO budget waterfall (r12) — the sequential-allocation shape
+    // finance calls "cash application" (payments applied to invoices
+    // in date order until exhausted): each customer's budget = half
+    // their lifetime spend in integer cents, orders funded in
+    // (o_orderdate, o_orderkey) order, allocation = clamp(budget −
+    // cum_prev, 0, price). ONE exclusive-frame window cumsum per
+    // customer — the declarative form of a loop every imperative
+    // billing system writes; integer cents end-to-end (the cuped
+    // discipline: budget = total div 2 is exact, clamps are integer
+    // min/max), so the full/partial/unfunded split is bit-stable.
+    // Output: per-priority census of funding outcomes + exact
+    // allocated totals. Scale: customer-partitioned window, the
+    // embarrassingly-parallel grain.
+    "window_budget_waterfall" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      val wOrd = w.orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority").as("pri"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("pc"))
+        .withColumn("budget", expr("sum(pc) OVER " +
+          "(PARTITION BY o_custkey) div 2"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("pc")).over(wOrd), lit(0L)))
+        .withColumn("alloc",
+          greatest(lit(0L), least(col("pc"),
+            col("budget") - col("cum_prev"))))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("alloc") === col("pc"), 1)).as("n_full"),
+          count(when(col("alloc") > 0 && col("alloc") < col("pc"), 1))
+            .as("n_partial"),
+          count(when(col("alloc") === 0, 1)).as("n_unfunded"),
+          round((sum(col("alloc")).cast("decimal(28,0)").cast("double")
+            / 100.0), 4).as("allocated_total"))
+        .orderBy("pri")
+    }),
     // Value window functions with IGNORE NULLS over a whole-partition
     // frame: first/last/second non-null value per user's event
     // sequence (nulls derived deterministically: value < 50 → null).
@@ -163,6 +202,34 @@ object Windows {
       .orderBy("user_id", "event_id")
 
   val oracles: Map[String, String] = Map(
+    "window_budget_waterfall" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                           o_orderpriority AS pri,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS pc
+                    FROM orders),
+              wf AS (SELECT pri, pc,
+                            CAST(sum(pc) OVER (PARTITION BY o_custkey)
+                                 AS BIGINT) // 2 AS budget,
+                            CAST(coalesce(sum(pc) OVER (
+                                   PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                              AS cum_prev
+                     FROM o),
+              a AS (SELECT pri, pc,
+                           greatest(CAST(0 AS BIGINT),
+                             least(pc, budget - cum_prev)) AS alloc
+                    FROM wf)
+         SELECT pri, count(*) AS n_orders,
+                count(CASE WHEN alloc = pc THEN 1 END) AS n_full,
+                count(CASE WHEN alloc > 0 AND alloc < pc THEN 1 END)
+                  AS n_partial,
+                count(CASE WHEN alloc = 0 THEN 1 END) AS n_unfunded,
+                round(CAST(sum(alloc) AS DOUBLE) / 100.0, 4)
+                  AS allocated_total
+         FROM a GROUP BY pri ORDER BY pri""",
     "window_value_functions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                            CASE WHEN value < 50 THEN NULL ELSE value END AS v

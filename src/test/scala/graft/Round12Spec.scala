@@ -305,4 +305,45 @@ class Round12Spec extends GraftSuite {
         s"${dir.getName}: expected 1 part file, got ${parts.length}")
     }
   }
+
+  test("window_budget_waterfall: census exactly matches a driver-side " +
+      "FIFO allocation replay") {
+    val got = SparkEntry.queries("window_budget_waterfall")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    case class Acc(n: Long = 0, full: Long = 0, part: Long = 0,
+        unf: Long = 0, alloc: Long = 0)
+    val acc = collection.mutable.Map.empty[String, Acc]
+      .withDefaultValue(Acc())
+    orders.groupBy(_._1).values.foreach { os =>
+      val budget = os.map(_._5).sum / 2
+      var cum = 0L
+      os.sortBy(o => (o._3, o._2)).foreach { o =>
+        val a = math.max(0L, math.min(o._5, budget - cum))
+        cum += o._5
+        val c = acc(o._4)
+        acc(o._4) = Acc(c.n + 1,
+          c.full + (if (a == o._5) 1 else 0),
+          c.part + (if (a > 0 && a < o._5) 1 else 0),
+          c.unf + (if (a == 0) 1 else 0),
+          c.alloc + a)
+      }
+    }
+    acc.foreach { case (pri, c) =>
+      val g = got(pri)
+      assert(g == ((c.n, c.full, c.part, c.unf,
+        math.rint(c.alloc.toDouble / 100.0 * 1e4) / 1e4)),
+        s"$pri: engine $g != mirror $c")
+    }
+    // the budget REALLY splits outcomes three ways on this fixture
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0) &&
+      got.values.exists(_._4 > 0), "waterfall outcomes degenerate")
+  }
 }
