@@ -844,6 +844,51 @@ object Analytics6 {
         reach: _*)
     }),
 
+    // Tukey median polish, two sweeps (r12) — the ROBUST two-way
+    // decomposition beside the mean-based keys (Theil–Sen is the
+    // robust trend; this is the robust ANOVA): revenue(pri, month) =
+    // grand + row_effect(pri) + col_effect(month) + residual, fitted
+    // by alternately subtracting row then column MEDIANS (outlier
+    // months can't drag a priority's effect the way means let them).
+    // Integer-exact fixpoint: cells carry cents×16, and each of the
+    // 4 median steps halves the guaranteed power of two (median of
+    // an even count is (a+b)/2 — ×16 buys exactly the 4 halvings two
+    // sweeps need), so every median is an exact integer in BOTH
+    // engines (percentile ↔ quantile_cont on exact-integral doubles
+    // < 2^53, CAST BIGINT). Everything after the one (pri, month)
+    // aggregate is a 5×~84 synopsis; each step is one group median +
+    // one equi-join back.
+    "analytics_median_polish" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 1600)
+          .cast("long").as("v"))
+        .localCheckpoint()
+      var t = cells.withColumn("roweff", lit(0L))
+        .withColumn("coleff", lit(0L))
+      for (_ <- 1 to 2) {
+        val rm = t.groupBy("pri")
+          .agg(expr("CAST(percentile(v, 0.5) AS BIGINT)").as("rm"))
+        t = t.join(rm, "pri")
+          .withColumn("v", col("v") - col("rm"))
+          .withColumn("roweff", col("roweff") + col("rm")).drop("rm")
+          .localCheckpoint()
+        val cm = t.groupBy("mon")
+          .agg(expr("CAST(percentile(v, 0.5) AS BIGINT)").as("cm"))
+        t = t.join(cm, "mon")
+          .withColumn("v", col("v") - col("cm"))
+          .withColumn("coleff", col("coleff") + col("cm")).drop("cm")
+          .localCheckpoint()
+      }
+      t.groupBy("pri")
+        .agg(count(lit(1)).as("n_months"),
+          (min(col("roweff")).cast("double") / 1600.0).as("row_effect"),
+          (max(abs(col("v"))).cast("double") / 1600.0).as("max_abs_resid"),
+          count(when(col("v") === 0, 1)).as("n_zero_resid"))
+        .orderBy("pri")
+    }),
+
     // Group-sequential SPRT (r12) — the SEQUENTIAL leg of the
     // experimentation family (t-test/CUPED/DiD are fixed-horizon;
     // real experiment platforms peek, and naive peeking inflates α —
@@ -904,7 +949,42 @@ object Analytics6 {
     }),
   )
 
+  /** Median-polish oracle: the four median/subtract steps generated
+    * from one template (the markov_hitting pattern). */
+  private def medianPolishSql: String = {
+    val sweeps = (1 to 2).map { r =>
+      val prev = if (r == 1) "t0" else s"t${r - 1}"
+      s"""rm$r AS (SELECT pri, CAST(quantile_cont(v, 0.5) AS BIGINT)
+                     AS rm
+                   FROM $prev GROUP BY pri),
+          tr$r AS MATERIALIZED (SELECT t.pri, t.mon, t.v - rm.rm AS v,
+                   t.roweff + rm.rm AS roweff, t.coleff
+                   FROM $prev t JOIN rm$r rm ON rm.pri = t.pri),
+          cm$r AS (SELECT mon, CAST(quantile_cont(v, 0.5) AS BIGINT)
+                     AS cm
+                   FROM tr$r GROUP BY mon),
+          t$r AS MATERIALIZED (SELECT t.pri, t.mon, t.v - cm.cm AS v,
+                   t.roweff, t.coleff + cm.cm AS coleff
+                   FROM tr$r t JOIN cm$r cm ON cm.mon = t.mon)"""
+    }.mkString(",\n")
+    s"""WITH cells AS MATERIALIZED (SELECT o_orderpriority AS pri,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 1600
+                   AS BIGINT) AS v
+            FROM orders GROUP BY 1, 2),
+          t0 AS (SELECT pri, mon, v, CAST(0 AS BIGINT) AS roweff,
+                        CAST(0 AS BIGINT) AS coleff
+                 FROM cells),
+          $sweeps
+       SELECT pri, count(*) AS n_months,
+              CAST(min(roweff) AS DOUBLE) / 1600.0 AS row_effect,
+              CAST(max(abs(v)) AS DOUBLE) / 1600.0 AS max_abs_resid,
+              count(CASE WHEN v = 0 THEN 1 END) AS n_zero_resid
+       FROM t2 GROUP BY pri ORDER BY pri"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "analytics_median_polish" -> medianPolishSql,
     "analytics_sprt_group_sequential" ->
       """WITH lk AS (SELECT user_id % 8 AS arm, CAST(ts AS DATE) AS look,
                             CAST(sum(CASE WHEN event_type IN

@@ -346,4 +346,45 @@ class Round12Spec extends GraftSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0) &&
       got.values.exists(_._4 > 0), "waterfall outcomes degenerate")
   }
+
+  test("analytics_median_polish: exactly matches a driver-side " +
+      "two-sweep Tukey polish on x16-cent integers") {
+    val got = SparkEntry.queries("analytics_median_polish")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val cells = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 1600)
+        .cast("long").as("v"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        r.getLong(2)))
+    def median(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      val m2 = if (n % 2 == 1) 2 * s0(n / 2)
+               else s0(n / 2 - 1) + s0(n / 2)
+      assert(m2 % 2 == 0, "median not integral — scaling bug")
+      m2 / 2
+    }
+    var v = cells.toMap
+    val roweff = collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    (1 to 2).foreach { _ =>
+      val rms = v.groupBy(_._1._1).view
+        .mapValues(m => median(m.values.toSeq)).toMap
+      v = v.map { case ((p, mo), x) => ((p, mo), x - rms(p)) }
+      rms.foreach { case (p, rm) => roweff(p) += rm }
+      val cms = v.groupBy(_._1._2).view
+        .mapValues(m => median(m.values.toSeq)).toMap
+      v = v.map { case ((p, mo), x) => ((p, mo), x - cms(mo)) }
+    }
+    roweff.foreach { case (p, re) =>
+      val resid = v.filter(_._1._1 == p).values
+      val want = (resid.size.toLong, re.toDouble / 1600.0,
+        resid.map(math.abs).max.toDouble / 1600.0,
+        resid.count(_ == 0L).toLong)
+      assert(got(p) == want, s"$p: engine ${got(p)} != mirror $want")
+    }
+  }
 }
