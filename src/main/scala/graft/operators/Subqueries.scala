@@ -233,16 +233,35 @@ object Subqueries {
        FROM tree GROUP BY depth ORDER BY depth"""
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the WHILE loop's BOUNDARY semantics exactly (ADVICE r12):
+    // (a) if count(orders) < 1000 the loop body never runs → k=0 with
+    // n_above = the total count; (b) if no k ≤ 40 drops below 1000 the
+    // loop exits on the k<40 guard → k=40 with its (≥1000) count;
+    // (c) otherwise the first k in 1..40 with n < 1000. The three
+    // branches are mutually exclusive, so the UNION ALL yields one row.
     "sql_scripting_while" ->
-      """WITH ks AS (SELECT unnest(range(1, 41)) AS k),
+      """WITH total AS (SELECT count(*) AS n0 FROM orders),
+              ks AS (SELECT unnest(range(1, 41)) AS k),
               cnt AS (SELECT k,
                              (SELECT count(*) FROM orders
                               WHERE o_totalprice > power(2.0, k)) AS n
-                      FROM ks)
+                      FROM ks),
+              hit AS (SELECT k, n FROM cnt
+                      WHERE n < 1000 ORDER BY k LIMIT 1),
+              pick AS (
+                SELECT 0 AS k, (SELECT n0 FROM total) AS n
+                WHERE (SELECT n0 FROM total) < 1000
+                UNION ALL
+                SELECT k, n FROM hit
+                WHERE (SELECT n0 FROM total) >= 1000
+                UNION ALL
+                SELECT 40 AS k, (SELECT n FROM cnt WHERE k = 40) AS n
+                WHERE (SELECT n0 FROM total) >= 1000
+                  AND NOT EXISTS (SELECT 1 FROM hit))
          SELECT CAST(k AS INT) AS k,
                 CAST(power(2.0, k) AS DOUBLE) AS threshold,
                 CAST(n AS BIGINT) AS n_above
-         FROM cnt WHERE n < 1000 ORDER BY k LIMIT 1""",
+         FROM pick ORDER BY k LIMIT 1""",
     "subquery_any_all" ->
       """SELECT p_brand, count(*) AS n,
                 round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))

@@ -351,8 +351,13 @@ object TextPipeline {
     // docs, candidate-pair volume — the number that tunes the band
     // geometry before a real run; kind='census', hamming=-1).
     "multimodal_phash" -> ((s, d) => {
+      // length ≥ 64 guard (ADVICE r12): an empty doc makes the stride
+      // operand negative, where Spark's `div` truncates toward zero
+      // but DuckDB's `//` floors — guard BOTH sides (the audio key's
+      // nf > 0 precedent) so the key is fixture-scale-proof, and a
+      // real 8×8 downsample needs ≥64 bytes anyway.
       val ph = Tables.documents(s, d)
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 64)
         .select(col("doc_id"), expr(
           """transform(sequence(0, 63), p ->
                CAST(ascii(substring(text,
@@ -627,7 +632,8 @@ object TextPipeline {
                              CAST(ascii(substring(text,
                                1 + CAST((CAST(p AS INT) * (length(text) - 1))
                                         // 63 AS INT), 1)) AS BIGINT)) AS gray
-                    FROM documents WHERE doc_id % 5 = 0),
+                    FROM documents
+                    WHERE doc_id % 5 = 0 AND length(text) >= 64),
               g2 AS (SELECT doc_id, gray,
                             list_aggregate(gray, 'sum') AS tot FROM g),
               ph AS (SELECT doc_id,

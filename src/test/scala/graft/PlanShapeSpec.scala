@@ -594,7 +594,7 @@ class PlanShapeSpec extends GraftSuite {
     * sf-scaling table are always present in its leaf output. */
   private val sfScalingKeyCols = Set(
     "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
-    "doc_id", "emb_id", "event_id")
+    "doc_id", "vec_id", "event_id")
   private def hintsSfScalingTable(
       h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint)
       : Boolean = {
@@ -652,6 +652,21 @@ class PlanShapeSpec extends GraftSuite {
     assert(controlHints.nonEmpty && controlHints.exists(hintsSfScalingTable),
       "negative control failed: detector did not flag a forced " +
         "broadcast(customer) — the audit would be vacuous")
+    // Second negative control (r13, ADVICE r12): an sf-scaling
+    // NON-TPCH table — embeddings keys on vec_id, and the r12 detector
+    // listed a column name ("emb_id") that does not exist in the
+    // fixture schema, so embedding-side hints were structurally
+    // unflaggable. Force broadcast(embeddings) and require a flag.
+    val controlEmb = broadcast(graft.Tables.embeddings(spark, sf))
+      .join(graft.Tables.documents(spark, sf),
+        col("vec_id") === col("doc_id"))
+    val controlEmbHints = controlEmb.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(controlEmbHints.nonEmpty &&
+      controlEmbHints.exists(hintsSfScalingTable),
+      "negative control failed: detector did not flag a forced " +
+        "broadcast(embeddings) — the vec_id fingerprint is wrong")
 
     // the 16 audited sites (12 in Analytics5, 2 in Analytics6, 2 in
     // Features) — every key whose segment/acctbal lookup previously

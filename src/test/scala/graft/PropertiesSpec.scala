@@ -159,7 +159,8 @@ class PropertiesSpec extends GraftSuite {
       .collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val docs = Tables.documents(spark, sf)
-      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 64)
+      .select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // driver-side aHash: 64 stride-sampled codes, mean-threshold bits
     def hash(t: String): Array[Boolean] = {
