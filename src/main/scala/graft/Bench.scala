@@ -217,7 +217,24 @@ object Bench {
             ",\"run1\":" + r3(v) + ",\"rerun\":" +
             reruns.get(k).map(r3).getOrElse("null") + "}" }
         .mkString(",") + "}"
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},$driftJson,$errJson,"value":${r3(total)}}"""
+    // Anchor-table completeness (r13, VERDICT r12 #2): the r11 guard
+    // caught partial RUNS but not a partial anchor TABLE — two r12
+    // keys were committed after the "final records" commit with no
+    // anchor row, so drift.py could not gate them. When the drift gate
+    // is armed (anchor table parsed and env-matched), a full-board run
+    // whose anchor key set ≠ the registered board is reported in the
+    // JSON and demoted from the BENCH_SELF.json board record below.
+    val anchorGaps: Seq[String] =
+      if (anchors.isEmpty || only.isDefined) Seq.empty
+      else {
+        val board = SparkEntry.queries.keySet
+        ((board -- anchors.keySet) ++ (anchors.keySet -- board))
+          .toSeq.sorted
+      }
+    val gapJson = "\"n_anchor_gaps\":" + anchorGaps.size +
+      ",\"anchor_gap_keys\":[" +
+      anchorGaps.take(20).map("\"" + _ + "\"").mkString(",") + "]"
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},$driftJson,$gapJson,$errJson,"value":${r3(total)}}"""
     println(line)
     // the driver keeps only the TAIL of stdout and has twice recorded
     // "parsed": null after truncation ate the line (r3, r4) — persist
@@ -233,7 +250,8 @@ object Bench {
     // run that timed fewer keys than the registered board (a crash
     // mid-loop, a filtered registry) is not a board record either.
     val isTargeted = only.isDefined ||
-      results.size + errors.size < SparkEntry.queries.size
+      results.size + errors.size < SparkEntry.queries.size ||
+      anchorGaps.nonEmpty
     val selfName =
       if (isTargeted) "BENCH_TARGETED.json" else "BENCH_SELF.json"
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")

@@ -15,6 +15,28 @@ class RelationalCoreSpec extends GraftSuite {
       s"oracle keys without a query: ${withOracle -- declared}")
   }
 
+  test("BASELINE.md latest anchor table covers the registered board " +
+      "1:1 (r13, VERDICT r12 #2: drift.py must gate every key — two " +
+      "r12 keys were committed without anchor rows and went ungated)") {
+    // Same parse Bench.scala uses (latest "## rNN per-query seconds"
+    // section, `key` | seconds rows) so the test and the runtime guard
+    // cannot drift apart on format.
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE.md"))
+    val sect = "(?s)## r(\\d+) per-query seconds.*?(?=\n## |\\z)".r
+    val row = "\\|\\s*`([a-z0-9_]+)`\\s*\\|\\s*([0-9.]+)\\s*\\|".r
+    val latest = sect.findAllMatchIn(text).toSeq
+      .sortBy(_.group(1).toInt).lastOption
+      .getOrElse(fail("no per-query anchor table found in BASELINE.md"))
+    val anchored = row.findAllMatchIn(latest.group(0))
+      .map(_.group(1)).toSet
+    val board = SparkEntry.queries.keySet
+    assert(board -- anchored == Set.empty[String],
+      s"registered keys missing an anchor row: ${(board -- anchored).toSeq.sorted}")
+    assert(anchored -- board == Set.empty[String],
+      s"anchor rows for unregistered keys: ${(anchored -- board).toSeq.sorted}")
+  }
+
   test("scan_parquet counts all lineitem rows") {
     val n = RelationalCore.queries("scan_parquet")(spark, sf)
       .collect()(0).getLong(0)
