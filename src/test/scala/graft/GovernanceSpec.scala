@@ -128,4 +128,47 @@ class GovernanceSpec extends GraftSuite {
     assert(got.values.sum == orders.length.toLong,
       "orders lost or double-counted across buckets")
   }
+
+  test("pipeline_observe_metrics: CollectMetrics rides the observed " +
+    "frame, the metrics arrive via the Observation API from the ONE " +
+    "write action, and the declared result is a local row (no second " +
+    "scan of the staged table)") {
+    // (1) the observed frame plans a CollectMetrics node — the
+    // telemetry is part of the write job's plan, not a separate query
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Governance.observedStagingBatch(spark, sf, obs)
+    assert(observed.queryExecution.executedPlan.toString
+      .contains("CollectMetrics"),
+      "observed frame does not plan a CollectMetrics node")
+    // (2) ONE action (the staging write) completes the observation —
+    // obs.get returning proves the listener delivered task-merged
+    // metrics without any audit query
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_observe_spec").toString
+    observed.write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m.keySet == Set("n_rows", "n_null_flag", "n_bad_rows",
+      "sum_disc_price", "min_ship", "max_ship"))
+    // the piggy-backed metrics equal a dedicated audit aggregate
+    val want = Tables.lineitem(spark, sf).agg(
+      count(lit(1)), count(when(col("l_returnflag").isNull, 1)),
+      round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 4)).collect()(0)
+    assert(m("n_rows") == want.getLong(0))
+    assert(m("n_null_flag") == want.getLong(1))
+    assert(m("sum_disc_price") == want.getDouble(2))
+    assert(m("n_rows").asInstanceOf[Long] ==
+      spark.read.parquet(out).count(),
+      "observed row count differs from the staged batch")
+    // (3) the DECLARED DataFrame is a driver-side literal of the
+    // observation — LocalTableScan, no file scan (the property that
+    // matters at 100 TB: zero re-reads of what was just written)
+    val res = Governance.queries("pipeline_observe_metrics")(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"declared result is not a local relation:\n$plan")
+    assert(!plan.contains("FileScan") && !plan.contains("Exchange"),
+      s"declared result re-scans or shuffles:\n$plan")
+    assert(res.count() == 1)
+  }
 }
