@@ -134,6 +134,63 @@ object Subqueries {
       }
     }),
 
+    // SQL pipe syntax (r13, VERDICT r12 #3) — Spark 4's |> operator
+    // chain: the same multi-stage Q1 shape as a linear dataflow
+    // (FROM → WHERE → EXTEND → AGGREGATE → ORDER BY) instead of the
+    // inside-out classic nesting. The parser desugars each stage onto
+    // the same logical plan as the classic text — SubqueriesSpec pins
+    // optimizedPlan.sameResult against `sqlPipeClassic`, so pushdown/
+    // pruning/partial aggregation apply identically and the surface
+    // costs nothing at 100 TB. Oracle = the classic ANSI text (DuckDB
+    // has no pipe syntax) — cross-syntax evidence, the
+    // subquery_any_all precedent in reverse.
+    "sql_pipe_syntax" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_quantity > 5
+          ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+          ||> AGGREGATE count(*) AS n,
+          |     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |       AS DOUBLE), 2) AS sum_qty,
+          |     round(CAST(sum(CAST(disc_price AS DECIMAL(18,4)))
+          |       AS DOUBLE), 4) AS revenue
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // SQL-body scalar UDFs (r13, VERDICT r12 #4) — CREATE FUNCTION
+    // ... RETURNS ... RETURN <expr>, the declarative counterpart of
+    // `udf_scalar`'s JVM closure. The analyzer INLINES the body into
+    // the calling plan (SubqueriesSpec pins zero ScalaUDF nodes and
+    // the surviving whole-stage-codegen spans) — exactly why a 100 TB
+    // pipeline prefers them: no serialization boundary, no codegen
+    // break, and pushdown/partial-agg see through the call. Two
+    // bodies exercise both shapes: an arithmetic expression feeding
+    // an aggregate, and a CASE band used as a grouping key. Oracle:
+    // the same expressions textually inlined in DuckDB.
+    "fn_sql_udf" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+                 p DOUBLE, disc DOUBLE) RETURNS DOUBLE
+               RETURN p * (1 - disc)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(
+                 p DOUBLE) RETURNS STRING
+               RETURN CASE WHEN p < 20000 THEN 'low'
+                           WHEN p < 50000 THEN 'mid'
+                           ELSE 'high' END""")
+      s.sql(
+        """SELECT l_returnflag,
+                  graft_price_band(l_extendedprice) AS band,
+                  count(*) AS n,
+                  round(CAST(sum(CAST(graft_disc_price(l_extendedprice,
+                    l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+                    AS revenue
+           FROM graft_lineitem_v
+           GROUP BY l_returnflag, graft_price_band(l_extendedprice)
+           ORDER BY l_returnflag, band""")
+    }),
+
     // Correlated LATERAL join (SQL-surface lateral subquery): a
     // per-order aggregate computed in the FROM clause. Catalyst
     // decorrelates it to an outer join against a grouped aggregate —
@@ -232,7 +289,37 @@ object Subqueries {
               round(CAST(sum(bal) AS DOUBLE), 4) AS total_bal
        FROM tree GROUP BY depth ORDER BY depth"""
 
+  /** The classic ANSI formulation of `sql_pipe_syntax` — shared
+    * VERBATIM between the DuckDB oracle and Round13Spec's
+    * plan-equality pin (optimizedPlan.sameResult with the pipe text),
+    * so the pipe chain is proven to desugar onto this exact plan. The
+    * derived column sits in a subquery exactly like the pipe's EXTEND
+    * stage (an inlined `sum(expr)` would optimize to the same rows
+    * but a different alias shape, defeating the sameResult pin). */
+  private[graft] val sqlPipeClassic: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(disc_price AS DECIMAL(18,4)))
+                AS DOUBLE), 4) AS revenue
+       FROM (SELECT *, l_extendedprice * (1 - l_discount) AS disc_price
+             FROM lineitem WHERE l_quantity > 5) t
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
   val oracles: Map[String, String] = Map(
+    "sql_pipe_syntax" -> sqlPipeClassic,
+    "fn_sql_udf" ->
+      """SELECT l_returnflag,
+                CASE WHEN l_extendedprice < 20000 THEN 'low'
+                     WHEN l_extendedprice < 50000 THEN 'mid'
+                     ELSE 'high' END AS band,
+                count(*) AS n,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         GROUP BY l_returnflag, band
+         ORDER BY l_returnflag, band""",
     // Mirrors the WHILE loop's BOUNDARY semantics exactly (ADVICE r12):
     // (a) if count(orders) < 1000 the loop body never runs → k=0 with
     // n_above = the total count; (b) if no k ≤ 40 drops below 1000 the
