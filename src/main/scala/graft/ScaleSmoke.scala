@@ -399,12 +399,117 @@ object ScaleSmoke {
       },
     )
 
+    // round-13 shapes (VERDICT r12 #5) for the r12 families:
+    //  - bpe_merge_round: ONE BPE training round (pair-explode over
+    //    the word-freq synopsis → weighted count → 1-row argmax →
+    //    broadcast merge rewrite). The K× driver is tokenization
+    //    volume (the explode + first groupBy); the replicated docs
+    //    keep identical text, so the word/pair tables stay
+    //    Heaps-bounded while their weights grow — exactly the
+    //    production posture where the corpus grows faster than the
+    //    vocabulary, and the round's cost must track the SCAN, not
+    //    the vocab.
+    //  - betweenness_frontier: one σ-accumulating multi-source BFS
+    //    frontier expansion (frontier ⋈ adjacency → per-(source,node)
+    //    σ sum → anti-join visited). Replicas are disjoint subgraphs
+    //    and sources are a fixed hash-sample of nodes, so source
+    //    count grows with the graph — the sampled-betweenness
+    //    posture; pair growth must stay ~K×.
+    //  - pattern_kstep_carry: the 4 chained running-max window
+    //    carries of the k-step matcher. Replicas get disjoint USER
+    //    spaces (users grow, per-user history constant — events at
+    //    100 TB grow by audience, not by per-user depth), so the one
+    //    user_id shuffle + linear window pass must grow ~K×.
+    def ev1 = Tables.events(spark, sfDir).select(col("user_id"),
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def evK(mult: Int) = (1 to mult).map(i =>
+      ev1.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+    def shapes7(tag: String, docs: => org.apache.spark.sql.DataFrame,
+        mult: Int) = Seq(
+      time(s"$tag/bpe_merge_round") {
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .filter(length(col("w")) >= 2)
+        val sym = words.select(col("f"),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sy"))
+        val pc = sym.select(col("f"), explode(expr(
+          """transform(sequence(1, size(split(sy, ' ')) - 1), i ->
+               concat(element_at(split(sy, ' '), i), ' ',
+                      element_at(split(sy, ' '), i + 1)))""")).as("pair"))
+          .groupBy("pair").agg(sum(col("f")).as("wt"))
+        val m1 = pc.orderBy(col("wt").desc, col("pair")).limit(1)
+          .select("pair")
+        sym.crossJoin(broadcast(m1))
+          .select(expr(
+            """trim(replace(concat(' ', sy, ' '), concat(' ', pair, ' '),
+                   concat(' ', replace(pair, ' ', ''), ' ')))""").as("sy"))
+          .groupBy(length(col("sy")) % 16).count().count()
+      },
+      time(s"$tag/betweenness_frontier") {
+        val ps = (1 to mult).map(i =>
+          Tables.lineitem(spark, sfDir)
+            .filter(col("l_partkey") % 10 === 0)
+            .select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok"),
+              (col("l_partkey") + lit(i.toLong * 10000000L)).as("pk")))
+          .reduce(_ unionByName _).distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        val adj = e.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
+        val srcs = adj.select(col("a")).distinct()
+          .filter(col("a") % 251 === 0).select(col("a").as("qsrc"))
+        var layers = srcs.select(col("qsrc"), col("qsrc").as("node"),
+          lit(1L).as("sigma")).localCheckpoint()
+        var frontier = layers
+        for (_ <- 1 to 2) {
+          val next = frontier.join(adj, col("node") === col("a"))
+            .groupBy(col("qsrc"), col("b"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .withColumnRenamed("b", "node")
+            .join(layers.select("qsrc", "node"), Seq("qsrc", "node"),
+              "left_anti")
+            .select("qsrc", "node", "sigma")
+            .localCheckpoint()
+          layers = layers.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        layers.count()
+      },
+      time(s"$tag/pattern_kstep_carry") {
+        val H = 3600L * 1000000
+        val steps: Seq[(String, Option[Long])] = Seq(
+          "signup" -> None, "view" -> Some(12 * H),
+          "click" -> Some(8 * H), "purchase" -> Some(8 * H))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = if (mult == 1) ev1 else evK(mult)
+        val staged = steps.zipWithIndex.foldLeft(ev) {
+          case (df, ((t, dl), i)) =>
+            val cond = dl match {
+              case None => col("event_type") === t
+              case Some(win) => col("event_type") === t &&
+                col(s"st${i - 1}").isNotNull &&
+                col("us") - col(s"st${i - 1}") <= win
+            }
+            df.withColumn(s"st$i", max(when(cond, col("us"))).over(w))
+        }
+        staged.agg(countDistinct(col("user_id")),
+          steps.indices.map(i =>
+            countDistinct(when(col(s"st$i").isNotNull, col("user_id")))
+              .as(s"n$i")): _*).count()
+      },
+    )
+
     val r1 = shapes("x1", li1) ++ shapes2("x1", docs1, emb1) ++
       shapes3("x1", 1) ++ shapes4("x1", emb1) ++ shapes5("x1", docs1, 1) ++
-      shapes6("x1", emb1)
+      shapes6("x1", emb1) ++ shapes7("x1", docs1, 1)
     val rk = shapes(s"x$k", liK) ++ shapes2(s"x$k", docsK, embK) ++
       shapes3(s"x$k", k) ++ shapes4(s"x$k", embK) ++
-      shapes5(s"x$k", docsK, k) ++ shapes6(s"x$k", embK)
+      shapes5(s"x$k", docsK, k) ++ shapes6(s"x$k", embK) ++
+      shapes7(s"x$k", docsK, k)
 
     // TopOneToMinStruct rule: identical top-1-per-key query, with and
     // without the rewrite (rule session shares the context but owns
