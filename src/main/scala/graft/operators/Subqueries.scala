@@ -191,6 +191,42 @@ object Subqueries {
            ORDER BY l_returnflag, band""")
     }),
 
+    // SQL-body TABLE function (r13) — CREATE FUNCTION ... RETURNS
+    // TABLE, completing the SQL-UDF surface beside fn_sql_udf's
+    // scalars: a parameterized band generator (the reusable dimension
+    // every reporting layer re-declares inline) consumed via LATERAL.
+    // Like the scalar form, the body INLINES — and with literal
+    // arguments it CONSTANT-FOLDS: the plan is a per-row Generate
+    // explode(literal array) fused onto the orders scan with the band
+    // filter behind it in the same codegen stage — no join node at
+    // all, strictly better than the broadcast range join a manual
+    // dimension table would plan (Round13Spec pins zero UDF nodes,
+    // zero joins, exactly one scan). Body note: the generator is
+    // explode(sequence(0, n-1)) — SQL-function bodies reject range()
+    // with parameter args (NON_FOLDABLE_ARGUMENT, probed r13).
+    // Oracle: the same band-edge EXPRESSIONS inlined over an
+    // unnest([0..3]) frame — identical IEEE edge arithmetic in both
+    // engines (never floor(p/width), whose division can round across
+    // a band edge the comparisons don't).
+    "fn_sql_table_udf" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bands(
+                 lo DOUBLE, hi DOUBLE, n INT)
+               RETURNS TABLE (band INT, blo DOUBLE, bhi DOUBLE)
+               RETURN SELECT band, lo + band * (hi - lo) / n AS blo,
+                             lo + (band + 1) * (hi - lo) / n AS bhi
+                      FROM (SELECT explode(sequence(0, n - 1)) AS band)""")
+      s.sql(
+        """SELECT o_orderstatus, b.band, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 4) AS total
+           FROM graft_orders_v o,
+                LATERAL graft_bands(0.0, 600000.0, 4) b
+           WHERE o.o_totalprice >= b.blo AND o.o_totalprice < b.bhi
+           GROUP BY o_orderstatus, b.band
+           ORDER BY o_orderstatus, band""")
+    }),
+
     // Correlated LATERAL join (SQL-surface lateral subquery): a
     // per-order aggregate computed in the FROM clause. Catalyst
     // decorrelates it to an outer join against a grouped aggregate —
@@ -309,6 +345,19 @@ object Subqueries {
 
   val oracles: Map[String, String] = Map(
     "sql_pipe_syntax" -> sqlPipeClassic,
+    "fn_sql_table_udf" ->
+      """WITH b AS (SELECT band,
+                           0.0 + band * (600000.0 - 0.0) / 4 AS blo,
+                           0.0 + (band + 1) * (600000.0 - 0.0) / 4 AS bhi
+                    FROM (SELECT unnest([0, 1, 2, 3]) AS band))
+         SELECT o_orderstatus, CAST(band AS INT) AS band,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) AS total
+         FROM orders o, b
+         WHERE o.o_totalprice >= b.blo AND o.o_totalprice < b.bhi
+         GROUP BY o_orderstatus, band
+         ORDER BY o_orderstatus, band""",
     "fn_sql_udf" ->
       """SELECT l_returnflag,
                 CASE WHEN l_extendedprice < 20000 THEN 'low'

@@ -184,6 +184,32 @@ object Windows {
     }),
 
     "window_range_interval" -> rangeInterval,
+
+    // Batch session_window (r13) — the BATCH twin of
+    // stream_session_window, a genuinely distinct code path: Spark
+    // plans a dedicated MergingSessions operator (partial per-session
+    // counts → ONE user_id exchange → sort → in-partition session
+    // merge) instead of a generic window walk, so sessionization costs
+    // exactly one shuffle with map-side partials at 100 TB — strictly
+    // better than the lag/cumsum rewrite, whose running-sum window
+    // cannot take partial aggregation. The oracle IS that classic
+    // gaps-islands rewrite in DuckDB (lag → gap flag → cumulative
+    // session id → per-session agg) — the hash match proves the
+    // native operator computes the textbook semantics: session start
+    // = first event, end = last event + gap. Micros are compared as
+    // BIGINT (the §5.4.3 ns/µs discipline); Round13Spec pins the
+    // MergingSessions node and the single exchange.
+    "window_session_batch" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") % 5 === 0)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("s_us"),
+          unix_micros(col("sw.end")).as("e_us"),
+          col("n_events"))
+        .orderBy("user_id", "s_us")),
   )
 
   /** Time-interval RANGE frame: events per user in the trailing hour.
@@ -202,6 +228,28 @@ object Windows {
       .orderBy("user_id", "event_id")
 
   val oracles: Map[String, String] = Map(
+    // the classic gaps-islands rewrite of session_window: a 30-min
+    // silence closes the session; end = last event + 30 min
+    "window_session_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us
+                    FROM events WHERE user_id % 5 = 0),
+              g AS (SELECT user_id, us,
+                           CASE WHEN us - lag(us) OVER
+                                  (PARTITION BY user_id ORDER BY us)
+                                >= 1800000000 OR lag(us) OVER
+                                  (PARTITION BY user_id ORDER BY us)
+                                  IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, us,
+                             sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY us ROWS UNBOUNDED PRECEDING)
+                               AS sess
+                      FROM g)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS s_us,
+                CAST(max(us) + 1800000000 AS BIGINT) AS e_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM sid GROUP BY user_id, sess ORDER BY user_id, s_us""",
     "window_budget_waterfall" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
                            o_orderpriority AS pri,

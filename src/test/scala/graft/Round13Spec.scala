@@ -60,4 +60,61 @@ class Round13Spec extends GraftSuite {
       .orderBy("l_returnflag", "band")
     assert(df.collect().toSeq == want.collect().toSeq)
   }
+
+  test("fn_sql_table_udf: the TABLE function inlines (no UDF nodes) " +
+      "and constant-folds to a Generate fused onto the orders scan — " +
+      "no join at all, one codegen pass") {
+    val df = SparkEntry.queries("fn_sql_table_udf")(spark, sf)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!phys.contains("ScalaUDF") && !phys.contains("BatchEvalPython"),
+      s"table function did not inline:\n$phys")
+    // literal-arg TVF constant-folds: the 4-row band frame becomes a
+    // per-row Generate explode(literal array) directly over the scan,
+    // filter fused behind it in the SAME codegen stage — strictly
+    // better than the broadcast range join a manual dimension table
+    // would plan (no build side, no join node, one pass)
+    assert(phys.contains("Generate explode"),
+      s"band generator missing from the plan:\n$phys")
+    assert(!phys.contains("Join") && !phys.contains("CartesianProduct"),
+      s"expected the constant-folded no-join plan:\n$phys")
+    assert("FileScan parquet".r.findAllIn(phys).length == 1,
+      s"orders must be scanned exactly once:\n$phys")
+    // every order lands in at most one band (edges are half-open)
+    val total = df.collect().map(_.getLong(2)).sum
+    val inRange = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 0.0 && col("o_totalprice") < 600000.0)
+      .count()
+    assert(total == inRange, s"band counts $total != in-range $inRange")
+  }
+
+  test("window_session_batch: plans the dedicated MergingSessions " +
+      "operator with map-side partials riding ONE user_id exchange") {
+    val df = SparkEntry.queries("window_session_batch")(spark, sf)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE echoes the initial plan
+    assert(phys.contains("MergingSessions"),
+      s"no MergingSessions operator — fell back to a generic plan:\n$phys")
+    assert(phys.contains("partial_count"),
+      s"session aggregation lost map-side partials:\n$phys")
+    // exactly one hash exchange (user_id) + the presentation sort's
+    // range exchange — a lag/cumsum rewrite would need two hash walks
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(phys).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$phys")
+    // sessions are disjoint per user: no overlap between consecutive
+    // session windows, and every gap between sessions is >= 30 min
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 >= e1, s"overlapping sessions: end=$e1 next-start=$s2")
+        case _ =>
+      }
+    }
+  }
 }
