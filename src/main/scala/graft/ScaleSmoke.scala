@@ -156,6 +156,9 @@ object ScaleSmoke {
           .select(col("doc_id"), col("text"),
             length(col("text")).as("len"))
           .filter(col("len") >= 40)
+          .repartition(col("doc_id")) // r13: the winnow window rides
+          // this document-grain exchange; grams never shuffle
+          // (the ShuffleAudit fix — mirror the shipped plan)
           .select(col("doc_id"), explode(expr(
             """transform(sequence(1, len - 39),
                  p -> named_struct('p', p,

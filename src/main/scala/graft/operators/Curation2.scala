@@ -67,10 +67,29 @@ object Curation2 {
     // the shuffle then moves only the ~len/20 selected fingerprints
     // (a w-fold reduction — winnowing's point), keyed by hash, and a
     // hash bucket holds only byte-identical k-grams (skew-safe).
+    //
+    // r13 shuffle fix (found by the new ShuffleAudit harness): the r9
+    // formulation ran the winnow selection as a doc_id-partitioned
+    // WINDOW over the exploded grams — which shuffled EVERY gram
+    // (position + 32-char md5 ≈ 43× the corpus text, measured at
+    // sf0.1: 60.98 MB shuffled for a 1.42 MB corpus) before throwing
+    // 19/20 of them away, silently contradicting the scale note
+    // above. Fix: repartition the DOCUMENTS by doc_id BEFORE the
+    // explode — Generate preserves its child's hash partitioning, so
+    // the winnow window's ClusteredDistribution(doc_id) is already
+    // satisfied and needs only a LOCAL sort: the exchange carries
+    // text rows (1× the corpus) instead of grams (43×), while the
+    // md5 + window-min stay whole-stage-codegen'd (the pure-HOF
+    // per-row rewrite was also tried: sub-MB shuffle but ~4× wall —
+    // interpreted lambda evaluation lost more CPU than the shuffle
+    // saved; recorded in PLANS.md). Curation2Spec pins the plan:
+    // exactly one exchange upstream of the winnow window, at
+    // document grain.
     "text_substring_dedup_chars" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
         .filter(col("len") >= WinL)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("len"), explode(expr(
           s"""transform(sequence(1, len - $WinL + 1),
                 p -> named_struct('p', p,
@@ -80,17 +99,12 @@ object Curation2 {
           col("g.p").as("p"), col("g.h").as("h"))
       // winnow: per start position the (h, p)-min of the next 20
       // grams (trailing windows truncate identically in the oracle);
-      // DISTINCT minima = the fingerprint set
-      // The fingerprint frame feeds BOTH output branches (totals +
-      // dup islands), so the winnowing subtree is computed twice —
-      // DELIBERATELY. A/B at sf0.1 (5 warm reps): recompute 2.5 s vs
-      // eager localCheckpoint 3.9 s — the subtree is pure codegen'd
-      // CPU (md5 + window min) that parallelizes fully, while the
-      // checkpoint pays row serialization + an RDD boundary and
-      // breaks codegen fusion for everything downstream. The CC-loop
-      // precedent does NOT transfer: there the saved work is
-      // ITERATED (8 rounds × plan growth), here it is one extra
-      // linear pass.
+      // DISTINCT minima = the fingerprint set. The fingerprint frame
+      // feeds BOTH output branches (totals + dup islands), so the
+      // winnowing subtree is computed twice — DELIBERATELY (r9 A/B:
+      // recompute 2.5 s vs eager localCheckpoint 3.9 s at sf0.1; the
+      // subtree is codegen'd CPU that parallelizes fully, while a
+      // checkpoint pays serialization and breaks fusion).
       val fps = grams
         .withColumn("m", min(struct(col("h"), col("p"))).over(
           Window.partitionBy("doc_id").orderBy("p")

@@ -160,4 +160,35 @@ class Curation2Spec extends GraftSuite {
         s"$pcid: cosines not non-increasing down the ranks")
     }
   }
+
+  test("text_substring_dedup_chars: the winnow window rides the " +
+      "document-grain repartition — grams are NEVER exchanged (r13 " +
+      "ShuffleAudit fix: 60.98 MB -> ~6 MB shuffled at sf0.1)") {
+    val df = SparkEntry.queries("text_substring_dedup_chars")(spark, sf)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the 1×-text exchange exists (repartition by doc_id)...
+    assert(phys.contains("REPARTITION_BY_COL"),
+      s"document-grain repartition missing:\n$phys")
+    // ...and between every winnow Window and its Generate there is a
+    // local sort but NO exchange: the gram frame never shuffles. Scan
+    // each plan region from a winnow-min Window line down to the next
+    // Generate line (deeper indentation = the node's subtree in
+    // treeString order).
+    val lines = phys.split("\n").toSeq
+    // the winnow min prints as `Window [min(_w0#N) windowspec…]` —
+    // the struct is projected into _w0 below the window
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window [min(") => i
+    }
+    assert(winIdx.nonEmpty, s"winnow window not found:\n$phys")
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1)
+        .takeWhile(!_.contains("Generate explode"))
+      assert(!below.exists(_.contains("Exchange")),
+        s"an exchange sits between the winnow window and the gram " +
+          s"generate — grams are being shuffled:\n$phys")
+    }
+  }
 }
