@@ -137,15 +137,20 @@ object TextPipeline {
     // spans, md5 BEFORE the shuffle (16-byte keys move, never text),
     // count DISTINCT docs per hash, join the duplication marks back
     // per doc. Output per doc: total spans, spans shared with ≥1
-    // other doc, floor-scaled dup ratio. Scale notes: the span
-    // explode runs ONCE and there is NO join — the frame reduces to
-    // distinct (h, doc_id) pairs with a multiplicity (intra-doc
-    // repeats never shuffle twice), the per-hash doc count is a
-    // window row count over h (order-independent, so no sort-order
-    // hazard), and the whole key is one linear pipeline of three
-    // keyed shuffles: (h, doc_id) agg → h window → doc_id agg.
-    // PlanShapeSpec pins the single Generate and the join-free shape;
-    // no all-pairs doc×doc stage exists at any size.
+    // other doc, floor-scaled dup ratio. Scale notes (r13 tightened,
+    // ShuffleAudit): the span explode runs ONCE, there is NO join,
+    // and the span frame crosses the wire exactly ONCE — an explicit
+    // repartition(h) whose HashPartitioning(h) satisfies BOTH the
+    // (h, doc_id) aggregate's and the h window's clustering, so
+    // neither plans its own exchange (the r7 shape shuffled the span
+    // frame twice: once into the agg on (h, doc_id), once into the h
+    // window — measured 17.5 MB for a 1.4 MB corpus; now ~1× the
+    // hash frame + the doc-grain census). Keys move as unhex(md5) —
+    // 16 raw bytes, not 32 hex chars (the hash is internal: both
+    // engines agree on the bytes, the output never carries it).
+    // PlanShapeSpec pins the single Generate, the join-free shape,
+    // and the single span-grain exchange; no all-pairs doc×doc stage
+    // exists at any size.
     "text_span_dedup" -> ((s, d) => {
       val pairs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -156,7 +161,8 @@ object TextPipeline {
                element_at(t, k+3), element_at(t, k+4), element_at(t, k+5),
                element_at(t, k+6), element_at(t, k+7)))"""
         )).as("sp"))
-        .select(col("doc_id"), md5(col("sp")).as("h"))
+        .select(col("doc_id"), unhex(md5(col("sp"))).as("h"))
+        .repartition(col("h"))
         .groupBy("h", "doc_id")
         .agg(count(lit(1)).as("c"))
       pairs

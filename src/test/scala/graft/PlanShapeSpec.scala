@@ -207,6 +207,17 @@ class PlanShapeSpec extends GraftSuite {
     assert("Generate explode".r.findAllIn(plan).size == 1,
       s"span explode duplicated:\n$plan")
     assert(!plan.contains("Join"), s"join crept back into span dedup:\n$plan")
+    // r13 (ShuffleAudit): the span-hash frame crosses the wire ONCE —
+    // the explicit repartition(h) serves both the (h, doc_id)
+    // aggregate and the h window, so the only hash exchanges are the
+    // span repartition + the final doc-grain census (the r7 shape
+    // shuffled the span frame twice: 17.5 MB for a 1.4 MB corpus)
+    assert(plan.contains("REPARTITION_BY_COL"),
+      s"span-hash repartition missing:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2,
+      s"expected 2 hash exchanges (span repartition + doc census), " +
+        s"got $hashEx:\n$plan")
   }
 
   test("LshSignatures generated Java actually compiles and matches eval") {
