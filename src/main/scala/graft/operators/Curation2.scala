@@ -226,6 +226,42 @@ object Curation2 {
         .orderBy("lang", "r")
     }),
 
+    // Weighted sampling WITHOUT replacement (r13) — Efraimidis &
+    // Spirakis 2006 ("Weighted random sampling with a reservoir")
+    // via exponential clocks: each doc draws a deterministic uniform
+    // u from the engine's md5 coin and keys itself with
+    // −ln(u)/w (w = token count — the "sample long docs more" mix
+    // knob); the k SMALLEST keys are exactly a weighted sample
+    // without replacement. The weighted sibling of
+    // `sample_reservoir_hashrank`: same no-random-state mergeability
+    // (min-k of a union = min-k of per-shard min-ks), and Spark
+    // plans the global top-k as TakeOrderedAndProject — each
+    // partition forwards k rows, ONE scan of the corpus draws the
+    // sample at 100 TB (pinned in Round13Spec). Determinism: the
+    // (u48+1)/2^48 uniform, ln, the /w division, and the ·10¹²
+    // floor-quantization are all identical IEEE doubles in both
+    // engines (the text-LM ln precedent); ranking compares the
+    // BIGINT quantile with doc_id tiebreak.
+    "sample_weighted_reservoir" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 1)
+        .withColumn("u48", expr(
+          """CAST(conv(substring(md5(concat('wrs:',
+                 CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"""))
+        .withColumn("kq", expr(
+          """CAST(floor(-ln((CAST(u48 AS DOUBLE) + 1.0)
+                 / 281474976710656.0)
+                 / CAST(n_tok AS DOUBLE) * 1e12) AS BIGINT)"""))
+      keyed.orderBy(col("kq"), col("doc_id")).limit(25)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("kq"), col("doc_id"))))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("lang"), col("n_tok"), col("kq"))
+        .orderBy("rank")
+    }),
+
     // Hashing-trick features: unigrams + word-bigrams hash into D=64
     // buckets (first 2 md5 hex chars mod 64 — the conv↔strpos twin);
     // per sampled doc the bucket-count vector is summarized as
@@ -453,6 +489,30 @@ object Curation2 {
                   AS discount
          FROM agg JOIN uq ON agg.source = uq.source
          ORDER BY agg.source""",
+    "sample_weighted_reservoir" ->
+      """WITH kdoc AS (SELECT doc_id, lang,
+                             CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS n_tok,
+                             CAST(list_aggregate(list_transform(range(1, 13),
+                               j -> (strpos('0123456789abcdef',
+                                      substr(md5('wrs:'
+                                             || CAST(doc_id AS VARCHAR)),
+                                             CAST(j AS INT), 1)) - 1)
+                                    * pow(16, 12 - j)), 'sum') AS BIGINT)
+                               AS u48
+                      FROM documents),
+              k AS (SELECT doc_id, lang, n_tok,
+                           CAST(floor(-ln((CAST(u48 AS DOUBLE) + 1.0)
+                                 / 281474976710656.0)
+                                 / CAST(n_tok AS DOUBLE) * 1e12) AS BIGINT)
+                             AS kq
+                    FROM kdoc WHERE n_tok >= 1),
+              rk AS (SELECT doc_id, lang, n_tok, kq,
+                            row_number() OVER (ORDER BY kq, doc_id)
+                              AS rank
+                     FROM k)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, n_tok, kq
+         FROM rk WHERE rank <= 25 ORDER BY rank""",
     "sample_reservoir_hashrank" ->
       """WITH r AS (SELECT lang, doc_id,
                            md5('rsv:' || CAST(doc_id AS VARCHAR)) AS u

@@ -117,4 +117,43 @@ class Round13Spec extends GraftSuite {
       }
     }
   }
+
+  test("sample_weighted_reservoir: exactly matches a driver-side " +
+      "exponential-clock mirror; global top-k plans as " +
+      "TakeOrderedAndProject (one scan, k rows per partition)") {
+    val df = SparkEntry.queries("sample_weighted_reservoir")(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // driver mirror: same md5 uniform, same -ln(u)/w clock, same
+    // 1e12 floor quantile — bit-identical doubles end to end
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def u48(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wrs:$id".getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val want = docs.filter(_._2 >= 1).map { case (id, w) =>
+      val u = (u48(id).toDouble + 1.0) / 281474976710656.0
+      val kq = math.floor(-math.log(u) / w.toDouble * 1e12).toLong
+      (id, w, kq)
+    }.sortBy(t => (t._3, t._1)).take(25).zipWithIndex
+      .map { case ((id, w, kq), i) => (i + 1L, id, w, kq) }
+    assert(got.toSeq == want.toSeq,
+      s"mirror divergence:\ngot  ${got.take(5).toSeq}\nwant ${want.take(5).toSeq}")
+    // the weighting works: selected docs are longer than the corpus
+    // mean (exponential clocks favor large w)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val selMean = got.map(_._3).sum.toDouble / got.length
+    assert(selMean > corpusMean,
+      s"selected mean $selMean not above corpus mean $corpusMean — " +
+        "the weights did nothing")
+    // scale shape: global top-k must be TakeOrderedAndProject (each
+    // partition forwards at most k rows), never a full global sort
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k planned as a full sort:\n$phys")
+  }
 }
