@@ -21,12 +21,19 @@ object ExplainAudit {
     for (k <- args) {
       val df = SparkEntry.queries(k)(spark, sf)
       df.collect()
+      // AQE's toString echoes "== Initial Plan ==" after the final
+      // plan — split it off or every count doubles (r13 fix); codegen
+      // spans render as "*(n)" stage prefixes in the final plan, not
+      // as "WholeStageCodegen" lines.
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
         .findAllIn(plan).toSeq.groupBy(identity).map { case (a, b) => s"$a x${b.size}" }
       val exch = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1).toInt).toSet.size
       println(s"== $k: joins=${joins.mkString(",")} exchanges=$exch " +
-        s"wholestage=${"WholeStageCodegen".r.findAllIn(plan).size}")
+        s"codegen_spans=$spans")
     }
     spark.stop()
   }
