@@ -210,6 +210,35 @@ object Windows {
           unix_micros(col("sw.end")).as("e_us"),
           col("n_events"))
         .orderBy("user_id", "s_us")),
+
+    // DYNAMIC-gap session window (r13) — session_window(ts, gapCol)
+    // with a per-EVENT gap expression: purchases close their session
+    // after 10 min of silence, everything else after 45 — the
+    // per-event-type session policy real clickstream warehouses run,
+    // and a genuinely distinct code path from the static form (the
+    // gap is evaluated per row inside the session assignment). Same
+    // MergingSessions one-shuffle plan. Oracle: the gaps-islands
+    // rewrite generalized to a RUNNING MAX of per-event window ends
+    // (max(us + gap) over preceding rows) — an event starts a new
+    // session iff its start ≥ that running end (half-open windows),
+    // and a merged session's end is the MAX member end, not the last
+    // event's. Tie-safe: equal-timestamp events always co-session
+    // (any positive gap overlaps), and both branches of the running
+    // max are order-free within a tie group.
+    "window_session_dynamic_gap" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .withColumn("gap",
+          when(col("event_type") === "purchase", "10 minutes")
+            .otherwise("45 minutes"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), col("gap")).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("s_us"),
+          unix_micros(col("sw.end")).as("e_us"),
+          col("n_events"))
+        .orderBy("user_id", "s_us")),
   )
 
   /** Time-interval RANGE frame: events per user in the trailing hour.
@@ -248,6 +277,31 @@ object Windows {
                       FROM g)
          SELECT user_id, CAST(min(us) AS BIGINT) AS s_us,
                 CAST(max(us) + 1800000000 AS BIGINT) AS e_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM sid GROUP BY user_id, sess ORDER BY user_id, s_us""",
+    // dynamic-gap gaps-islands: running max of per-event window ends;
+    // break when the next start clears it (half-open)
+    "window_session_dynamic_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                           CASE WHEN event_type = 'purchase'
+                                THEN 600000000 ELSE 2700000000 END AS gap
+                    FROM events WHERE user_id % 7 = 0),
+              g AS (SELECT user_id, us, gap,
+                           max(us + gap) OVER (PARTITION BY user_id
+                             ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+                    FROM e),
+              s AS (SELECT user_id, us, gap,
+                           CASE WHEN prev_end IS NULL OR us >= prev_end
+                                THEN 1 ELSE 0 END AS brk
+                    FROM g),
+              sid AS (SELECT user_id, us, gap,
+                             sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY us ROWS UNBOUNDED PRECEDING)
+                               AS sess
+                      FROM s)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS s_us,
+                CAST(max(us + gap) AS BIGINT) AS e_us,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM sid GROUP BY user_id, sess ORDER BY user_id, s_us""",
     "window_budget_waterfall" ->

@@ -156,4 +156,49 @@ class Round13Spec extends GraftSuite {
     assert(phys.contains("TakeOrderedAndProject"),
       s"top-k planned as a full sort:\n$phys")
   }
+
+  test("window_session_dynamic_gap: exactly matches a driver-side " +
+      "running-max merge mirror; plans MergingSessions") {
+    val df = SparkEntry.queries("window_session_dynamic_gap")(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(phys.contains("MergingSessions"),
+      s"dynamic gap lost the MergingSessions operator:\n$phys")
+    // driver mirror of the merge rule: an event joins the current
+    // session iff its start < the RUNNING MAX of member ends
+    // (us + its own gap); session end = max member end
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") % 7 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(_._2).map { case (_, us, t) =>
+        (us, if (t == "purchase") 600000000L else 2700000000L) }
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // (start, runningEnd, n)
+      sorted.foreach { case (us, gap) =>
+        if (sessions.nonEmpty && us < sessions.last._2) {
+          val (st, en, n) = sessions.last
+          sessions(sessions.length - 1) =
+            (st, math.max(en, us + gap), n + 1)
+        } else sessions += ((us, us + gap, 1L))
+      }
+      sessions.map { case (st, en, n) => (uid, st, en, n) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want,
+      s"mirror divergence: got ${got.length} sessions, want ${want.length}")
+    // the dynamic gap does real work: the same events under a flat
+    // 45-min gap merge into FEWER sessions (purchases split some)
+    val static = evs.groupBy(_._1).toSeq.map { case (_, es) =>
+      val us = es.map(_._2).sorted
+      1L + us.sliding(2).count(p =>
+        p.length == 2 && p(1) - p(0) >= 2700000000L)
+    }.sum
+    assert(got.length > static,
+      s"dynamic sessions ${got.length} not above static-45min $static — " +
+        "the per-event gap never fired")
+  }
 }
