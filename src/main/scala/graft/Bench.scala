@@ -162,33 +162,12 @@ object Bench {
     // flag in the JSON line so the recorded number is either
     // drift-clean or self-explaining. Anchor parse is best-effort: no
     // BASELINE.md (driver may run from a bare checkout) → skip.
-    val anchors: Map[String, Double] = try {
-      val repoDir = Option(System.getProperty("user.dir"))
-        .filter(d => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(d, "BASELINE.md")))
-        .getOrElse("/root/repo")
-      val text = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(repoDir, "BASELINE.md"))
-      val sect = "(?s)## r(\\d+) per-query seconds.*?(?=\n## |\\z)".r
-      val row = "\\|\\s*`([a-z0-9_]+)`\\s*\\|\\s*([0-9.]+)\\s*\\|".r
-      // anchors are only comparable when THIS run matches the anchor
-      // run's environment — the table header carries it as
-      // "(local[N], sfX, ...)". A default-env run (local[4]) or a
-      // different fixture scale would flag half the board and double
-      // the wall time re-running keys against numbers from a
-      // different machine shape; on mismatch the gate disarms.
-      val env = "\\(local\\[(\\d+)\\],\\s*(sf[0-9.]+)".r
-      sect.findAllMatchIn(text).toSeq
-        .sortBy(_.group(1).toInt).lastOption
-        .filter { m =>
-          env.findFirstMatchIn(m.group(0)).exists(e =>
-            e.group(1) == cpus &&
-              sfDir.stripSuffix("/").endsWith(e.group(2)))
-        }
-        .map(m => row.findAllMatchIn(m.group(0))
-          .map(r => r.group(1) -> r.group(2).toDouble).toMap)
-        .getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+    // Parse shared with RelationalCoreSpec via BaselineAnchors
+    // (ADVICE r13) — env filter documented there: anchors from a
+    // different machine shape or fixture scale disarm the gate.
+    val anchors: Map[String, Double] =
+      try BaselineAnchors.anchorsFor(cpus, sfDir)
+      catch { case _: Throwable => Map.empty }
     val flagged = firstPass.filter { case (k, v) =>
       anchors.get(k).exists(a => v > 2.0 * a && v - a > 0.4) }
     val reruns = flagged.flatMap { case (name, _) =>

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * round when the audited keys change).
   *
   * Listener note: stage-completed events post asynchronously; the
-  * harness quiesces by polling until the per-key accumulators stop
-  * moving (two consecutive 300 ms reads agree) — an audit of MB-scale
-  * magnitudes, not a bit-exact meter.
+  * counters are AtomicLongs (lost listener-thread updates would
+  * under-count) and the harness quiesces by polling until the
+  * per-key accumulators stop moving across THREE consecutive 300 ms
+  * reads (ADVICE r13: one stable poll could race a straggler
+  * stage-completed event from the previous key into the next key's
+  * window) — still an audit of MB-scale magnitudes, not a bit-exact
+  * meter.
   *
   * Usage: sbt "runMain graft.ShuffleAudit <sfDir> [key1,key2,…]"
   */
@@ -47,15 +51,15 @@ object ShuffleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    @volatile var inputB = 0L
-    @volatile var shufWB = 0L
+    val inputB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufWB = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
       override def onStageCompleted(
           sc: SparkListenerStageCompleted): Unit = {
         val tm = sc.stageInfo.taskMetrics
         if (tm != null) {
-          inputB += tm.inputMetrics.bytesRead
-          shufWB += tm.shuffleWriteMetrics.bytesWritten
+          inputB.addAndGet(tm.inputMetrics.bytesRead)
+          shufWB.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
         }
       }
     }
@@ -66,11 +70,15 @@ object ShuffleAudit {
     val mb = 1024.0 * 1024.0
     println(f"corpus text bytes: ${textBytes / mb}%8.2f MB  ($sfDir)")
 
+    // stable = three consecutive identical reads, so one quiet poll
+    // window can't mask a straggler event between two moving reads
     def quiesce(): Unit = {
-      var prev = (-1L, -1L)
-      var cur = (inputB, shufWB)
-      while (prev != cur) {
-        Thread.sleep(300); prev = cur; cur = (inputB, shufWB)
+      var stable = 0
+      var prev = (inputB.get(), shufWB.get())
+      while (stable < 3) {
+        Thread.sleep(300)
+        val cur = (inputB.get(), shufWB.get())
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
     // warm-up (session init costs would pollute the first key)
@@ -78,14 +86,14 @@ object ShuffleAudit {
     quiesce()
 
     for (k <- keys) {
-      inputB = 0L; shufWB = 0L
+      inputB.set(0L); shufWB.set(0L)
       val t0 = System.nanoTime()
       SparkEntry.queries(k)(spark, sfDir).foreach(_ => ())
       quiesce()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SHUFAUDIT $k%-28s read=${inputB / mb}%8.2f MB  " +
-        f"shufW=${shufWB / mb}%8.2f MB  shuf/text=${
-          shufWB.toDouble / textBytes}%6.3f  time=$sec%5.1fs")
+      println(f"SHUFAUDIT $k%-28s read=${inputB.get() / mb}%8.2f MB  " +
+        f"shufW=${shufWB.get() / mb}%8.2f MB  shuf/text=${
+          shufWB.get().toDouble / textBytes}%6.3f  time=$sec%5.1fs")
     }
     spark.stop()
   }

@@ -241,7 +241,12 @@ object Curation2 {
     // (u48+1)/2^48 uniform, ln, the /w division, and the ·10¹²
     // floor-quantization are all identical IEEE doubles in both
     // engines (the text-LM ln precedent); ranking compares the
-    // BIGINT quantile with doc_id tiebreak.
+    // BIGINT quantile with doc_id tiebreak. Boundary safety (ADVICE
+    // r13): a 1-ulp cross-engine ln() divergence perturbs the
+    // quantile by ≤ |ln u|·2.3e-16/w·10¹² ≤ 3.6e-3, and Round13Spec
+    // measures every fixture quantile's distance to its floor
+    // boundary in perturbation-widths (≥10× clearance enforced;
+    // observed ≫ that — boundary distance is ~U(0, 0.5)).
     "sample_weighted_reservoir" -> ((s, d) => {
       val keyed = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),

@@ -286,10 +286,9 @@ object GraphOps {
       val adj = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
       val nodes = adj.select(col("src").as("node")).distinct()
-      val seeds = nodes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(lit(1)).orderBy("node")))
-        .filter(col("rn") <= 3).select("node")
+      // r14: 3 smallest node ids via TakeOrderedAndProject (k rows
+      // per partition), not a global rank window over all nodes
+      val seeds = nodes.orderBy("node").limit(3)
       var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint()
       var frontier = dist.select("node").localCheckpoint()
       for (r <- 1 to 6) {
@@ -441,12 +440,17 @@ object GraphOps {
     // communities + total community count.
     "graph_community_labelprop" -> ((s, d) => {
       val (_, _, lab) = labelPropagation(s, d)
-      val one = Window.partitionBy(lit(1))
-      lab.groupBy("lbl").agg(count(lit(1)).as("size"))
-        .withColumn("n_comms", count(lit(1)).over(one))
-        .withColumn("rank", row_number().over(
-          one.orderBy(col("size").desc, col("lbl"))))
-        .filter(col("rank") <= 20)
+      // r14: community grain is node-bounded (table-proportional in
+      // the worst case), so the census never rides a global window —
+      // n_comms is a 1-row aggregate broadcast and the top-20 pick is
+      // orderBy().limit() (TakeOrderedAndProject: k rows per
+      // partition); only the ≤20 surviving rows see a rank window.
+      val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("size"))
+      val nc = sizes.agg(count(lit(1)).as("n_comms"))
+      sizes.orderBy(col("size").desc, col("lbl")).limit(20)
+        .crossJoin(broadcast(nc))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("size").desc, col("lbl"))))
         .select(col("rank").cast("long").as("rank"),
           col("lbl").as("community"), col("size").as("csize"),
           col("n_comms"))
@@ -484,8 +488,13 @@ object GraphOps {
         .filter(col("ul") === col("vl"))
         .groupBy(col("ul").as("lbl"))
         .agg(count(lit(1)).as("intra"))
-      val one = Window.partitionBy(lit(1))
-      degc.join(intra, Seq("lbl"), "left")
+      // r14: community grain is node-bounded, so the global Q fold
+      // is a 1-row decimal aggregate broadcast (exact and
+      // order-independent) rather than an unpartitioned sum window,
+      // and the top-15 pick is orderBy().limit() — only the ≤15
+      // surviving rows see a rank window. The community frame is
+      // checkpointed once (consumed by the total AND the top-k).
+      val comm = degc.join(intra, Seq("lbl"), "left")
         .withColumn("intra", coalesce(col("intra"), lit(0L)))
         .crossJoin(broadcast(mf)) // 1-row aggregate
         .withColumn("num",
@@ -493,14 +502,16 @@ object GraphOps {
             - col("deg_sum").cast("decimal(38,0)") * col("deg_sum"))
         .withColumn("den",
           (col("m").cast("decimal(38,0)") * col("m") * 4).cast("double"))
+        .localCheckpoint()
+      val tot = comm.agg(sum(col("num")).as("num_tot"))
+      comm.orderBy(col("csize").desc, col("lbl")).limit(15)
+        .crossJoin(broadcast(tot))
         .withColumn("q_contrib",
           floor(col("num").cast("double") / col("den") * 1e6) / 1e6)
         .withColumn("q_total",
-          floor(sum(col("num")).over(one).cast("double") / col("den") * 1e6)
-            / 1e6)
-        .withColumn("rank",
-          row_number().over(one.orderBy(col("csize").desc, col("lbl"))))
-        .filter(col("rank") <= 15)
+          floor(col("num_tot").cast("double") / col("den") * 1e6) / 1e6)
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("csize").desc, col("lbl"))))
         .select(col("rank").cast("long").as("rank"),
           col("lbl").as("community"), col("csize"), col("intra"),
           col("deg_sum"), col("q_contrib"), col("q_total"))

@@ -214,9 +214,12 @@ class PlanShapeSpec extends GraftSuite {
     // shuffled the span frame twice: 17.5 MB for a 1.4 MB corpus)
     assert(plan.contains("REPARTITION_BY_COL"),
       s"span-hash repartition missing:\n$plan")
+    // invariant, not a literal (ADVICE r13): the guarded regression
+    // is the span frame crossing the wire TWICE — at most 2 hash
+    // exchanges total (span repartition + doc census); fewer is fine
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx == 2,
-      s"expected 2 hash exchanges (span repartition + doc census), " +
+    assert(hashEx <= 2,
+      s"expected <=2 hash exchanges (span repartition + doc census), " +
         s"got $hashEx:\n$plan")
   }
 
@@ -702,5 +705,72 @@ class PlanShapeSpec extends GraftSuite {
           s"r11 policy (Tables.scala) reserves hints for frames with " +
           s"a size contract independent of corpus size")
     }
+  }
+
+  test("board-wide standing audit (r14, VERDICT r13 #1): every global " +
+      "logical Window rides a bounded synopsis-grain frame — no " +
+      "unpartitioned WindowExec over table-proportional input") {
+    // The scale-killer class r10 built ScaleRank for: a Window with
+    // an empty (or all-foldable, e.g. lit(1)) partitionSpec moves its
+    // ENTIRE input onto one partition. That is only acceptable when
+    // the frame is bounded by something other than the data volume.
+    // This audit walks EVERY registered key's optimized logical plan
+    // and requires any key containing a global Window to appear in
+    // the exemption list below with its grain bound; exact set
+    // equality both ways keeps the list honest (no stale entries).
+    //
+    // Known blind spot, documented: frames materialized by an eager
+    // localCheckpoint during key CONSTRUCTION appear as LogicalRDD,
+    // so windows inside already-executed iterative rounds are
+    // invisible here — those interiors are pinned by their own
+    // per-key specs (kcore/MMR/NN-descent pattern).
+    val exempt: Map[String, String] = Map(
+      "agg_gini_split_scan" ->
+        "ScaleRank count synopsis (≤ shuffle.partitions rows) + 19-row threshold frame",
+      "analytics_association_rules" -> "post-LIMIT top-20 rank",
+      "analytics_chi2_independence" -> "5x5 contingency-cell frame",
+      "analytics_daily_active_growth" -> "day-grain series (calendar-bounded)",
+      "analytics_lorenz_gini" -> "ScaleRank count synopsis",
+      "analytics_pareto_skyline" -> "per-range-partition skyline merge synopsis",
+      "analytics_rfm" -> "ScaleRank count synopsis (x3 ntile passes)",
+      "analytics_session_stats" -> "ScaleRank count synopsis",
+      "analytics_theil_decomposition" -> "5-group segment frame",
+      "dq_benford_test" -> "9 leading-digit rows",
+      "dq_psi_drift" -> "10 histogram buckets",
+      "feature_woe_encode" -> "bounded category frame",
+      "graph_community_labelprop" -> "post-LIMIT top-20 rank",
+      "graph_modularity" -> "post-LIMIT top-15 rank",
+      "sample_low_discrepancy_vdc" ->
+        "ScaleRank synopsis + kept-rank boundary envelope",
+      "sample_pps_systematic" -> "ScaleRank cumsum offset synopsis",
+      "sample_weighted_reservoir" -> "post-LIMIT 25-row rank",
+      "stream_ann_index_maintain" -> "post-LIMIT top-10 rank",
+      "text_bigram_generate" -> "vocab-grain chain state (Heaps-bounded)",
+      "text_bpe_train_rounds" -> "merge-pair candidate synopsis (vocab-bounded)",
+      "text_ngram_coverage_curve" -> "vocab-grain coverage curve (Heaps-bounded)",
+      "text_perplexity_buckets" -> "vocab-grain LM table (Heaps-bounded)",
+      "text_unigram_logprob" -> "vocab-grain LM table (Heaps-bounded)",
+      "text_vocab_oov_rate" -> "vocab-grain (Heaps-bounded)",
+      "window_cume_dist" -> "ScaleRank count synopsis",
+      "window_rolling_distinct" -> "day-grain rolling frame (calendar-bounded)")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (k, fn) =>
+        val df = fn(spark, sf)
+        val n = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if w.partitionSpec.isEmpty ||
+              w.partitionSpec.forall(_.foldable) => w
+        }.size
+        if (n > 0) Some(k) else None
+    }.toSet
+    assert((flagged -- exempt.keySet).isEmpty,
+      s"keys with a NEW global window and no exemption (use " +
+        s"ScaleRank.withGlobalRank/withGlobalCumsum, a 1-row broadcast " +
+        s"aggregate, or orderBy().limit(), or justify the grain here): " +
+        s"${(flagged -- exempt.keySet).toSeq.sorted}")
+    assert((exempt.keySet -- flagged).isEmpty,
+      s"stale exemptions (key no longer has a global window — prune): " +
+        s"${(exempt.keySet -- flagged).toSeq.sorted}")
   }
 }

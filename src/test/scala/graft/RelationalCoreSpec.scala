@@ -18,18 +18,13 @@ class RelationalCoreSpec extends GraftSuite {
   test("BASELINE.md latest anchor table covers the registered board " +
       "1:1 (r13, VERDICT r12 #2: drift.py must gate every key — two " +
       "r12 keys were committed without anchor rows and went ungated)") {
-    // Same parse Bench.scala uses (latest "## rNN per-query seconds"
-    // section, `key` | seconds rows) so the test and the runtime guard
-    // cannot drift apart on format.
-    val text = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("BASELINE.md"))
-    val sect = "(?s)## r(\\d+) per-query seconds.*?(?=\n## |\\z)".r
-    val row = "\\|\\s*`([a-z0-9_]+)`\\s*\\|\\s*([0-9.]+)\\s*\\|".r
-    val latest = sect.findAllMatchIn(text).toSeq
-      .sortBy(_.group(1).toInt).lastOption
+    // LITERALLY the same parse Bench.scala uses (shared
+    // BaselineAnchors helper, ADVICE r13 — previously the regexes
+    // were copies and could drift on a format change). This test is
+    // deliberately env-AGNOSTIC (no local[N]/sf filter): a key must
+    // be anchored regardless of which box anchored it.
+    val anchored = BaselineAnchors.latestKeys()
       .getOrElse(fail("no per-query anchor table found in BASELINE.md"))
-    val anchored = row.findAllMatchIn(latest.group(0))
-      .map(_.group(1)).toSet
     val board = SparkEntry.queries.keySet
     assert(board -- anchored == Set.empty[String],
       s"registered keys missing an anchor row: ${(board -- anchored).toSeq.sorted}")

@@ -40,8 +40,9 @@ class Round13Spec extends GraftSuite {
       s"SQL UDF did not inline — a UDF node survived:\n$phys")
     // AQE's executed-plan toString renders whole-stage-codegen spans
     // as "*(n)" stage prefixes; the aggregate carrying the inlined
-    // body must sit inside one
-    assert(phys.contains("*(1) HashAggregate"),
+    // body must sit inside one — ANY stage id (ADVICE r13: the
+    // literal "*(1)" would break on unrelated stage renumbering)
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(phys).isDefined,
       s"inlined plan lost whole-stage codegen on the aggregate:\n$phys")
     // the arithmetic body participates in PARTIAL aggregation — the
     // map-side combine a closure UDF inside an agg would also get,
@@ -103,7 +104,9 @@ class Round13Spec extends GraftSuite {
     // range exchange — a lag/cumsum rewrite would need two hash walks
     val hashEx = "Exchange hashpartitioning".r
       .findAllIn(phys).length
-    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$phys")
+    // invariant (ADVICE r13): the guarded regression is a second
+    // hash walk; fewer exchanges would be an improvement, not a bug
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$phys")
     // sessions are disjoint per user: no overlap between consecutive
     // session windows, and every gap between sessions is >= 30 min
     val rows = df.collect().map(r =>
@@ -155,6 +158,40 @@ class Round13Spec extends GraftSuite {
       .split("== Initial Plan ==").head
     assert(phys.contains("TakeOrderedAndProject"),
       s"top-k planned as a full sort:\n$phys")
+  }
+
+  test("sample_weighted_reservoir: every fixture quantile sits far " +
+      "from its 1e12 floor boundary (ADVICE r13 — a 1-ulp ln() " +
+      "divergence must not be able to flip a floor)") {
+    // The hash match assumes Spark's Math.log and DuckDB's libm log
+    // agree on every sampled u. If they diverged by 1 ulp, the
+    // quantile x = -ln(u)/w*1e12 would move by at most
+    // pert ≈ |ln(u)|·2.3e-16/w·1e12 (2 ulps of the ln term, the
+    // dominant error). The floor only flips when x lies within pert
+    // of an integer boundary — measure the min boundary-distance /
+    // pert ratio over the WHOLE fixture and require 10× clearance.
+    // (Observed on sf0.001: min ratio ~1e4; the margin is structural:
+    // boundary distance is ~U(0,0.5) while pert ≤ 3.6e-3.)
+    val ratio = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("u48", expr(
+        """CAST(conv(substring(md5(concat('wrs:',
+               CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"""))
+      .withColumn("lnu", expr(
+        "-ln((CAST(u48 AS DOUBLE) + 1.0) / 281474976710656.0)"))
+      .withColumn("x", expr("lnu / CAST(n_tok AS DOUBLE) * 1e12"))
+      .withColumn("m", expr(
+        "least(x - floor(x), floor(x) + 1.0d - x)"))
+      .withColumn("pert", expr(
+        "lnu * 2.3e-16 / CAST(n_tok AS DOUBLE) * 1e12"))
+      .agg(min(expr("m / pert")).as("min_ratio"))
+      .collect()(0).getDouble(0)
+    assert(ratio > 10,
+      f"a fixture quantile is only $ratio%.1f perturbation-widths " +
+        "from a floor boundary — the cross-engine ln assumption is " +
+        "no longer safe; re-seed or coarsen the quantization")
   }
 
   test("window_session_dynamic_gap: exactly matches a driver-side " +
