@@ -100,6 +100,82 @@ object DedupAdvanced {
         "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
           ") AS (i, h)")
 
+  /** tf-weighted word-BIGRAM multiset per sampled document — the
+    * weighted feature frame behind `dedup_minhash_icws`. Bigrams, not
+    * unigrams: unigram tf mass is dominated by the shared stopword
+    * vocabulary, which puts the BASELINE weighted Jaccard of two
+    * unrelated docs at ~0.3 and floods the bands (measured: 2,519
+    * candidate pairs at sf0.01 vs ~30 for the unweighted 3-gram
+    * family). Bigram tf keeps the repeated-boilerplate weighting
+    * near-dup detection needs while unrelated-pair J_w collapses. */
+  private[graft] def wordTf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
+             (a, b) -> concat(a, ' ', b))""")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  /** ICWS weighted-MinHash signature (r14; Ioffe 2010, "Improved
+    * Consistent Weighted Sampling"): per (word, seed) the Gamma(2,1)
+    * samples r = −ln(u₁u₂), c = −ln(u₃u₄) and β ~ U(0,1) come from
+    * the engine's md5 coin (two 48-bit halves of one digest per
+    * role, so they're byte-identical in the DuckDB oracle); per
+    * (doc, word) the sample key is evaluated ENTIRELY in the log
+    * domain — t = ⌊ln(w)/r + β⌋, ln a = ln c − r·(t + 1 − β) — so the
+    * only libm calls are ln (the project's measured cross-engine
+    * precedent; exp never appears, ln a is a monotone transform of
+    * Ioffe's a and argmin is preserved). P[sig_A(i) = sig_B(i)] =
+    * weighted Jaccard Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b) — the estimator
+    * uniform MinHash gets WRONG on skewed corpora where tf matters.
+    * One aggregation pass computes all 8 seed-argmins as parallel
+    * min(struct(ln a, w)) columns (map-side partials — the
+    * minhashWide lesson); only (doc_id, word-hash) state shuffles,
+    * never text. Output: wide (doc_id, s0..s7) signature of WORDS. */
+  private[graft] def icwsWide(tf: DataFrame): DataFrame = {
+    def unif(c: Column): Column =
+      (c.cast("double") + 1.0) / 281474976710656.0
+    def u48(role: String, i: Int, start: Int): Column =
+      expr(s"CAST(conv(substring(md5(concat('$role$i:', w)), " +
+        s"$start, 12), 16, 10) AS BIGINT)")
+    // β rides the 32 bits the two 48-bit r-halves leave unused in the
+    // SAME digest (md5 bits are independent across positions — the
+    // established split-digest pattern), so each (word, seed) costs 2
+    // md5 calls, not 3; ln(c) is precomputed here at VOCAB grain so
+    // the per-(doc, word) hot path below runs zero ln over c.
+    // Long-form params (seed as a COLUMN): the first cut emitted 24
+    // wide per-seed literal columns and janino compilation of that
+    // projection dominated the key's wall time on a 925-bigram vocab
+    // — one expression set over vocab×8 rows codegens 8× smaller and
+    // computes the identical doubles.
+    val params = tf.select("w").distinct()
+      .select(col("w"), explode(expr("sequence(0, 7)")).as("i"))
+      .select(col("w"), col("i"),
+        (-log(unif(u48c("r", 1)) * unif(u48c("r", 13)))).as("r"),
+        log(-log(unif(u48c("c", 1)) * unif(u48c("c", 13)))).as("lnc"),
+        ((expr("CAST(conv(substring(md5(concat('r', CAST(i AS STRING), " +
+          "':', w)), 25, 8), 16, 10) AS BIGINT)").cast("double") + 1.0)
+          / 4294967296.0).as("b"))
+    val t = floor(log(col("tf").cast("double")) / col("r") + col("b"))
+    val lna = col("lnc") - col("r") * (t + lit(1.0) - col("b"))
+    val aggCols = (0 until 8).map { i =>
+      min(when(col("i") === i,
+        struct(col("k").as("k"), col("w").as("w")))).as(s"m$i")
+    }
+    tf.join(params, "w")
+      .select(col("doc_id"), col("w"), col("i"), lna.as("k"))
+      .groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id") +:
+        (0 until 8).map(i => col(s"m$i.w").as(s"s$i")): _*)
+  }
+
+  /** seed-as-column twin of the literal-seed u48 (icwsWide params). */
+  private def u48c(role: String, start: Int): Column =
+    expr(s"CAST(conv(substring(md5(concat('$role', CAST(i AS STRING), " +
+      s"':', w)), $start, 12), 16, 10) AS BIGINT)")
+
   /** Distinct band-collision candidate pairs (da < db) from a
     * signature frame — never all-pairs. */
   private def minhashCandidates(mh: DataFrame): DataFrame =
@@ -273,6 +349,69 @@ object DedupAdvanced {
         .orderBy("a", "b")
     }),
 
+    // Weighted MinHash (r14, VERDICT r13 gap #1; Ioffe 2010 ICWS) —
+    // production near-dup on skewed corpora weights shingles by tf:
+    // two docs sharing their high-frequency vocabulary ARE near-dups
+    // even when their long tails differ, and uniform MinHash
+    // (which treats a 50-occurrence word and a hapax identically)
+    // underestimates exactly that. Signature machinery in icwsWide;
+    // banding = 4 bands × 2 rows (collision needs TWO agreeing
+    // samples — single-sample bands bucket every doc whose argmin is
+    // the same stopword, and at corpus scale that bucket is the skew
+    // bomb); candidates verify against EXACT weighted Jaccard
+    // Σmin/Σmax (Σmax = |A|+|B|−Σmin, all integer tf sums). The
+    // declared report: per banded candidate, 8-sample agreement
+    // estimate vs exact J_w, with the absolute error — the
+    // estimate-quality harness shape, oracle-checked end to end.
+    "dedup_minhash_icws" -> ((s, d) => {
+      // tf feeds the signature build, the doc totals AND the pair
+      // intersections; sig feeds the bands and the agreement count;
+      // cand feeds three joins. Checkpoint each once (the MMR/greedy
+      // multi-consumer precedent) — without this the bigram explode
+      // re-runs three times.
+      val tf = wordTf(s, d).localCheckpoint()
+      val sig = icwsWide(tf).localCheckpoint()
+      val bands = sig.selectExpr("doc_id",
+        "stack(4, " + (0 until 4).map(b =>
+          s"${b}L, concat(s${2 * b}, '|', s${2 * b + 1})")
+          .mkString(", ") + ") AS (b, bk)")
+      val cand = bands.toDF("da", "ba", "ka")
+        .join(bands.toDF("db", "bb", "kb"),
+          col("ba") === col("bb") && col("ka") === col("kb") &&
+            col("da") < col("db"))
+        .select("da", "db").distinct()
+        .localCheckpoint()
+      // n_agree is a PROJECTION over the two wide signatures (8
+      // column equalities summed) — no unpivot, no aggregate, no
+      // extra shuffle; the signatures ride the same candidate join
+      // the verify legs need anyway
+      val sa = sig.toDF(("sda" +: (0 until 8).map(i => s"a$i")): _*)
+      val sb = sig.toDF(("sdb" +: (0 until 8).map(i => s"b$i")): _*)
+      val nAgree = (0 until 8).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("long")
+      val tot = tf.groupBy("doc_id").agg(sum("tf").as("n"))
+      val inter = cand
+        .join(tf.toDF("ta", "wa", "fa"), col("ta") === col("da"))
+        .join(tf.toDF("tb", "wb", "fb"),
+          col("tb") === col("db") && col("wb") === col("wa"))
+        .groupBy("da", "db").agg(sum(least(col("fa"), col("fb"))).as("nmin"))
+      val jw = coalesce(col("nmin"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("nmin"), lit(0L)))
+      cand.join(inter, Seq("da", "db"), "left")
+        .join(tot.toDF("xd", "na"), col("xd") === col("da"))
+        .join(tot.toDF("yd", "nb"), col("yd") === col("db"))
+        .join(sa, col("sda") === col("da"))
+        .join(sb, col("sdb") === col("db"))
+        .withColumn("n_agree", nAgree)
+        .select(col("da").as("a"), col("db").as("b"), col("n_agree"),
+          (col("n_agree").cast("double") / 8).as("est_jw"),
+          (floor(jw * 10000).cast("double") / 10000).as("jw4"),
+          (floor(abs(col("n_agree") / lit(8.0) - jw) * 10000)
+            .cast("double") / 10000).as("err4"))
+        .orderBy("a", "b")
+    }),
+
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
     // (≥ 0.5) → connected-component closure → keep the min-id doc per
     // cluster. This is what a 100 TB near-dup job actually runs; every
@@ -427,7 +566,98 @@ object DedupAdvanced {
     }),
   )
 
+  /** DuckDB twin of the Spark-side 48-bit md5 coin: fold 12 hex chars
+    * of digest column `h` starting at `start` into a BIGINT (the
+    * strpos pattern; pow(16, 11) < 2^53 so the double sum is exact). */
+  private def duckU48(h: String, start: Int): String =
+    s"""CAST(list_aggregate(list_transform(range($start, ${start + 12}),
+          j -> (strpos('0123456789abcdef', substr($h, CAST(j AS INT), 1))
+                - 1) * pow(16, ${start + 11} - j)), 'sum') AS BIGINT)"""
+
+  private def duckUnif(h: String, start: Int): String =
+    s"((${duckU48(h, start)}) + 1.0) / 281474976710656.0"
+
+  /** 32-bit companion of [[duckU48]] (8 hex chars from `start`). */
+  private def duckU32(h: String, start: Int): String =
+    s"""CAST(list_aggregate(list_transform(range($start, ${start + 8}),
+          j -> (strpos('0123456789abcdef', substr($h, CAST(j AS INT), 1))
+                - 1) * pow(16, ${start + 7} - j)), 'sum') AS BIGINT)"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_icws" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id % 5 = 0),
+              tf AS MATERIALIZED (
+                SELECT doc_id, w, count(*) AS tf FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS w
+                  FROM tok WHERE len(t) >= 2)
+                GROUP BY doc_id, w),
+              vocab AS (SELECT DISTINCT w FROM tf),
+              seeds AS (SELECT unnest(generate_series(0, 7)) AS i),
+              hs AS (SELECT w, i,
+                       md5('r' || CAST(i AS VARCHAR) || ':' || w) AS hr,
+                       md5('c' || CAST(i AS VARCHAR) || ':' || w) AS hc
+                     FROM vocab CROSS JOIN seeds),
+              par AS MATERIALIZED (
+                SELECT w, i,
+                       -ln((${duckUnif("hr", 1)}) * (${duckUnif("hr", 13)}))
+                         AS r,
+                       ln(-ln((${duckUnif("hc", 1)})
+                              * (${duckUnif("hc", 13)}))) AS lnc,
+                       ((${duckU32("hr", 25)}) + 1.0) / 4294967296.0
+                         AS beta
+                FROM hs),
+              lna AS MATERIALIZED (
+                SELECT f.doc_id, f.w, p.i,
+                       p.lnc - p.r *
+                         (floor(ln(CAST(f.tf AS DOUBLE)) / p.r + p.beta)
+                          + 1.0 - p.beta) AS k
+                FROM tf f JOIN par p ON p.w = f.w),
+              sig AS MATERIALIZED (
+                SELECT doc_id, i, w AS sw FROM (
+                  SELECT doc_id, i, w, row_number() OVER (
+                           PARTITION BY doc_id, i ORDER BY k, w) AS rn
+                  FROM lna) WHERE rn = 1),
+              bands AS (SELECT p.doc_id, p.i // 2 AS b,
+                               p.sw || '|' || q.sw AS bk
+                        FROM sig p JOIN sig q
+                          ON q.doc_id = p.doc_id AND q.i = p.i + 1
+                        WHERE p.i % 2 = 0),
+              cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                       FROM bands x JOIN bands y
+                         ON x.b = y.b AND x.bk = y.bk
+                            AND x.doc_id < y.doc_id),
+              agree AS (SELECT c.da, c.db,
+                               count(CASE WHEN p.sw = q.sw THEN 1 END)
+                                 AS n_agree
+                        FROM cand c
+                        JOIN sig p ON p.doc_id = c.da
+                        JOIN sig q ON q.doc_id = c.db AND q.i = p.i
+                        GROUP BY c.da, c.db),
+              tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
+                      FROM tf GROUP BY doc_id),
+              inter AS (SELECT c.da, c.db,
+                               CAST(sum(least(x.tf, y.tf)) AS BIGINT)
+                                 AS nmin
+                        FROM cand c
+                        JOIN tf x ON x.doc_id = c.da
+                        JOIN tf y ON y.doc_id = c.db AND y.w = x.w
+                        GROUP BY c.da, c.db),
+              fin AS (SELECT c.da, c.db, ag.n_agree,
+                             CAST(coalesce(i.nmin, 0) AS DOUBLE)
+                               / (tx.n + ty.n - coalesce(i.nmin, 0)) AS jw
+                      FROM cand c
+                      JOIN agree ag ON ag.da = c.da AND ag.db = c.db
+                      LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                      JOIN tot tx ON tx.doc_id = c.da
+                      JOIN tot ty ON ty.doc_id = c.db)
+         SELECT da AS a, db AS b, n_agree,
+                CAST(n_agree AS DOUBLE) / 8 AS est_jw,
+                CAST(floor(jw * 10000) AS DOUBLE) / 10000 AS jw4,
+                CAST(floor(abs(n_agree / 8.0 - jw) * 10000) AS DOUBLE)
+                  / 10000 AS err4
+         FROM fin ORDER BY a, b""",
     "dedup_token_sort" ->
       """WITH k AS (SELECT lang,
                            md5(array_to_string(

@@ -72,4 +72,62 @@ class DedupAdvancedSpec extends GraftSuite {
       assert(cont >= 0.0 && cont <= 1.0)
     }
   }
+
+  test("dedup_minhash_icws: planted weighted duplicates — identical " +
+      "weighted multisets collide on every sample; the estimator " +
+      "tracks WEIGHTED (not set) Jaccard on a tf-skewed pair") {
+    import spark.implicits._
+    // tf frames fed straight to the production signature builder.
+    // A/B identical weighted multisets; C disjoint; D shares A's
+    // heavy feature but not its light ones: J_w(A,D) = 10/12 ≈ 0.83
+    // while SET Jaccard is only 1/3 — the case uniform MinHash
+    // underestimates.
+    val tf = Seq(
+      (1L, "x y", 10L), (1L, "y z", 1L), (1L, "z q", 1L),
+      (2L, "x y", 10L), (2L, "y z", 1L), (2L, "z q", 1L),
+      (3L, "a b", 5L), (3L, "b c", 5L),
+      (4L, "x y", 10L), (4L, "m n", 1L), (4L, "n o", 1L)
+    ).toDF("doc_id", "w", "tf")
+    val sig = DedupAdvanced.icwsWide(tf).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sig(1L) == sig(2L),
+      "identical weighted multisets must produce identical signatures")
+    assert(sig(1L) != sig(3L), "disjoint multisets must differ")
+    // weighted sensitivity: agreement(A, D) should track J_w ≈ 0.83,
+    // far above the set-Jaccard 1/3 a uniform MinHash estimates
+    val agreeAD = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agreeAD >= 5,
+      s"ICWS agreement $agreeAD/8 does not reflect J_w=0.83 — " +
+        "weighting is broken (uniform MinHash would sit near 1/3)")
+    // every sample of a weighted doc must be one of ITS features
+    assert(sig(3L).forall(Set("a b", "b c")),
+      "signature contains a feature outside the document")
+  }
+
+  test("dedup_minhash_icws: fixture floor-boundary margin — the " +
+      "t = floor(ln(tf)/r + beta) quantization sits far from every " +
+      "integer boundary (the weighted-reservoir ADVICE r13 pattern)") {
+    // A 1-ulp cross-engine ln() divergence perturbs ln(tf)/r + beta
+    // by ~|ln tf/r|·2.3e-16 (+ the r-side error, same order). tf=1
+    // rows have ln(tf)=0 EXACTLY (t = floor(beta), beta ∈ (0,1), no
+    // boundary risk), so audit the tf>1 rows of the real fixture.
+    val tf = DedupAdvanced.wordTf(spark, sf).filter(col("tf") > 1)
+    def unif(c: org.apache.spark.sql.Column) =
+      (c.cast("double") + 1.0) / 281474976710656.0
+    val rows = (0 until 8).map { i =>
+      val r = -log(
+        unif(expr(s"CAST(conv(substring(md5(concat('r$i:', w)), 1, 12), 16, 10) AS BIGINT)")) *
+        unif(expr(s"CAST(conv(substring(md5(concat('r$i:', w)), 13, 12), 16, 10) AS BIGINT)")))
+      val b = (expr(s"CAST(conv(substring(md5(concat('r$i:', w)), 25, 8), 16, 10) AS BIGINT)")
+        .cast("double") + 1.0) / 4294967296.0
+      val x = log(col("tf").cast("double")) / r + b
+      val m = least(x - floor(x), floor(x) + lit(1.0) - x)
+      val pert = (abs(log(col("tf").cast("double")) / r) + lit(1.0)) * 4.6e-16
+      tf.agg(min(m / pert).as("mr"))
+    }.reduce(_ unionAll _)
+    val minRatio = rows.agg(min(col("mr"))).collect()(0).getDouble(0)
+    assert(minRatio > 10,
+      f"a fixture t-quantization sits only $minRatio%.1f " +
+        "perturbation-widths from an integer boundary")
+  }
 }
