@@ -844,6 +844,56 @@ object Analytics6 {
         reach: _*)
     }),
 
+    // MATCH_RECOGNIZE alternation (r14, VERDICT r13 gap #2) — the
+    // pattern `signup (view{≤12h} | click{≤4h}) purchase{≤8h}`:
+    // each alternative runs its OWN filtered running-max carry chain
+    // off the shared st0, and the alternation state is
+    // greatest(stv, stc) — the NFA holds both branch states, and
+    // because the continuation deadline is the same for both, a
+    // purchase is within deadline of SOME branch iff it is within
+    // deadline of the most recent one, so the greatest-carry is
+    // exactly the automaton's "either" state (this is the general
+    // compilation rule for A|B under equal continuation windows; the
+    // branch DEADLINES differ — 12 h vs 4 h — which is what makes
+    // alternation non-collapsible into one disjunctive filter). Same
+    // one-window-pass, one-user-shuffle discipline as
+    // window_pattern_kstep; declared output adds per-BRANCH reach —
+    // the funnel diagnostic alternation exists to answer.
+    "window_pattern_alternation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val H = 3600L * 1000000 // 1 h in µs
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("st0",
+          max(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("stv",
+          max(when(col("event_type") === "view" && col("st0").isNotNull
+            && col("us") - col("st0") <= 12 * H, col("us"))).over(w))
+        .withColumn("stc",
+          max(when(col("event_type") === "click" && col("st0").isNotNull
+            && col("us") - col("st0") <= 4 * H, col("us"))).over(w))
+        .withColumn("st1", greatest(col("stv"), col("stc")))
+        .withColumn("st2",
+          max(when(col("event_type") === "purchase"
+            && col("st1").isNotNull
+            && col("us") - col("st1") <= 8 * H, col("us"))).over(w))
+      staged.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("st0").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("stv").isNotNull, col("user_id")))
+          .as("n_alt_view"),
+        countDistinct(when(col("stc").isNotNull, col("user_id")))
+          .as("n_alt_click"),
+        countDistinct(when(col("st1").isNotNull, col("user_id")))
+          .as("n_alt_either"),
+        countDistinct(when(col("st2").isNotNull, col("user_id")))
+          .as("n_purchase"))
+    }),
+
     // Tukey median polish, two sweeps (r12) — the ROBUST two-way
     // decomposition beside the mean-based keys (Theil–Sen is the
     // robust trend; this is the robust ANOVA): revenue(pri, month) =
@@ -1066,6 +1116,59 @@ object Analytics6 {
                                     THEN user_id END) AS n_step2,
                 count(DISTINCT CASE WHEN st3 IS NOT NULL
                                     THEN user_id END) AS n_step3
+         FROM s3""",
+    "window_pattern_alternation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+              s0 AS (SELECT user_id, event_id, event_type, us,
+                            max(CASE WHEN event_type = 'signup'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st0
+                     FROM e),
+              s1 AS (SELECT *,
+                            max(CASE WHEN event_type = 'view'
+                                     AND st0 IS NOT NULL
+                                     AND us - st0 <= 43200000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS stv,
+                            max(CASE WHEN event_type = 'click'
+                                     AND st0 IS NOT NULL
+                                     AND us - st0 <= 14400000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS stc
+                     FROM s0),
+              s2 AS (SELECT *, greatest(stv, stc) AS st1 FROM s1),
+              s3 AS (SELECT *,
+                            max(CASE WHEN event_type = 'purchase'
+                                     AND st1 IS NOT NULL
+                                     AND us - st1 <= 28800000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st2
+                     FROM s2)
+         SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN st0 IS NOT NULL
+                                    THEN user_id END) AS n_signup,
+                count(DISTINCT CASE WHEN stv IS NOT NULL
+                                    THEN user_id END) AS n_alt_view,
+                count(DISTINCT CASE WHEN stc IS NOT NULL
+                                    THEN user_id END) AS n_alt_click,
+                count(DISTINCT CASE WHEN st1 IS NOT NULL
+                                    THEN user_id END) AS n_alt_either,
+                count(DISTINCT CASE WHEN st2 IS NOT NULL
+                                    THEN user_id END) AS n_purchase
          FROM s3""",
     "sample_time_decay" ->
       """WITH op AS (SELECT o_orderkey,
