@@ -46,4 +46,59 @@ class Round14Spec extends GraftSuite {
       "branch deadlines produced identical reach — alternation is " +
         "indistinguishable from a single disjunctive step on this fixture")
   }
+
+  test("withHilbert8: bijective on the 256x256 grid with unit-step " +
+      "continuity (consecutive d differ by 1 in exactly one axis)") {
+    val grid = spark.range(65536L)
+      .select((col("id") % 256).as("hx"), expr("id DIV 256").as("hy"))
+    val keyed = graft.operators.Lifecycle.withHilbert8(grid)
+      .select(col("hkey"), col("hx"), col("hy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection: every d in [0, 65535] exactly once
+    val byD = keyed.sortBy(_._1)
+    assert(byD.zipWithIndex.forall { case ((d, _, _), i) => d == i.toLong },
+      "hilbert distance is not a bijection on the full grid")
+    // unit-step continuity — the property z-order LACKS (its jumps
+    // are what blow up unaligned-bucket bboxes): walking the curve
+    // in d order moves exactly one cell each step
+    byD.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"non-unit step at d: ($x1,$y1) -> ($x2,$y2)")
+      case _ =>
+    }
+    // locality on the FULL grid (the pure geometry claim, fixture-
+    // independent — sparse small-sf fixtures can flip the census
+    // either way): per unaligned 1000-cell bucket, Hilbert's bbox
+    // area beats z-order's on average AND at the max (z-order's
+    // power-of-two jumps are the outliers)
+    def morton(x: Long, y: Long): Long = {
+      def spread(v: Long) = (0 until 8).map(b =>
+        ((v >> b) & 1L) << (2 * b)).sum
+      spread(x) | (spread(y) << 1)
+    }
+    def census(ks: Array[(Long, Long, Long)]): (Double, Long) = {
+      val bbs = ks.groupBy(_._1 / 1000).values.map { cells =>
+        val xs = cells.map(_._2); val ys = cells.map(_._3)
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }
+      (bbs.sum.toDouble / bbs.size, bbs.max)
+    }
+    val (havg, hmax) = census(byD)
+    val (zavg, zmax) = census(keyed.map { case (_, x, y) =>
+      (morton(x, y), x, y) })
+    assert(havg < zavg,
+      s"hilbert avg bbox $havg not below z-order $zavg on the full grid")
+    assert(hmax < zmax,
+      s"hilbert max bbox $hmax not below z-order $zmax on the full grid")
+  }
+
+  test("sink_hilbert_curve: both curves census the same rows and the " +
+      "read-back roundtrip drops nothing") {
+    val rows = SparkEntry.queries("sink_hilbert_curve")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set("hilbert", "zorder"))
+    val nParts = Tables.part(spark, sf).count()
+    assert(rows("hilbert") == nParts && rows("zorder") == nParts,
+      s"census rows $rows != part count $nParts")
+  }
 }
