@@ -39,7 +39,18 @@ object ScaleSmoke {
     // 1.0 s warm standalone (a BroadcastHashJoin plan, ~3× at ×16).
     // The envelope metric is the SHAPE's asymptotic cost, so take the
     // warm minimum; single-run history (≤ r8) reads ~1 run hotter.
+    // SPARK_GRAFT_SHAPES=name1,name2 restricts the run to a shape
+    // subset (r14: the K=128 deep-replication probe only re-runs the
+    // worst-ratio shapes — a full suite at 77M rows is hours of
+    // output-bound wedge work for no new signal). Skipped shapes
+    // report NaN and are dropped from the ratio table.
+    val shapeSel: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SHAPES")
+        .map(_.split(",").map(_.trim).toSet)
     def time(label: String)(body: => Long): (String, Double, Long) = {
+      val name = label.drop(label.indexOf('/') + 1)
+      if (shapeSel.exists(sel => !sel.contains(name)))
+        return (label, Double.NaN, 0L)
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val rows = body
@@ -95,6 +106,23 @@ object ScaleSmoke {
               (col("l_quantity") * 100).cast("long").as("q")),
             Seq(col("l_orderkey"), col("l_linenumber")), col("q"))
           .agg(max(col("csum"))).count()
+      },
+      // ScaleRank global ordinal (r14 — the cume_dist/rfm/lorenz/
+      // session_stats retrofit class): range-partitioned two-pass
+      // global rank over the ROW grain + broadcast count + exact
+      // integer NTILE histogram; cost must track the range exchange,
+      // never a single-partition window (the WindowExec warning class
+      // this shape exists to keep dead)
+      time(s"$tag/scalerank_ntile") {
+        val ranked = graft.operators.ScaleRank.withGlobalRank(
+          li.select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")),
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
+        val n = ranked.agg(count(lit(1)).as("gn"))
+        ranked.crossJoin(broadcast(n))
+          .select(expr("CAST((rk - 1) * 5 DIV gn AS INT) + 1").as("b"))
+          .groupBy("b").count().count()
       },
       // interval join via the (key, time-cell) equi rewrite — the
       // join_interval_bucketed shape with lineitem's orderkey as the
@@ -530,12 +558,15 @@ object ScaleSmoke {
     }
     val rules = Seq(time(s"x$k/top1_window")(top1(spark)),
       time(s"x$k/top1_rule_minstruct")(top1(opt)))
-    rules.foreach { case (l, s, n) => println(f"$l%-22s $s%7.2f s  ($n rows)") }
-    (r1 ++ rk).foreach { case (l, s, n) => println(f"$l%-18s $s%7.2f s  ($n rows)") }
+    rules.filterNot(_._2.isNaN).foreach { case (l, s, n) =>
+      println(f"$l%-22s $s%7.2f s  ($n rows)") }
+    (r1 ++ rk).filterNot(_._2.isNaN).foreach { case (l, s, n) =>
+      println(f"$l%-18s $s%7.2f s  ($n rows)") }
     println("-- ratio (xK / x1), linear target ≈ K on equal parallelism --")
-    r1.zip(rk).foreach { case ((l1, s1, _), (_, sk, _)) =>
-      println(f"${l1.drop(3)}%-15s ${sk / s1}%5.1f× (K=$k)")
-    }
+    r1.zip(rk).filterNot(p => p._1._2.isNaN || p._2._2.isNaN)
+      .foreach { case ((l1, s1, _), (_, sk, _)) =>
+        println(f"${l1.drop(3)}%-15s ${sk / s1}%5.1f× (K=$k)")
+      }
     spark.stop()
   }
 }

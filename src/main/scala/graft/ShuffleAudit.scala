@@ -4,45 +4,57 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Shuffle-volume audit (r13) — measured evidence for the SURVEY's
-  * central 100 TB claim: the near-dup/text/similarity keys shuffle
-  * HASHES AND SIGNATURES, never document payloads. For each audited
-  * key the harness runs the declared plan to completion under a
-  * stage-metrics listener and reports bytes READ from parquet vs
-  * bytes WRITTEN to shuffle, alongside the corpus' raw text volume —
-  * at any scale, a key whose shuffle grows with the text (not the
+/** Shuffle-volume audit (r13; board-wide with a regression gate since
+  * r14) — measured evidence for the SURVEY's central 100 TB claim:
+  * the near-dup/text/similarity keys shuffle HASHES AND SIGNATURES,
+  * never document payloads. For each audited key the harness runs the
+  * declared plan to completion under a stage-metrics listener and
+  * reports bytes READ (parquet + block-manager re-reads) vs bytes
+  * WRITTEN to shuffle, alongside the corpus' raw text volume — at any
+  * scale, a key whose shuffle grows with the text (not the
   * fingerprints) would be unrunnable at 100 TB, and this is the
-  * number that proves each one doesn't. Results recorded in PLANS.md
-  * (the ScaleSmoke precedent: harness + recorded table, re-run per
-  * round when the audited keys change).
+  * number that proves each one doesn't.
+  *
+  * r14 regression gate (VERDICT r13 #2): `tools/shuffle_expected.tsv`
+  * holds a per-key shuffle-byte CEILING (measured clean-run bytes at
+  * sf0.1 with ~2× headroom). When the file exists, every audited key
+  * is checked against its ceiling and the run EXITS NON-ZERO on any
+  * breach — a silent structural shuffle regression (the
+  * text_substring_dedup_chars class, 43× corpus, invisible to
+  * plan-shape greps for four rounds) now fails loudly. Regenerate
+  * the table with `--write-expected` after an intentional plan
+  * change (and commit the diff — the review IS the audit).
   *
   * Listener note: stage-completed events post asynchronously; the
-  * counters are AtomicLongs (lost listener-thread updates would
-  * under-count) and the harness quiesces by polling until the
-  * per-key accumulators stop moving across THREE consecutive 300 ms
-  * reads (ADVICE r13: one stable poll could race a straggler
-  * stage-completed event from the previous key into the next key's
-  * window) — still an audit of MB-scale magnitudes, not a bit-exact
-  * meter.
+  * counters are AtomicLongs and the harness quiesces by polling until
+  * the per-key accumulators stop moving across THREE consecutive
+  * 300 ms reads — still an audit of MB-scale magnitudes, not a
+  * bit-exact meter (hence the 2× ceiling headroom).
   *
-  * Usage: sbt "runMain graft.ShuffleAudit <sfDir> [key1,key2,…]"
+  * Usage:
+  *   sbt "runMain graft.ShuffleAudit <sfDir> [ALL|key1,key2,…]
+  *        [--write-expected]"
   */
 object ShuffleAudit {
+  private val expectedPath =
+    java.nio.file.Paths.get("tools/shuffle_expected.tsv")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val keys: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq.map(_.trim)
-      else Seq(
-        // near-dup family: only signatures/bands may shuffle
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "text_substring_dedup_chars", "multimodal_phash",
-        // retrieval/similarity: postings + codes, never vectors>needed
-        "sim_lsh_ann", "text_bm25_retrieval",
-        // token-frame keys: hashes and counts, never raw text
-        "text_tokenize_wordcount", "text_bpe_train_rounds",
-        // control: a key that MUST shuffle its payload (exact dedup
-        // groups on the full content hash + row) for scale context
-        "dedup_exact")
+    val writeExpected = args.contains("--write-expected")
+    val keySel = args.drop(1).filterNot(_.startsWith("--")).headOption
+    val keys: Seq[String] = keySel match {
+      case None | Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(csv) => csv.split(",").toSeq.map(_.trim)
+    }
+    val expected: Map[String, Long] =
+      if (java.nio.file.Files.exists(expectedPath))
+        scala.io.Source.fromFile(expectedPath.toFile).getLines()
+          .filterNot(l => l.startsWith("#") || l.isBlank)
+          .map { l => val p = l.split("\t"); p(0) -> p(1).toLong }
+          .toMap
+      else Map.empty
+
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,16 +97,49 @@ object ShuffleAudit {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     quiesce()
 
+    val measured = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val breaches = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     for (k <- keys) {
       inputB.set(0L); shufWB.set(0L)
       val t0 = System.nanoTime()
-      SparkEntry.queries(k)(spark, sfDir).foreach(_ => ())
-      quiesce()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SHUFAUDIT $k%-28s read=${inputB.get() / mb}%8.2f MB  " +
-        f"shufW=${shufWB.get() / mb}%8.2f MB  shuf/text=${
-          shufWB.get().toDouble / textBytes}%6.3f  time=$sec%5.1fs")
+      try {
+        SparkEntry.queries(k)(spark, sfDir).foreach(_ => ())
+        quiesce()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val sw = shufWB.get()
+        measured(k) = sw
+        val gate = expected.get(k) match {
+          case Some(cap) if sw > cap =>
+            breaches += k
+            f"  BREACH cap=${cap / mb}%8.2f MB"
+          case Some(_) => "  ok"
+          case None => ""
+        }
+        println(f"SHUFAUDIT $k%-34s read=${inputB.get() / mb}%8.2f MB  " +
+          f"shufW=${sw / mb}%8.2f MB  shuf/text=${
+            sw.toDouble / textBytes}%6.3f  time=$sec%5.1fs$gate")
+      } catch {
+        case e: Throwable =>
+          errors += k
+          println(s"SHUFAUDIT $k ERROR ${e.getMessage.take(150)}")
+      }
     }
+    if (writeExpected) {
+      // ceiling = 2× measured, floored at 1 MB (tiny keys jitter by
+      // compression/AQE layout, never by structure)
+      val lines = "# key\tmax_shuffle_bytes (2x clean-run measured, " +
+        s"sf0.1; regenerate with --write-expected)\n" +
+        measured.map { case (k, v) =>
+          s"$k\t${math.max(v * 2, 1L << 20)}" }.mkString("\n") + "\n"
+      java.nio.file.Files.writeString(expectedPath, lines)
+      println(s"wrote ${measured.size} ceilings to $expectedPath")
+    }
+    println(s"SHUFAUDIT SUMMARY keys=${measured.size} " +
+      s"breaches=${breaches.size} errors=${errors.size}" +
+      (if (breaches.nonEmpty) s" BREACHED=${breaches.mkString(",")}"
+       else ""))
     spark.stop()
+    if (breaches.nonEmpty || errors.nonEmpty) sys.exit(1)
   }
 }

@@ -79,7 +79,22 @@ object CurationOps {
     // deterministic. Output: per-lang doc/kept counts + fraction
     // extremes (floor-scaled).
     "text_repetition_filter" -> ((s, d) => {
+      // r14 (full-board ShuffleAudit): every aggregate here is
+      // doc-LOCAL — (doc_id, w) / (doc_id, b) groupings and the
+      // doc_id join. One document-grain repartition BEFORE the
+      // explodes (Generate preserves it; HashPartitioning(doc_id)
+      // satisfies ClusteredDistribution(doc_id, *) — the r13 winnow
+      // pattern) moves the corpus text ONCE and every downstream
+      // aggregation + the join run exchange-free; the raw
+      // token/bigram frames never cross the wire (measured 4.6× →
+      // ~1× corpus text). The exchange is REUSED across both
+      // branches of the final query.
+      // split AFTER the exchange: the token array serializes at
+      // ~text-size again, so tokenizing before the repartition would
+      // double the bytes on the wire
       val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       val topTok = docs.select(col("doc_id"), explode(col("t")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -291,7 +306,25 @@ object CurationOps {
     }),
 
     "pipeline_curation_e2e" -> ((s, d) => {
+      // r14 (full-board ShuffleAudit): the topf/dupf/quality/chunk
+      // legs are all doc-grain — one document repartition feeds them
+      // exchange-free (ReusedExchange across branches); only the
+      // content-hash dedup group, the vocab-grain top-5 partials and
+      // the lang census still shuffle (digests and synopses, not
+      // text). Measured 5.8× → ~1× corpus text.
+      // split AFTER the exchange (the token array re-serializes the
+      // text a second time on the wire). NOTE a measured Spark
+      // limitation, not a choice: localCheckpoint-ing the parted
+      // frame would materialize the exchange once for all seven
+      // legs, but LogicalRDD advertises UnknownPartitioning (checked
+      // on 4.1.2), so every doc-grain aggregate re-shuffles from the
+      // checkpoint — WORSE (9.0 MB) than relying on plan-level
+      // exchange reuse (the legs prune different column sets, so
+      // only some of the 10 repartition nodes canonicalize equal;
+      // measured ~3× corpus text, down from 5.8× unpartitioned).
       val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("text"),
           split(col("text"), " ").as("t"))
       val corpus = all.filter(col("doc_id") % 97 =!= 0)
