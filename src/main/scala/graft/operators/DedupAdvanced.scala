@@ -364,6 +364,15 @@ object DedupAdvanced {
     // estimate vs exact J_w, with the absolute error — the
     // estimate-quality harness shape, oracle-checked end to end.
     "dedup_minhash_icws" -> ((s, d) => {
+      // The whole pipeline runs at 8 shuffle partitions (the
+      // Similarity3 fit-loop precedent: every frame after the scan is
+      // ≤ doc-bigram grain, and at the session's 32 partitions the
+      // per-stage empty-task overhead dominates wall time); the final
+      // localCheckpoint materializes inside the scope so nothing
+      // escapes the conf restore.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       // tf feeds the signature build, the doc totals AND the pair
       // intersections; sig feeds the bands and the agreement count;
       // cand feeds three joins. Checkpoint each once (the MMR/greedy
@@ -410,6 +419,8 @@ object DedupAdvanced {
           (floor(abs(col("n_agree") / lit(8.0) - jw) * 10000)
             .cast("double") / 10000).as("err4"))
         .orderBy("a", "b")
+        .localCheckpoint()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
