@@ -894,6 +894,115 @@ object Analytics6 {
           .as("n_purchase"))
     }),
 
+    // MATCH_RECOGNIZE negation/absence (r14) — the fourth pattern
+    // operator: `signup (!click)* purchase{≤24h}` — a purchase
+    // within deadline of the latest signup counts only when NO click
+    // intervened (funnel-purity / fraud-pattern primitive; the NOT
+    // is what plain funnels can't express). Compilation is one extra
+    // carry: lastc = latest click; the absence test is
+    // lastc IS NULL OR lastc < st0 — "no click since the matched
+    // signup" — evaluated per purchase row. The declared output
+    // keeps BOTH the pure and the tainted deadline-purchases, so the
+    // negation's selectivity is visible in the result. One window
+    // pass, one user-grain shuffle.
+    "window_pattern_negation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val H = 3600L * 1000000
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("st0",
+          max(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("lastc",
+          max(when(col("event_type") === "click", col("us"))).over(w))
+        .withColumn("in_deadline", col("event_type") === "purchase"
+          && col("st0").isNotNull && col("us") - col("st0") <= 24 * H)
+        .withColumn("pure", col("in_deadline")
+          && (col("lastc").isNull || col("lastc") < col("st0")))
+      // purchase legs count EVENTS, not distinct users — almost every
+      // user has SOME pre-click purchase, so user-grain purity reads
+      // near-vacuous (147/148 on the fixture) while the event-grain
+      // split shows the negation's real selectivity
+      staged.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("st0").isNotNull, col("user_id")))
+          .as("n_signup"),
+        count(when(col("in_deadline"), lit(1)))
+          .as("n_deadline_purchases"),
+        count(when(col("pure"), lit(1))).as("n_pure_purchases"),
+        count(when(col("in_deadline") && !col("pure"), lit(1)))
+          .as("n_tainted_purchases"))
+    }),
+
+    // MATCH_RECOGNIZE Kleene-plus (r14) — the third pattern operator
+    // beside kstep's sequence and alternation's A|B, completing the
+    // compile-to-carries family: `signup view+ purchase` where the
+    // view CHAIN has an intra-B deadline (consecutive views ≤ 8 h
+    // apart) and must START within 12 h of the latest signup;
+    // purchase within 8 h of the last matched view — and since B+
+    // may stop at ANY view of a chain, "last matched view" is the
+    // latest view belonging to a VALID chain (any earlier chain view
+    // is farther from the purchase, so the running max IS the NFA
+    // state). Compilation: sessionize the view subsequence (gap >
+    // 8 h starts a chain; lag via a conditional max over the
+    // preceding-rows frame so non-view rows never break a chain),
+    // validate each chain ONCE at its head row (head's st0 within
+    // 12 h — a (user, chain) window that rides the same user
+    // partitioning, zero extra exchanges), then one more carry for
+    // purchase. Still ONE user-grain shuffle end to end.
+    "window_pattern_kleene" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val H = 3600L * 1000000
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isView = col("event_type") === "view"
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("st0",
+          max(when(col("event_type") === "signup", col("us"))).over(w))
+        // latest PRECEDING view (current row excluded, non-view rows
+        // transparent) — the lag that segments the view chains
+        .withColumn("pv", max(when(isView, col("us"))).over(wPrev))
+        .withColumn("head", isView &&
+          (col("pv").isNull || col("us") - col("pv") > 8 * H))
+        .withColumn("cid",
+          sum(when(col("head"), 1L).otherwise(0L)).over(w))
+      val wChain = Window.partitionBy("user_id", "cid")
+      val staged = base
+        // the chain head's (start, st0) — evaluated once per chain,
+        // broadcast to every member by the (user, cid) window
+        .withColumn("chain_start",
+          min(when(col("head"), col("us"))).over(wChain))
+        .withColumn("head_st0",
+          min(when(col("head"), coalesce(col("st0"), lit(-1L))))
+            .over(wChain))
+        .withColumn("chain_valid", col("head_st0") >= 0 &&
+          col("chain_start") - col("head_st0") <= 12 * H)
+        .withColumn("stv",
+          max(when(isView && col("chain_valid"), col("us"))).over(w))
+        .withColumn("st2",
+          max(when(col("event_type") === "purchase"
+            && col("stv").isNotNull
+            && col("us") - col("stv") <= 8 * H, col("us"))).over(w))
+      staged.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("st0").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("head"), struct(col("user_id"), col("cid"))))
+          .as("n_chains"),
+        countDistinct(when(col("head") && col("chain_valid"),
+          struct(col("user_id"), col("cid")))).as("n_valid_chains"),
+        countDistinct(when(col("stv").isNotNull, col("user_id")))
+          .as("n_chain_users"),
+        countDistinct(when(col("st2").isNotNull, col("user_id")))
+          .as("n_purchase"))
+    }),
+
     // Tukey median polish, two sweeps (r12) — the ROBUST two-way
     // decomposition beside the mean-based keys (Theil–Sen is the
     // robust trend; this is the robust ANOVA): revenue(pri, month) =
@@ -1170,6 +1279,121 @@ object Analytics6 {
                 count(DISTINCT CASE WHEN st2 IS NOT NULL
                                     THEN user_id END) AS n_purchase
          FROM s3""",
+    "window_pattern_kleene" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+              s0 AS (SELECT *,
+                            max(CASE WHEN event_type = 'signup'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st0,
+                            max(CASE WHEN event_type = 'view'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pv
+                     FROM e),
+              s1 AS (SELECT *,
+                            (event_type = 'view' AND
+                             (pv IS NULL OR us - pv > 28800000000))
+                              AS head
+                     FROM s0),
+              s2 AS (SELECT *,
+                            sum(CASE WHEN head THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cid
+                     FROM s1),
+              s3 AS (SELECT *,
+                            min(CASE WHEN head THEN us END)
+                              OVER (PARTITION BY user_id, cid)
+                              AS chain_start,
+                            min(CASE WHEN head
+                                     THEN coalesce(st0, -1) END)
+                              OVER (PARTITION BY user_id, cid)
+                              AS head_st0
+                     FROM s2),
+              s4 AS (SELECT *,
+                            (head_st0 >= 0 AND
+                             chain_start - head_st0 <= 43200000000)
+                              AS chain_valid
+                     FROM s3),
+              s5 AS (SELECT *,
+                            max(CASE WHEN event_type = 'view'
+                                     AND chain_valid
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS stv
+                     FROM s4),
+              s6 AS (SELECT *,
+                            max(CASE WHEN event_type = 'purchase'
+                                     AND stv IS NOT NULL
+                                     AND us - stv <= 28800000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st2
+                     FROM s5)
+         SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN st0 IS NOT NULL
+                                    THEN user_id END) AS n_signup,
+                count(DISTINCT CASE WHEN head
+                                    THEN CAST(user_id AS VARCHAR)
+                                      || ':' || CAST(cid AS VARCHAR)
+                               END) AS n_chains,
+                count(DISTINCT CASE WHEN head AND chain_valid
+                                    THEN CAST(user_id AS VARCHAR)
+                                      || ':' || CAST(cid AS VARCHAR)
+                               END) AS n_valid_chains,
+                count(DISTINCT CASE WHEN stv IS NOT NULL
+                                    THEN user_id END) AS n_chain_users,
+                count(DISTINCT CASE WHEN st2 IS NOT NULL
+                                    THEN user_id END) AS n_purchase
+         FROM s6""",
+    "window_pattern_negation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+              s0 AS (SELECT *,
+                            max(CASE WHEN event_type = 'signup'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st0,
+                            max(CASE WHEN event_type = 'click'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS lastc
+                     FROM e),
+              s1 AS (SELECT *,
+                            (event_type = 'purchase'
+                             AND st0 IS NOT NULL
+                             AND us - st0 <= 86400000000) AS in_deadline
+                     FROM s0),
+              s2 AS (SELECT *,
+                            (in_deadline AND
+                             (lastc IS NULL OR lastc < st0)) AS pure
+                     FROM s1)
+         SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN st0 IS NOT NULL
+                                    THEN user_id END) AS n_signup,
+                count(CASE WHEN in_deadline THEN 1 END)
+                  AS n_deadline_purchases,
+                count(CASE WHEN pure THEN 1 END) AS n_pure_purchases,
+                count(CASE WHEN in_deadline AND NOT pure THEN 1 END)
+                  AS n_tainted_purchases
+         FROM s2""",
     "sample_time_decay" ->
       """WITH op AS (SELECT o_orderkey,
                             CAST(o_totalprice AS DECIMAL(18,2)) AS price,

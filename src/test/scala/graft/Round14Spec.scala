@@ -47,6 +47,44 @@ class Round14Spec extends GraftSuite {
         "indistinguishable from a single disjunctive step on this fixture")
   }
 
+  test("window_pattern_kleene: the (user, chain) validity window " +
+      "rides the same user partitioning — one user-grain shuffle, " +
+      "join-free; chain counts are consistent") {
+    val df = SparkEntry.queries("window_pattern_kleene")(spark, sf)
+    val r = df.collect()(0)
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!phys.contains("Join"), s"kleene must be join-free:\n$phys")
+    // HashPartitioning(user_id) satisfies the (user_id, cid) window's
+    // ClusteredDistribution — the chain-validity pass adds NO exchange
+    val userEx = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+      .findAllIn(phys).size
+    assert(userEx <= 1,
+      s"expected <=1 user-grain hash exchange, got $userEx:\n$phys")
+    val Seq(_, _, nChains, nValid, nChainUsers, nPurchase) =
+      (0 until 6).map(r.getLong)
+    assert(nValid <= nChains, "valid chains exceed total chains")
+    assert(nValid > 0 && nValid < nChains,
+      s"chain validity is vacuous on the fixture ($nValid/$nChains) — " +
+        "the 12h head deadline filters nothing or everything")
+    assert(nPurchase <= nChainUsers,
+      "purchase reach exceeds valid-chain reach")
+  }
+
+  test("window_pattern_negation: absence split is consistent and " +
+      "non-vacuous; join-free single user-grain walk") {
+    val df = SparkEntry.queries("window_pattern_negation")(spark, sf)
+    val r = df.collect()(0)
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!phys.contains("Join"), s"negation must be join-free:\n$phys")
+    val Seq(_, _, nDead, nPure, nTaint) = (0 until 5).map(r.getLong)
+    assert(nPure + nTaint == nDead,
+      s"pure $nPure + tainted $nTaint != deadline purchases $nDead")
+    assert(nPure > 0 && nTaint > 0,
+      s"the negation is vacuous on the fixture ($nPure/$nTaint)")
+  }
+
   test("withHilbert8: bijective on the 256x256 grid with unit-step " +
       "continuity (consecutive d differ by 1 in exactly one axis)") {
     val grid = spark.range(65536L)
