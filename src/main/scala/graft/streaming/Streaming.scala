@@ -353,6 +353,62 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Streaming MATCH_RECOGNIZE funnel (r14) — the streaming
+    // counterpart of the batch pattern family (kstep/alternation/
+    // kleene/negation): a per-user NFA carried in mapGroupsWithState.
+    // Each micro-batch folds the user's new events IN TIME ORDER
+    // (the group iterator has no order contract — sorted per batch;
+    // group size = that user's events in the batch, the same bound
+    // every per-user stateful op carries) over the latest-completion
+    // carry the batch keys compile to: s0 = latest signup, s1 =
+    // latest view within 12 h of s0, s2 = latest purchase within 8 h
+    // of s1 — the state is three longs per user, bounded and
+    // watermark-free, exactly what an online funnel monitor keeps.
+    // Output: final per-step user reach; the oracle is the same
+    // chained-carry batch SQL, so batch/stream semantic parity is
+    // hash-checked, not asserted.
+    "stream_pattern_funnel" -> ((s, d) => {
+      import s.implicits._
+      val H = 3600L * 1000000
+      val ds = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, String, Long)]
+      val stepped = ds.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+           st: GroupState[(Long, Long, Long)]) =>
+            // sentinel Long.MinValue = "state unset" (Option inside
+            // the state tuple defeats the tuple encoder's null-free
+            // fast path; the sentinel keeps state 3 plain longs)
+            var (s0, s1, s2) = st.getOption
+              .getOrElse((Long.MinValue, Long.MinValue, Long.MinValue))
+            rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
+              case (_, _, t, us) => t match {
+                case "signup" => s0 = math.max(s0, us)
+                case "view" if s0 != Long.MinValue && us - s0 <= 12 * H =>
+                  s1 = math.max(s1, us)
+                case "purchase" if s1 != Long.MinValue && us - s1 <= 8 * H =>
+                  s2 = math.max(s2, us)
+                case _ =>
+              }
+            }
+            st.update((s0, s1, s2))
+            (uid, s0 != Long.MinValue, s1 != Long.MinValue,
+              s2 != Long.MinValue)
+        }.toDF("user_id", "r0", "r1", "r2")
+      drain(stepped, "update")
+        // update mode emits one row per user per batch; the final
+        // batch's flags are monotone supersets, so max == last
+        .groupBy("user_id")
+        .agg(max(col("r0")).as("r0"), max(col("r1")).as("r1"),
+          max(col("r2")).as("r2"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("r0"), 1)).as("n_signup"),
+          count(when(col("r1"), 1)).as("n_view"),
+          count(when(col("r2"), 1)).as("n_purchase"))
+    }),
+
     // Stream-static join: the streaming events enriched against a
     // static dimension (batch-computed user→bucket map) — the standard
     // enrichment shape of the reference's microbatch ETL. The static
@@ -843,6 +899,50 @@ object Streaming {
     "stream_stateful_counter" ->
       """SELECT user_id, count(*) AS n FROM events
          WHERE user_id % 10 = 0 GROUP BY user_id ORDER BY user_id""",
+    // the NFA fold over time-ordered events == the batch
+    // latest-completion carry chain (the kstep compilation) — the
+    // oracle IS the batch semantics, so stream/batch parity is
+    // hash-checked
+    "stream_pattern_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+              s0 AS (SELECT *,
+                            max(CASE WHEN event_type = 'signup'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st0
+                     FROM e),
+              s1 AS (SELECT *,
+                            max(CASE WHEN event_type = 'view'
+                                     AND st0 IS NOT NULL
+                                     AND us - st0 <= 43200000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st1
+                     FROM s0),
+              s2 AS (SELECT *,
+                            max(CASE WHEN event_type = 'purchase'
+                                     AND st1 IS NOT NULL
+                                     AND us - st1 <= 28800000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st2
+                     FROM s1)
+         SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN st0 IS NOT NULL
+                                    THEN user_id END) AS n_signup,
+                count(DISTINCT CASE WHEN st1 IS NOT NULL
+                                    THEN user_id END) AS n_view,
+                count(DISTINCT CASE WHEN st2 IS NOT NULL
+                                    THEN user_id END) AS n_purchase
+         FROM s2""",
     "stream_transform_with_state" ->
       """SELECT user_id, count(*) AS n,
                 CAST(max(epoch_us(ts)) AS BIGINT) AS last_us

@@ -85,6 +85,39 @@ class Round14Spec extends GraftSuite {
       s"the negation is vacuous on the fixture ($nPure/$nTaint)")
   }
 
+  test("stream_pattern_funnel: reach is monotone down the funnel and " +
+      "matches the batch carry chain computed in-session") {
+    val r = SparkEntry.queries("stream_pattern_funnel")(spark, sf)
+      .collect()(0)
+    val Seq(nUsers, nSignup, nView, nPurchase) = (0 until 4).map(r.getLong)
+    assert(nSignup <= nUsers && nView <= nSignup && nPurchase <= nView,
+      s"funnel reach not monotone: $nUsers/$nSignup/$nView/$nPurchase")
+    // independent batch mirror with Spark windows (the oracle checks
+    // vs DuckDB; this closes the triangle stream == Spark-batch)
+    import org.apache.spark.sql.expressions.Window
+    val H = 3600L * 1000000
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("st0",
+        max(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("st1", max(when(col("event_type") === "view"
+        && col("st0").isNotNull
+        && col("us") - col("st0") <= 12 * H, col("us"))).over(w))
+      .withColumn("st2", max(when(col("event_type") === "purchase"
+        && col("st1").isNotNull
+        && col("us") - col("st1") <= 8 * H, col("us"))).over(w))
+      .agg(countDistinct(col("user_id")),
+        countDistinct(when(col("st0").isNotNull, col("user_id"))),
+        countDistinct(when(col("st1").isNotNull, col("user_id"))),
+        countDistinct(when(col("st2").isNotNull, col("user_id"))))
+      .collect()(0)
+    assert((0 until 4).forall(i => b.getLong(i) == r.getLong(i)),
+      s"stream != batch carry: stream=$r batch=$b")
+  }
+
   test("withHilbert8: bijective on the 256x256 grid with unit-step " +
       "continuity (consecutive d differ by 1 in exactly one axis)") {
     val grid = spark.range(65536L)
