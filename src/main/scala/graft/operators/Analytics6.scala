@@ -936,6 +936,74 @@ object Analytics6 {
           .as("n_tainted_purchases"))
     }),
 
+    // MATCH_RECOGNIZE bounded quantifier (r14) — `signup view{2,4}
+    // purchase`: like the Kleene key, views chain at ≤8 h gaps and
+    // the chain must start within 12 h of the latest signup, but the
+    // match may end only at the 2nd..4th view of a chain (B{2,4} —
+    // the "engaged but not doomscrolling" funnel window). One more
+    // column on the kleene scaffolding: the view's POSITION in its
+    // chain is a running count over the same (user-ordered) frame
+    // minus the count at the chain head (both ride the ONE user
+    // exchange), and the purchase carry keys off views at positions
+    // 2..4 of valid chains. Output: reach + how often the quantifier
+    // (vs plain B+) is what gates the match.
+    "window_pattern_quantified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val H = 3600L * 1000000
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isView = col("event_type") === "view"
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("st0",
+          max(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("pv", max(when(isView, col("us"))).over(wPrev))
+        .withColumn("head", isView &&
+          (col("pv").isNull || col("us") - col("pv") > 8 * H))
+        .withColumn("cid",
+          sum(when(col("head"), 1L).otherwise(0L)).over(w))
+        // views-so-far running count; position within chain = the
+        // count here minus the count just before the chain head
+        .withColumn("nv", sum(when(isView, 1L).otherwise(0L)).over(w))
+      val wChain = Window.partitionBy("user_id", "cid")
+      val staged = base
+        .withColumn("chain_start",
+          min(when(col("head"), col("us"))).over(wChain))
+        .withColumn("head_st0",
+          min(when(col("head"), coalesce(col("st0"), lit(-1L))))
+            .over(wChain))
+        .withColumn("head_nv",
+          min(when(col("head"), col("nv"))).over(wChain))
+        .withColumn("chain_valid", col("head_st0") >= 0 &&
+          col("chain_start") - col("head_st0") <= 12 * H)
+        .withColumn("pos", col("nv") - col("head_nv") + 1)
+        .withColumn("stq", max(when(isView && col("chain_valid")
+          && col("pos").between(2, 4), col("us"))).over(w))
+        .withColumn("stv",
+          max(when(isView && col("chain_valid"), col("us"))).over(w))
+        .withColumn("st2q",
+          max(when(col("event_type") === "purchase"
+            && col("stq").isNotNull
+            && col("us") - col("stq") <= 8 * H, col("us"))).over(w))
+        .withColumn("st2plus",
+          max(when(col("event_type") === "purchase"
+            && col("stv").isNotNull
+            && col("us") - col("stv") <= 8 * H, col("us"))).over(w))
+      staged.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("stq").isNotNull, col("user_id")))
+          .as("n_quant_reach"),
+        countDistinct(when(col("st2q").isNotNull, col("user_id")))
+          .as("n_purchase_quant"),
+        countDistinct(when(col("st2plus").isNotNull, col("user_id")))
+          .as("n_purchase_plus"),
+        count(when(isView && col("chain_valid")
+          && col("pos") > 4, lit(1))).as("n_views_beyond_4"))
+    }),
+
     // MATCH_RECOGNIZE Kleene-plus (r14) — the third pattern operator
     // beside kstep's sequence and alternation's A|B, completing the
     // compile-to-carries family: `signup view+ purchase` where the
@@ -1279,6 +1347,107 @@ object Analytics6 {
                 count(DISTINCT CASE WHEN st2 IS NOT NULL
                                     THEN user_id END) AS n_purchase
          FROM s3""",
+    "window_pattern_quantified" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us
+                    FROM events),
+              s0 AS (SELECT *,
+                            max(CASE WHEN event_type = 'signup'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st0,
+                            max(CASE WHEN event_type = 'view'
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pv
+                     FROM e),
+              s1 AS (SELECT *,
+                            (event_type = 'view' AND
+                             (pv IS NULL OR us - pv > 28800000000))
+                              AS head
+                     FROM s0),
+              s2 AS (SELECT *,
+                            sum(CASE WHEN head THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cid,
+                            sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS nv
+                     FROM s1),
+              s3 AS (SELECT *,
+                            min(CASE WHEN head THEN us END)
+                              OVER (PARTITION BY user_id, cid)
+                              AS chain_start,
+                            min(CASE WHEN head
+                                     THEN coalesce(st0, -1) END)
+                              OVER (PARTITION BY user_id, cid)
+                              AS head_st0,
+                            min(CASE WHEN head THEN nv END)
+                              OVER (PARTITION BY user_id, cid)
+                              AS head_nv
+                     FROM s2),
+              s4 AS (SELECT *,
+                            (head_st0 >= 0 AND
+                             chain_start - head_st0 <= 43200000000)
+                              AS chain_valid,
+                            nv - head_nv + 1 AS pos
+                     FROM s3),
+              s5 AS (SELECT *,
+                            max(CASE WHEN event_type = 'view'
+                                     AND chain_valid
+                                     AND pos BETWEEN 2 AND 4
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS stq,
+                            max(CASE WHEN event_type = 'view'
+                                     AND chain_valid
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS stv
+                     FROM s4),
+              s6 AS (SELECT *,
+                            max(CASE WHEN event_type = 'purchase'
+                                     AND stq IS NOT NULL
+                                     AND us - stq <= 28800000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st2q,
+                            max(CASE WHEN event_type = 'purchase'
+                                     AND stv IS NOT NULL
+                                     AND us - stv <= 28800000000
+                                     THEN us END)
+                              OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS st2plus
+                     FROM s5)
+         SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN stq IS NOT NULL
+                                    THEN user_id END) AS n_quant_reach,
+                count(DISTINCT CASE WHEN st2q IS NOT NULL
+                                    THEN user_id END)
+                  AS n_purchase_quant,
+                count(DISTINCT CASE WHEN st2plus IS NOT NULL
+                                    THEN user_id END)
+                  AS n_purchase_plus,
+                count(CASE WHEN event_type = 'view' AND chain_valid
+                           AND pos > 4 THEN 1 END) AS n_views_beyond_4
+         FROM s6""",
     "window_pattern_kleene" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                            epoch_us(ts) AS us

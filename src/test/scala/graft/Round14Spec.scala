@@ -85,6 +85,26 @@ class Round14Spec extends GraftSuite {
       s"the negation is vacuous on the fixture ($nPure/$nTaint)")
   }
 
+  test("window_pattern_quantified: B{2,4} is strictly tighter than " +
+      "B+ on the same chains; join-free single user-grain walk") {
+    val df = SparkEntry.queries("window_pattern_quantified")(spark, sf)
+    val r = df.collect()(0)
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!phys.contains("Join"), s"quantifier must be join-free:\n$phys")
+    val userEx = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+      .findAllIn(phys).size
+    assert(userEx <= 1,
+      s"expected <=1 user-grain hash exchange, got $userEx:\n$phys")
+    val Seq(_, quantReach, pQuant, pPlus, _) = (0 until 5).map(r.getLong)
+    // the {2,4} window can only REMOVE matches B+ admits
+    assert(pQuant <= pPlus,
+      s"quantified purchases $pQuant exceed B+ purchases $pPlus")
+    assert(pQuant < pPlus,
+      "the quantifier gated nothing on the fixture — vacuous demo")
+    assert(quantReach > 0, "no chain ever reached its 2nd view")
+  }
+
   test("stream_pattern_funnel: reach is monotone down the funnel and " +
       "matches the batch carry chain computed in-session") {
     val r = SparkEntry.queries("stream_pattern_funnel")(spark, sf)
