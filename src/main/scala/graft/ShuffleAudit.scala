@@ -47,13 +47,29 @@ object ShuffleAudit {
       case None | Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
       case Some(csv) => csv.split(",").toSeq.map(_.trim)
     }
+    // The ceilings are measured at a specific scale factor; arming
+    // them against a run at any OTHER sf would breach falsely on a
+    // larger fixture and pass vacuously on a smaller one (ADVICE r14).
+    // The header stamps sf= (fixture dir basename) and the gate
+    // disarms, loudly, on mismatch — mirroring BaselineAnchors'
+    // env-match discipline.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     val expected: Map[String, Long] =
-      if (java.nio.file.Files.exists(expectedPath))
-        scala.io.Source.fromFile(expectedPath.toFile).getLines()
+      if (java.nio.file.Files.exists(expectedPath)) {
+        val lines = scala.io.Source.fromFile(expectedPath.toFile)
+          .getLines().toList
+        val stamped = lines.headOption
+          .flatMap("""sf=(\S+)""".r.findFirstMatchIn(_))
+          .map(_.group(1))
+        if (stamped.exists(_ != sfTag)) {
+          println(s"SHUFAUDIT gate DISARMED: ceilings stamped " +
+            s"sf=${stamped.get}, this run is sf=$sfTag")
+          Map.empty
+        } else lines
           .filterNot(l => l.startsWith("#") || l.isBlank)
           .map { l => val p = l.split("\t"); p(0) -> p(1).toLong }
           .toMap
-      else Map.empty
+      } else Map.empty
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -126,14 +142,25 @@ object ShuffleAudit {
       }
     }
     if (writeExpected) {
-      // ceiling = 2× measured, floored at 1 MB (tiny keys jitter by
-      // compression/AQE layout, never by structure)
-      val lines = "# key\tmax_shuffle_bytes (2x clean-run measured, " +
-        s"sf0.1; regenerate with --write-expected)\n" +
-        measured.map { case (k, v) =>
-          s"$k\t${math.max(v * 2, 1L << 20)}" }.mkString("\n") + "\n"
-      java.nio.file.Files.writeString(expectedPath, lines)
-      println(s"wrote ${measured.size} ceilings to $expectedPath")
+      if (errors.nonEmpty) {
+        // A key that errored has no measurement; regenerating from
+        // `measured` alone would silently DROP it from the table and
+        // leave it permanently ungated (ADVICE r14). Refuse — fix the
+        // error (or run the key subset) and regenerate clean.
+        println(s"REFUSING --write-expected: ${errors.size} key(s) " +
+          s"errored and would be dropped from the ceiling table: " +
+          errors.mkString(","))
+      } else {
+        // ceiling = 2× measured, floored at 1 MB (tiny keys jitter by
+        // compression/AQE layout, never by structure)
+        val lines = s"# sf=$sfTag key\tmax_shuffle_bytes (2x clean-run " +
+          "measured; regenerate with --write-expected)\n" +
+          measured.map { case (k, v) =>
+            s"$k\t${math.max(v * 2, 1L << 20)}" }.mkString("\n") + "\n"
+        java.nio.file.Files.writeString(expectedPath, lines)
+        println(s"wrote ${measured.size} ceilings to $expectedPath " +
+          s"(sf=$sfTag)")
+      }
     }
     println(s"SHUFAUDIT SUMMARY keys=${measured.size} " +
       s"breaches=${breaches.size} errors=${errors.size}" +

@@ -220,7 +220,12 @@ object Analytics2 {
         .select(
           col("c_custkey"),
           round(col("rk").cast("double") / col("gn"), 4).as("cd"),
-          round((col("rk") - 1).cast("double") / (col("gn") - 1), 4)
+          // n=1 guard (ADVICE r14): percent_rank of a single row is
+          // 0.0 by definition in both engines, but the (rk−1)/(gn−1)
+          // derivation hits 0/0 there — Spark's non-ANSI division
+          // yields NULL while DuckDB's window fn yields 0.0
+          round(when(col("gn") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double") / (col("gn") - 1)), 4)
             .as("pr"))
         .orderBy("c_custkey")
     }),

@@ -533,10 +533,19 @@ object Analytics3 {
     // segment-size distribution. r14 (VERDICT r13 weak #3): the
     // customer grain is table-proportional, so each ntile derives
     // from a ScaleRank.withGlobalRank pass instead of an
-    // unpartitioned window — NTILE(k) over a tie-free order is
-    // exactly ⌊(rk−1)·k/n⌋+1 in integer arithmetic (first n mod k
-    // buckets get ⌈n/k⌉ rows, the SQL-standard distribution), with
-    // n a 1-row broadcast scalar carried through the three passes.
+    // unpartitioned window, with n a 1-row broadcast scalar carried
+    // through the three passes. r15 (ADVICE r14 high): SQL NTILE
+    // FRONT-LOADS the n mod k larger buckets — with q = n DIV k and
+    // r = n mod k, buckets 1..r hold q+1 rows and r+1..k hold q —
+    // so the bucket is (rk−1) DIV (q+1) + 1 inside the first
+    // r·(q+1) rows and (rk−1−r) DIV q + 1 after (exact integer
+    // arithmetic, non-negative operands ⇒ Spark DIV == DuckDB
+    // ntile). The earlier ⌊(rk−1)·k/n⌋+1 floor formula SPREADS the
+    // remainder instead and diverges from NTILE whenever
+    // n ≡ 2,3 (mod 5) — Analytics3Spec pins both residue classes
+    // against the native window function. IF is lazy per row, so
+    // the q=0 divisor of the n<k corner (where every row falls in
+    // the first branch) is never evaluated.
     "analytics_rfm" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val maxD = o.agg(max(to_date(col("o_orderdate"))).as("dmax"))
@@ -553,9 +562,10 @@ object Analytics3 {
              asc: Boolean, out: String) =
         ScaleRank.withGlobalRank(df,
           Seq(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
-          // non-negative operands: Spark DIV == DuckDB // here
-          .withColumn(out,
-            expr("CAST((rk - 1L) * 5L DIV gn AS INT) + 1"))
+          .withColumn(out, expr(
+            """CAST(IF(rk <= (gn % 5L) * (gn DIV 5L + 1L),
+                       (rk - 1L) DIV (gn DIV 5L + 1L),
+                       (rk - 1L - gn % 5L) DIV (gn DIV 5L)) AS INT) + 1"""))
           .drop("rk", "gr_pid")
       val bucketed = nt(nt(nt(cust.crossJoin(broadcast(n)),
         "rec", asc = true, "r"),   // low recency = best

@@ -513,11 +513,18 @@ object Analytics4 {
         .orderBy("split")
     }),
 
-    // Vocabulary coverage curve (r7): what share of the corpus token
-    // mass the top-k vocabulary covers, at k = 100 / 500 / 1000 — the
-    // curve a tokenizer budget is chosen from. One vocab aggregate,
-    // one rank window over it, three checkpoint rows; share stays in
-    // BIGINT cumsum / BIGINT total until one final division.
+    // Vocabulary coverage curve (r7; re-parameterized r15): what
+    // share of the corpus token mass the top-k vocabulary covers, at
+    // the QUARTILE vocabulary budgets k = ⌈V/4⌉ / ⌈V/2⌉ / ⌈3V/4⌉ / V
+    // — the curve a tokenizer budget is chosen from. r15 (VERDICT
+    // r14 #1): the old fixed checkpoints 100/500/1000 exceeded this
+    // fixture's 31-word vocabulary at EVERY scale, so the key
+    // returned 0 rows and its hash check was vacuous; quartile
+    // checkpoints are non-empty for any V ≥ 1 and stay meaningful
+    // whether V is 31 or a Heaps-law 31M. One vocab aggregate, one
+    // rank window over it (vocab-grain — the declared exemption),
+    // four checkpoint rows; share stays in BIGINT cumsum / BIGINT
+    // total until one final division.
     "text_ngram_coverage_curve" -> ((s, d) => {
       val cnt = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -530,7 +537,11 @@ object Analytics4 {
         .withColumn("rk", row_number().over(rk))
         .withColumn("cum", sum("c").over(wr))
         .withColumn("total", sum("c").over(tot))
-        .filter(col("rk").isin(100, 500, 1000))
+        .withColumn("nv", count(lit(1)).over(tot))
+        .filter(col("rk") === ceil(col("nv") / 4) ||
+          col("rk") === ceil(col("nv") / 2) ||
+          col("rk") === ceil(col("nv") * 3 / 4) ||
+          col("rk") === col("nv"))
       curve.select(col("rk").as("vocab_k"), col("cum").cast("bigint")
           .as("tokens_covered"),
           round(col("cum") / col("total").cast("double"), 6).as("coverage"))
@@ -1124,13 +1135,16 @@ object Analytics4 {
                            row_number() OVER (ORDER BY c DESC, w) AS rk,
                            sum(c) OVER (ORDER BY c DESC, w
                                         ROWS UNBOUNDED PRECEDING) AS cum,
-                           sum(c) OVER () AS total
+                           sum(c) OVER () AS total,
+                           count(*) OVER () AS nv
                     FROM cnt)
          SELECT CAST(rk AS INTEGER) AS vocab_k,
                 CAST(cum AS BIGINT) AS tokens_covered,
                 round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
                   AS coverage
-         FROM r WHERE rk IN (100, 500, 1000) ORDER BY vocab_k""",
+         FROM r WHERE rk = ceil(nv / 4) OR rk = ceil(nv / 2)
+            OR rk = ceil(nv * 3 / 4) OR rk = nv
+         ORDER BY vocab_k""",
     "anomaly_iqr" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_totalprice,
                            row_number() OVER

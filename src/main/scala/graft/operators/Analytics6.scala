@@ -92,9 +92,23 @@ object Analytics6 {
       .agg(count(lit(1)).as("nc"),
         (sum(col("dl")).cast("double")
           / count(lit(1)).cast("double")).as("avgdl"))
-    val dfKeep = cand.groupBy("w").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nAvg))
+    val dfs = cand.groupBy("w").agg(count(lit(1)).as("df"))
+    // Rare-term backstop (r15, VERDICT r14 #1): the df≤30% stop cut
+    // alone kept exactly ONE term of this fixture's 31-word vocabulary
+    // — and no probe contained it at sf0.01/0.1, so the pair set (and
+    // the driver hash check) was empty. The 8 RAREST terms by (df, w)
+    // are kept unconditionally: orderBy().limit is a TakeOrdered (no
+    // single-partition window), the bottom-by-df terms are precisely
+    // the join-safe ones (a rare term's posting list is short by
+    // definition), and at a Heaps-law vocabulary the backstop is a
+    // no-op — everything it would keep already passes the cut. BM25's
+    // +1 idf variant stays positive for any df, so frequent backstop
+    // terms score low rather than negative.
+    val rare = dfs.orderBy(col("df"), col("w")).limit(8)
+    val dfKeep = dfs.crossJoin(broadcast(nAvg))
       .filter(col("df") * 10 <= col("nc") * 3)
+      .unionByName(rare.crossJoin(broadcast(nAvg)))
+      .dropDuplicates("w")
       .withColumn("idf", expr(
         """CAST(ln(1.0 + (CAST(nc - df AS DOUBLE) + 0.5)
                          / (CAST(df AS DOUBLE) + 0.5))
@@ -146,10 +160,18 @@ object Analytics6 {
     val candsAll = emb.filter(col("doc_id") % 5 === 0)
     val probesAll = emb.filter(col("doc_id") % 97 === 0)
     val nc = candsAll.agg(countDistinct(col("doc_id")).as("nc"))
-    val keep = candsAll.groupBy("dim").agg(count(lit(1)).as("df"))
+    // same rare-dim backstop as the lexical arm (r15): the 31-word
+    // fixture vocabulary hashes to 31 live dims, almost all above the
+    // 30% df cut — bottom-8 by (df, dim) keeps the arm non-empty at
+    // every scale and is subsumed by the cut at a real vocabulary
+    val dimdf = candsAll.groupBy("dim").agg(count(lit(1)).as("df"))
+    val keep = dimdf
       .crossJoin(broadcast(nc))
       .filter(col("df") * 10 <= col("nc") * 3)
       .select("dim")
+      .unionByName(dimdf.orderBy(col("df"), col("dim")).limit(8)
+        .select("dim"))
+      .distinct()
     // `keep` is bounded by the D=256 dim universe (two hex digits) at
     // ANY corpus size, so its broadcast hint is a size contract, not a
     // guess. `probes` and the probe-norm table `pn` are probe-grain —
@@ -1760,15 +1782,17 @@ object Analytics6 {
                                 / CAST(count(*) AS DOUBLE) AS avgdl
                        FROM (SELECT DISTINCT c.doc_id FROM cand c)
                        JOIN dl USING (doc_id)),
+              dfs AS (SELECT w, count(*) AS df FROM cand GROUP BY w),
+              rare AS (SELECT w FROM dfs ORDER BY df, w LIMIT 8),
               dfk AS (SELECT w,
                              CAST(ln(1.0 + (CAST(nc - df AS DOUBLE)
                                             + 0.5)
                                           / (CAST(df AS DOUBLE) + 0.5))
                                   AS DECIMAL(28,10)) AS idf,
                              avgdl
-                      FROM (SELECT w, count(*) AS df
-                            FROM cand GROUP BY w) CROSS JOIN navg
-                      WHERE df * 10 <= nc * 3),
+                      FROM dfs CROSS JOIN navg
+                      WHERE df * 10 <= nc * 3
+                         OR w IN (SELECT w FROM rare)),
               probes AS (SELECT doc_id AS pid, w FROM tf
                          WHERE doc_id % 97 = 0),
               sc AS (SELECT pid, c.doc_id AS cid,
@@ -1806,15 +1830,17 @@ object Analytics6 {
                                 / CAST(count(*) AS DOUBLE) AS avgdl
                        FROM (SELECT DISTINCT c.doc_id FROM cand c)
                        JOIN dl USING (doc_id)),
+              dfs AS (SELECT w, count(*) AS df FROM cand GROUP BY w),
+              rare AS (SELECT w FROM dfs ORDER BY df, w LIMIT 8),
               dfk AS (SELECT w,
                              CAST(ln(1.0 + (CAST(nc - df AS DOUBLE)
                                             + 0.5)
                                           / (CAST(df AS DOUBLE) + 0.5))
                                   AS DECIMAL(28,10)) AS idf,
                              avgdl
-                      FROM (SELECT w, count(*) AS df
-                            FROM cand GROUP BY w) CROSS JOIN navg
-                      WHERE df * 10 <= nc * 3),
+                      FROM dfs CROSS JOIN navg
+                      WHERE df * 10 <= nc * 3
+                         OR w IN (SELECT w FROM rare)),
               probes AS (SELECT doc_id AS pid, w FROM tf
                          WHERE doc_id % 97 = 0),
               scb AS (SELECT pid, c.doc_id AS cid,
@@ -1850,10 +1876,11 @@ object Analytics6 {
               ca AS (SELECT * FROM emb WHERE doc_id % 5 = 0),
               pa AS (SELECT * FROM emb WHERE doc_id % 97 = 0),
               ncc AS (SELECT count(DISTINCT doc_id) AS nc FROM ca),
-              keep AS (SELECT dim FROM
-                         (SELECT dim, count(*) AS df
-                          FROM ca GROUP BY dim) CROSS JOIN ncc
-                       WHERE df * 10 <= nc * 3),
+              dimdf AS (SELECT dim, count(*) AS df FROM ca GROUP BY dim),
+              keep AS (SELECT dim FROM dimdf CROSS JOIN ncc
+                       WHERE df * 10 <= nc * 3
+                          OR dim IN (SELECT dim FROM dimdf
+                                     ORDER BY df, dim LIMIT 8)),
               pp AS (SELECT pa.doc_id AS pid, pa.dim, pa.c AS pc
                      FROM pa JOIN keep USING (dim)),
               cc AS (SELECT ca.* FROM ca JOIN keep USING (dim)),

@@ -180,16 +180,23 @@ object GraphOps {
             .cast("double") / 1e6).as("global_cc"))
     }),
 
-    // Link prediction by neighbor-set Jaccard (r7) — the classic
-    // common-neighbors recommender over the co-supply graph: for
-    // non-adjacent pairs at distance 2, score = |N(u)∩N(v)| /
-    // |N(u)∪N(v)|. Common neighbors come from the SAME wedge
-    // equi-join as triangle counting (u<w orientation dedups pairs);
-    // existing edges are removed with a LEFT ANTI join; the union
-    // size is inclusion-exclusion over the degree aggregate — all
-    // integer arithmetic until one final division.
+    // Link prediction by neighbor-set Jaccard (r7; re-targeted r15)
+    // — the classic common-neighbors recommender: for non-adjacent
+    // pairs at distance 2, score = |N(u)∩N(v)| / |N(u)∪N(v)|.
+    // Common neighbors come from the SAME wedge equi-join as
+    // triangle counting (u<w orientation dedups pairs); existing
+    // edges are removed with a LEFT ANTI join; the union size is
+    // inclusion-exclusion over the degree aggregate — all integer
+    // arithmetic until one final division.
+    // r15 (VERDICT r14 #1): runs on the co-PURCHASE graph, not
+    // co-supply — the co-supply projection is a union of COMPLETE
+    // supplier cliques at the fixture scales, so every distance-2
+    // pair is already an edge and the candidate set is empty BY
+    // CONSTRUCTION (0 rows at sf0.01 made the driver hash check
+    // vacuous). Co-purchase (orders hold ~4 items) has real open
+    // wedges: 22 / 1,435 / 18,571 candidates at sf0.001/0.01/0.1.
     "graph_link_prediction" -> ((s, d) => {
-      val e = coSupplyEdges(s, d, 200).cache()
+      val e = coPurchaseEdges(s, d, 20).cache()
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val deg = adj.groupBy(col("u").as("dn")).agg(count(lit(1)).as("deg"))
       val cn = adj.as("a").join(adj.as("b"), col("a.v") === col("b.u"))
@@ -901,7 +908,11 @@ object GraphOps {
                   / 1e6 AS global_cc
          FROM tri, wed, ne""",
     "graph_link_prediction" ->
-      s"""WITH ${coSupplyEdgesSql(200)},
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                      FROM lineitem WHERE l_partkey % 20 = 0),
+              ed AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                     FROM ps a JOIN ps b
+                       ON a.ok = b.ok AND a.pk < b.pk),
               adj AS (SELECT u, v FROM ed
                       UNION ALL SELECT v, u FROM ed),
               deg AS (SELECT u AS dn, count(*) AS deg FROM adj

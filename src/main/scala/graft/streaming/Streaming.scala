@@ -383,12 +383,27 @@ object Streaming {
             // fast path; the sentinel keeps state 3 plain longs)
             var (s0, s1, s2) = st.getOption
               .getOrElse((Long.MinValue, Long.MinValue, Long.MinValue))
+            // `us >= sN` order guards (r15, VERDICT r14 #2): within a
+            // batch the sort makes them redundant (a running max is
+            // always ≤ the current row's time), but an event arriving
+            // in a LATER micro-batch with an EARLIER timestamp than
+            // absorbed state would otherwise satisfy the deadline test
+            // with a NEGATIVE difference and match a signup that
+            // FOLLOWS it in event time. The guards eliminate that
+            // false-match class for any multi-file source (late
+            // arrivals still can't RETROACTIVELY complete an earlier
+            // event's match — no streaming NFA can without
+            // retraction); StreamingSpec pins two-file out-of-order
+            // parity on exactly the adversarial arrival the guards
+            // exist for.
             rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
               case (_, _, t, us) => t match {
                 case "signup" => s0 = math.max(s0, us)
-                case "view" if s0 != Long.MinValue && us - s0 <= 12 * H =>
+                case "view" if s0 != Long.MinValue && us >= s0 &&
+                    us - s0 <= 12 * H =>
                   s1 = math.max(s1, us)
-                case "purchase" if s1 != Long.MinValue && us - s1 <= 8 * H =>
+                case "purchase" if s1 != Long.MinValue && us >= s1 &&
+                    us - s1 <= 8 * H =>
                   s2 = math.max(s2, us)
                 case _ =>
               }

@@ -37,6 +37,27 @@ class Analytics3Spec extends GraftSuite {
     assert(total == nCust)
   }
 
+  test("rfm ntile arithmetic == native NTILE(5) on every residue class") {
+    // ADVICE r14 (high): the old ⌊(rk−1)·5/n⌋+1 formula diverges from
+    // SQL NTILE for n ≡ 2,3 (mod 5); the fixture cardinalities all sat
+    // on agreeing residues. Pin the front-loaded derivation against
+    // Spark's own window function on one n per residue class, plus the
+    // n<5 corner the lazy-IF guards.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(3, 7, 8, 12, 13, 10, 14)) {
+      val df = spark.range(1, n + 1).toDF("rk")
+        .withColumn("gn", lit(n.toLong))
+        .withColumn("arith", expr(
+          """CAST(IF(rk <= (gn % 5L) * (gn DIV 5L + 1L),
+                     (rk - 1L) DIV (gn DIV 5L + 1L),
+                     (rk - 1L - gn % 5L) DIV (gn DIV 5L)) AS INT) + 1"""))
+        .withColumn("native", ntile(5).over(Window.orderBy("rk")))
+      val bad = df.filter(col("arith") =!= col("native")).count()
+      assert(bad == 0, s"n=$n: arithmetic ntile != native NTILE(5)")
+    }
+  }
+
   test("agg_entropy: 0 <= entropy <= ln(5) for a 5-category distribution") {
     val rows = Analytics3.queries("agg_entropy")(spark, sf).collect()
     // sf0.001 leaves one of the 16 user buckets empty

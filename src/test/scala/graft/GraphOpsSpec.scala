@@ -327,4 +327,29 @@ class GraphOpsSpec extends GraftSuite {
       }
     }
   }
+
+  test("graph_link_prediction: non-empty, scores in (0,1], candidates " +
+    "are distance-2 NON-edges of the co-purchase graph (r15 — the " +
+    "co-supply variant was structurally empty at sf0.01)") {
+    val rows = GraphOps.queries("graph_link_prediction")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "candidate set must be non-empty at every " +
+      "fixture scale — emptiness made the driver hash check vacuous")
+    val byOrder = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 20 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq)
+    val edges: Set[(Long, Long)] = byOrder
+      .flatMap(g => for (a <- g; b <- g if a < b) yield (a, b))
+      .toSet
+    rows.foreach { r =>
+      val (x, y, cn, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cn >= 1, "a distance-2 pair shares at least one neighbor")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(!edges.contains((x, y)),
+        s"candidate ($x,$y) is an existing edge — anti-join failed")
+    }
+  }
 }

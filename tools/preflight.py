@@ -32,6 +32,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # drift WITHIN the integer family (INTEGER vs BIGINT, UINTEGER) and
 # DATE vs TIMESTAMP normalize identically driver-side — 7 such keys
 # passed every driver run — so those only warn, never fail.
+# Zero-row guard (r15, VERDICT r14 #1): an oracled key whose Spark AND
+# oracle results are both EMPTY "passes" vacuously — empty==empty
+# verifies nothing about the operator's arithmetic. Any such key FAILS
+# preflight unless (key, sf-dir basename) is exempted here with a
+# reason. Keep this list EMPTY unless emptiness is a declared property
+# of the key at that scale.
+ZERO_ROW_EXEMPT = {
+    # e.g. ("some_key", "sf0.001"): "reason",
+}
+
 HASH_BREAKING = ("HUGEINT", "UHUGEINT", "DECIMAL")
 INTLIKE = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
            "USMALLINT", "UINTEGER", "UBIGINT")
@@ -121,6 +131,13 @@ def main(sf_dir, out_dir):
         n_before = len(failures)
         if compare_types(name, spark_rel, ora_rel, failures, warnings):
             compare(name, spark_df, ora_df, failures)
+        if len(spark_df) == 0 and len(ora_df) == 0:
+            sf_tag = os.path.basename(os.path.normpath(sf_dir))
+            if (name, sf_tag) not in ZERO_ROW_EXEMPT:
+                failures.append((name, f"vacuous: 0 rows in BOTH engines "
+                                       f"at {sf_tag} — the hash check "
+                                       f"verifies nothing; re-parameterize "
+                                       f"or exempt with a reason"))
         if len(failures) == n_before:
             passed.append(name)
     # queries with no oracle still need a dump with >0 rows potential —
