@@ -176,6 +176,21 @@ object DedupAdvanced {
     expr(s"CAST(conv(substring(md5(concat('$role', CAST(i AS STRING), " +
       s"':', w)), $start, 12), 16, 10) AS BIGINT)")
 
+  /** Run `f` with spark.sql.shuffle.partitions pinned to 8, restoring
+    * the session default after (the Streaming.withStreamShuffle shape,
+    * unified here per VERDICT r14 #4): every post-scan frame in the
+    * ICWS pipelines is ≤ doc-bigram grain, and at the session's 32
+    * partitions per-stage empty-task overhead dominates wall time.
+    * SAFE ONLY because each call site materializes its result inside
+    * the scope (eager localCheckpoint) — a lazily-returned frame
+    * would execute under the RESTORED conf. */
+  private def withShuffle8[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Distinct band-collision candidate pairs (da < db) from a
     * signature frame — never all-pairs. */
   private def minhashCandidates(mh: DataFrame): DataFrame =
@@ -364,15 +379,12 @@ object DedupAdvanced {
     // estimate vs exact J_w, with the absolute error — the
     // estimate-quality harness shape, oracle-checked end to end.
     "dedup_minhash_icws" -> ((s, d) => {
-      // The whole pipeline runs at 8 shuffle partitions (the
-      // Similarity3 fit-loop precedent: every frame after the scan is
-      // ≤ doc-bigram grain, and at the session's 32 partitions the
-      // per-stage empty-task overhead dominates wall time); the final
+      // The whole pipeline runs at 8 shuffle partitions (the scoped
+      // withShuffle8 helper — see its scaladoc for the
+      // materialize-inside-the-scope contract); the final
       // localCheckpoint materializes inside the scope so nothing
       // escapes the conf restore.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withShuffle8(s) {
       // tf feeds the signature build, the doc totals AND the pair
       // intersections; sig feeds the bands and the agreement count;
       // cand feeds three joins. Checkpoint each once (the MMR/greedy
@@ -420,7 +432,64 @@ object DedupAdvanced {
             .cast("double") / 10000).as("err4"))
         .orderBy("a", "b")
         .localCheckpoint()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }),
+
+    // ICWS band-geometry eval (r15, VERDICT r14 cap #1) — the weighted
+    // twin of `dedup_lsh_band_eval`: for band geometries (8×1, 4×2,
+    // 2×4) over the 8-sample ICWS signature, candidate volume and
+    // recall against EXACT weighted-Jaccard truth (J_w ≥ 0.5 over all
+    // sampled pairs — the same bounded tune-on-a-sample contract as
+    // the unweighted harness; pairs sharing no bigram have J_w = 0, so
+    // the tf equi-join is recall-complete for truth). The S-curve
+    // trade this table shows is how r·b gets chosen at 100 TB: more
+    // rows per band → sharper threshold, fewer candidates, lower
+    // recall at fixed J_w. At sf0.01 no pair reaches 0.5 (max J_w
+    // 0.10) → recall NULL, candidate counts still differentiate the
+    // geometries; sf0.001/0.1 have real weighted near-dups.
+    "dedup_icws_band_eval" -> ((s, d) => withShuffle8(s) {
+      val tf = wordTf(s, d).localCheckpoint()
+      val sig = icwsWide(tf).localCheckpoint()
+      val tot = tf.groupBy("doc_id").agg(sum("tf").as("n"))
+      val inter = tf.toDF("ta", "wa", "fa")
+        .join(tf.toDF("tb", "wb", "fb"),
+          col("wb") === col("wa") && col("ta") < col("tb"))
+        .groupBy(col("ta").as("da"), col("tb").as("db"))
+        .agg(sum(least(col("fa"), col("fb"))).as("nmin"))
+      val truth = inter
+        .join(tot.toDF("xd", "na"), col("xd") === col("da"))
+        .join(tot.toDF("yd", "nb"), col("yd") === col("db"))
+        .filter(col("nmin").cast("double") /
+          (col("na") + col("nb") - col("nmin")) >= 0.5)
+        .select("da", "db")
+        .localCheckpoint(true)
+      val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+      val geos = Seq((8, 1), (4, 2), (2, 4))
+      val perGeo = geos.map { case (bands, rpb) =>
+        val bandCols = (0 until bands).map(b =>
+          concat_ws("|",
+            (0 until rpb).map(r => col(s"s${b * rpb + r}")): _*))
+        val banded = sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("b", "bk")))
+        val cand = banded.toDF("da", "ba", "ka")
+          .join(banded.toDF("db", "bb", "kb"),
+            col("ba") === col("bb") && col("ka") === col("kb") &&
+              col("da") < col("db"))
+          .select("da", "db").distinct()
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = cand.join(truth, Seq("da", "db"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(nh).select(lit(bands).as("bands"),
+          lit(rpb).as("rows_per_band"), col("n_cand"), col("n_hit"))
+      }
+      perGeo.reduce(_ unionAll _).crossJoin(truthCnt)
+        .withColumn("recall4", when(col("n_truth") === 0, lit(null))
+          .otherwise(floor(col("n_hit").cast("double") /
+            col("n_truth") * 1e4) / 1e4))
+        .select("bands", "rows_per_band", "n_cand", "n_truth",
+          "n_hit", "recall4")
+        .orderBy(col("bands").desc)
+        .localCheckpoint()
     }),
 
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
@@ -594,10 +663,15 @@ object DedupAdvanced {
           j -> (strpos('0123456789abcdef', substr($h, CAST(j AS INT), 1))
                 - 1) * pow(16, ${start + 7} - j)), 'sum') AS BIGINT)"""
 
-  val oracles: Map[String, String] = Map(
-    "dedup_minhash_icws" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents WHERE doc_id % 5 = 0),
+  /** The ICWS signature build as DuckDB CTEs (tok → bigram tf → vocab
+    * × 8 seeds → log-domain Gamma params → ln a per (doc, word, seed)
+    * → per-seed argmin word `sig(doc_id, i, sw)`) — the digit-for-
+    * digit mirror of [[icwsWide]], shared by the `dedup_minhash_icws`
+    * oracle and the r15 `dedup_icws_band_eval` oracle so the two can
+    * never drift apart. */
+  private def icwsSigSqlCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 5 = 0),
               tf AS MATERIALIZED (
                 SELECT doc_id, w, count(*) AS tf FROM (
                   SELECT doc_id, unnest(list_transform(range(1, len(t)),
@@ -629,7 +703,11 @@ object DedupAdvanced {
                 SELECT doc_id, i, w AS sw FROM (
                   SELECT doc_id, i, w, row_number() OVER (
                            PARTITION BY doc_id, i ORDER BY k, w) AS rn
-                  FROM lna) WHERE rn = 1),
+                  FROM lna) WHERE rn = 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_icws" ->
+      s"""WITH $icwsSigSqlCtes,
               bands AS (SELECT p.doc_id, p.i // 2 AS b,
                                p.sw || '|' || q.sw AS bk
                         FROM sig p JOIN sig q
@@ -669,6 +747,55 @@ object DedupAdvanced {
                 CAST(floor(abs(n_agree / 8.0 - jw) * 10000) AS DOUBLE)
                   / 10000 AS err4
          FROM fin ORDER BY a, b""",
+    "dedup_icws_band_eval" ->
+      s"""WITH $icwsSigSqlCtes,
+              tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
+                      FROM tf GROUP BY doc_id),
+              pin AS MATERIALIZED (
+                SELECT x.doc_id AS da, y.doc_id AS db,
+                       CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS nmin
+                FROM tf x JOIN tf y
+                  ON y.w = x.w AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id),
+              truth AS MATERIALIZED (
+                SELECT p.da, p.db
+                FROM pin p JOIN tot tx ON tx.doc_id = p.da
+                           JOIN tot ty ON ty.doc_id = p.db
+                WHERE CAST(p.nmin AS DOUBLE)
+                      / (tx.n + ty.n - p.nmin) >= 0.5),
+              tc AS (SELECT count(*) AS n_truth FROM truth),
+              g AS (SELECT unnest([8, 4, 2]) AS bands,
+                           unnest([1, 2, 4]) AS rpb),
+              bnd AS MATERIALIZED (
+                SELECT s.doc_id, gg.bands, gg.rpb, s.i // gg.rpb AS b,
+                       string_agg(s.sw, '|' ORDER BY s.i) AS bk
+                FROM sig s CROSS JOIN g gg
+                GROUP BY s.doc_id, gg.bands, gg.rpb, s.i // gg.rpb),
+              cand AS MATERIALIZED (
+                SELECT DISTINCT x.bands, x.rpb,
+                       x.doc_id AS da, y.doc_id AS db
+                FROM bnd x JOIN bnd y
+                  ON y.bands = x.bands AND y.b = x.b AND y.bk = x.bk
+                     AND x.doc_id < y.doc_id),
+              counts AS (
+                SELECT gg.bands, gg.rpb, count(c.da) AS n_cand,
+                       count(CASE WHEN t.da IS NOT NULL THEN 1 END)
+                         AS n_hit
+                FROM g gg
+                LEFT JOIN cand c ON c.bands = gg.bands
+                LEFT JOIN truth t ON t.da = c.da AND t.db = c.db
+                GROUP BY gg.bands, gg.rpb)
+         SELECT CAST(bands AS INTEGER) AS bands,
+                CAST(rpb AS INTEGER) AS rows_per_band,
+                CAST(n_cand AS BIGINT) AS n_cand,
+                CAST((SELECT n_truth FROM tc) AS BIGINT) AS n_truth,
+                CAST(n_hit AS BIGINT) AS n_hit,
+                CASE WHEN (SELECT n_truth FROM tc) = 0 THEN NULL
+                     ELSE CAST(floor(CAST(n_hit AS DOUBLE)
+                                     / (SELECT n_truth FROM tc)
+                                     * 10000) AS DOUBLE) / 10000
+                END AS recall4
+         FROM counts ORDER BY bands DESC""",
     "dedup_token_sort" ->
       """WITH k AS (SELECT lang,
                            md5(array_to_string(

@@ -130,4 +130,30 @@ class DedupAdvancedSpec extends GraftSuite {
       f"a fixture t-quantization sits only $minRatio%.1f " +
         "perturbation-widths from an integer boundary")
   }
+
+  test("dedup_icws_band_eval: S-curve shape — candidate volume is " +
+      "monotone in band count at fixed signature width, hits never " +
+      "exceed truth or candidates, and the 8x1 geometry is " +
+      "recall-complete over banded truth pairs") {
+    val rows = DedupAdvanced.queries("dedup_icws_band_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 3, "one row per declared geometry")
+    val byBands = rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(-_._1)
+    assert(byBands.map(t => t._1 * t._2).forall(_ == 8),
+      "every geometry spends exactly the 8 signature samples")
+    // more, narrower bands can only ADD collision opportunities:
+    // an (r=2k)-row band key match implies both (r=k)-halves match
+    assert(byBands.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      s"candidate volume not monotone in band count: $byBands")
+    byBands.foreach { case (_, _, nc, nt, nh) =>
+      assert(nh <= nt && nh <= nc, s"hits exceed truth/candidates")
+    }
+    // at 8x1 a truth pair (J_w >= 0.5) collides unless all 8 samples
+    // differ — P ~ (1-J_w)^8 <= 0.4%; the fixture's truth pairs are
+    // J_w ~ 0.97+ planted near-dups, so recall there must be 1.0
+    val (_, _, _, nt8, nh8) = byBands.head
+    if (nt8 > 0) assert(nh8 == nt8,
+      "8x1 missed a planted near-dup — signature build is broken")
+  }
 }
