@@ -15,6 +15,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Physical single-partition-window sweep (r15, VERDICT r14 #3):
+    // env-gated so driver runs stay byte-identical; the listener sees
+    // every execution INCLUDING localCheckpoint interiors — the
+    // logical audit's documented blind spot. Findings land in
+    // BENCH_WINSWEEP.txt below.
+    val winSweep = sys.env.get("SPARK_GRAFT_WINSWEEP").contains("1")
+    if (winSweep) {
+      WindowAudit.currentKey = "<warmup>"
+      WindowAudit.register(spark)
+    }
     // Untimed warm-up: JVM/codegen/session initialization is fixed cost,
     // not operator cost — first timed query otherwise absorbs ~4-5 s.
     // Best-effort: a bad sfDir must still fall through to the timed
@@ -138,6 +148,7 @@ object Bench {
     def timeKey(name: String, fn: (SparkSession, String) => DataFrame,
                 recordError: Boolean = true): Option[Double] = {
       cleanSession()
+      if (winSweep) WindowAudit.currentKey = name
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -243,6 +254,27 @@ object Bench {
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"Bench: failed to write $outPath: $e") }
+    if (winSweep) {
+      // give the async listener bus a moment to drain before reading
+      // (listenerBus.waitUntilEmpty is private[spark]; a fixed grace
+      // period suffices for an audit)
+      Thread.sleep(2000)
+      val (lines, novel) = WindowAudit.report()
+      val hdr = s"# physical single-partition-window sweep " +
+        s"(sf=$sfDir, ${results.size} keys; exempt = in " +
+        s"WindowAudit.exemptions/interiorExemptions)"
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath).resolveSibling(
+          "BENCH_WINSWEEP.txt"),
+        (hdr +: lines).mkString("", "\n", "\n"))
+      catch { case e: Throwable =>
+        System.err.println(s"Bench: failed to write winsweep: $e") }
+      System.err.println(s"[winsweep] ${lines.size} distinct " +
+        s"single-partition window shapes, ${novel.size} NOVEL" +
+        (if (novel.nonEmpty)
+          s": ${novel.toSeq.sorted.mkString(" | ").take(400)}"
+         else ""))
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   * distributed lag in sample_low_discrepancy_vdc).
   */
 object ScaleRank {
+  // r15 A/B (VERDICT r14 #6, PLANS.md): a no-checkpoint variant
+  // relying on ReusedExchange was measured at sf0.1 — ~35% faster on
+  // the single-pass keys (cume_dist 1.07→0.67, lorenz 1.12→0.78),
+  // neutral-to-worse on the multi-pass ones (rfm 2.59→2.67,
+  // session_stats 2.09→2.27: lazy plan growth eats the saving) — and
+  // REJECTED: without the checkpoint, rank consistency between the
+  // offsets leg and the data leg depends on Spark canonicalizing the
+  // two subtrees equal; on a cluster with nondeterministic scan
+  // order a re-evaluated range exchange may sample different
+  // boundaries, silently corrupting ranks. The checkpoint is the
+  // determinism contract, not an optimization artifact.
+
   def withGlobalRank(df: DataFrame, sort: Seq[Column]): DataFrame = {
     val parted = df
       .repartitionByRange(sort: _*)

@@ -734,35 +734,11 @@ class PlanShapeSpec extends GraftSuite {
     // so windows inside already-executed iterative rounds are
     // invisible here — those interiors are pinned by their own
     // per-key specs (kcore/MMR/NN-descent pattern).
-    val exempt: Map[String, String] = Map(
-      "agg_gini_split_scan" ->
-        "ScaleRank count synopsis (≤ shuffle.partitions rows) + 19-row threshold frame",
-      "analytics_association_rules" -> "post-LIMIT top-20 rank",
-      "analytics_chi2_independence" -> "5x5 contingency-cell frame",
-      "analytics_daily_active_growth" -> "day-grain series (calendar-bounded)",
-      "analytics_lorenz_gini" -> "ScaleRank count synopsis",
-      "analytics_pareto_skyline" -> "per-range-partition skyline merge synopsis",
-      "analytics_rfm" -> "ScaleRank count synopsis (x3 ntile passes)",
-      "analytics_session_stats" -> "ScaleRank count synopsis",
-      "analytics_theil_decomposition" -> "5-group segment frame",
-      "dq_benford_test" -> "9 leading-digit rows",
-      "dq_psi_drift" -> "10 histogram buckets",
-      "feature_woe_encode" -> "bounded category frame",
-      "graph_community_labelprop" -> "post-LIMIT top-20 rank",
-      "graph_modularity" -> "post-LIMIT top-15 rank",
-      "sample_low_discrepancy_vdc" ->
-        "ScaleRank synopsis + kept-rank boundary envelope",
-      "sample_pps_systematic" -> "ScaleRank cumsum offset synopsis",
-      "sample_weighted_reservoir" -> "post-LIMIT 25-row rank",
-      "stream_ann_index_maintain" -> "post-LIMIT top-10 rank",
-      "text_bigram_generate" -> "vocab-grain chain state (Heaps-bounded)",
-      "text_bpe_train_rounds" -> "merge-pair candidate synopsis (vocab-bounded)",
-      "text_ngram_coverage_curve" -> "vocab-grain coverage curve (Heaps-bounded)",
-      "text_perplexity_buckets" -> "vocab-grain LM table (Heaps-bounded)",
-      "text_unigram_logprob" -> "vocab-grain LM table (Heaps-bounded)",
-      "text_vocab_oov_rate" -> "vocab-grain (Heaps-bounded)",
-      "window_cume_dist" -> "ScaleRank count synopsis",
-      "window_rolling_distinct" -> "day-grain rolling frame (calendar-bounded)")
+    // single-sourced with the r15 PHYSICAL sweep (WindowAudit):
+    // the map lives in main scope so Bench's listener-based
+    // checkpoint-interior sweep and this logical walk can never
+    // disagree about what is exempt
+    val exempt: Map[String, String] = WindowAudit.exemptions
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (k, fn) =>
