@@ -233,7 +233,7 @@ object Analytics2 {
     // Bitwise family (and/or/xor/shifts) on a lineitem sample.
     "fn_bitwise" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 1999 === 0 && col("l_linenumber") === 1)
+        .filter(col("l_orderkey") % 499 === 0 && col("l_linenumber") === 1)
         .select(
           col("l_orderkey"),
           col("l_orderkey").bitwiseAND(255).as("b_and"),
@@ -394,7 +394,7 @@ object Analytics2 {
                 CAST(xor(l_orderkey, 85) AS BIGINT) AS b_xor,
                 CAST(l_orderkey << 2 AS BIGINT) AS b_shl,
                 CAST(l_orderkey >> 1 AS BIGINT) AS b_shr
-         FROM lineitem WHERE l_orderkey % 1999 = 0 AND l_linenumber = 1
+         FROM lineitem WHERE l_orderkey % 499 = 0 AND l_linenumber = 1
          ORDER BY l_orderkey, b_and, b_or, b_xor, b_shl, b_shr""",
     "dedup_levenshtein" ->
       """WITH s AS (SELECT doc_id, substring(text, 1, 30) AS prefix

@@ -143,7 +143,7 @@ object Functions {
     // Math family over a lineitem sample.
     "fn_math" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 1999 === 0 && col("l_linenumber") === 1)
+        .filter(col("l_orderkey") % 499 === 0 && col("l_linenumber") === 1)
         .select(
           col("l_orderkey"),
           round(col("l_extendedprice"), 2).as("r"),
@@ -467,7 +467,7 @@ object Functions {
                 ((l_orderkey % 7) + 7) % 7 AS pm,
                 greatest(l_quantity, l_discount * 1000) AS gr,
                 least(l_tax, l_discount) AS le
-         FROM lineitem WHERE l_orderkey % 1999 = 0 AND l_linenumber = 1
+         FROM lineitem WHERE l_orderkey % 499 = 0 AND l_linenumber = 1
          ORDER BY l_orderkey, r, ab, ce, fl, pw, ex, lg, l10, sq, sg, pm, gr, le""",
     "fn_conditional" ->
       """SELECT c_custkey,

@@ -53,7 +53,7 @@ object Spatial {
     // keeps the 5 nearest. The only join is the (cx, cy) equi-join.
     "spatial_knn_grid" -> ((s, d) => {
       val pts = points(s, d)
-      val q = pts.filter(col("pid") % 500 === 0)
+      val q = pts.filter(col("pid") % 97 === 0)
         .select(col("pid").as("qid"), col("lon").as("qlon"),
           col("lat").as("qlat"), col("cx").as("qcx"), col("cy").as("qcy"))
         .crossJoin(broadcast(
@@ -340,7 +340,7 @@ object Spatial {
                             (VALUES (-1), (0), (1)) o2(dy)),
               q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat,
                            cx + dx AS pcx, cy + dy AS pcy
-                    FROM cells, offs WHERE pid % 500 = 0),
+                    FROM cells, offs WHERE pid % 97 = 0),
               cand AS (SELECT qid, pid,
                               sqrt((lon - qlon) * (lon - qlon)
                                    + (lat - qlat) * (lat - qlat)) AS dist
