@@ -729,7 +729,9 @@ object Analytics5 {
     // classic and the co-occurrence-mining primitive): baskets =
     // orders, items = mod-10-sampled parts; DIRECTIONAL rules a→b
     // with support = n_ab/n_orders, confidence = n_ab/n_a, lift =
-    // confidence/(n_b/n_orders); n_ab ≥ 3 floor, top-20 by
+    // confidence/(n_b/n_orders); n_ab ≥ 2 floor (r15: pair
+    // repetition DILUTES as the catalog grows — ≥3 left zero rules
+    // at sf0.1 and a vacuous hash check), top-20 by
     // (quantized lift desc, a, b). Pair counts from the
     // basket-keyed self-join (equi on the order key, never
     // all-pairs); item counts broadcast back onto the pair table.
@@ -745,7 +747,7 @@ object Analytics5 {
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
         .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 3)
+        .filter(col("n_ab") >= 2)
       pairCnt
         .join(broadcast(itemCnt.select(col("pk").as("ante"),
           col("n_item").as("n_a"))), Seq("ante"))
@@ -1818,7 +1820,7 @@ object Analytics5 {
                      FROM items a JOIN items b
                        ON a.ok = b.ok AND a.pk <> b.pk
                      GROUP BY a.pk, b.pk
-                     HAVING count(*) >= 3),
+                     HAVING count(*) >= 2),
               r AS (SELECT ante, cons, n_ab,
                            ia.n_item AS n_a, ib.n_item AS n_b, n_orders,
                            floor((CAST(n_ab AS DOUBLE)

@@ -341,7 +341,9 @@ class Analytics5Spec extends GraftSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
       "rules must be ranked by descending lift")
     rows.foreach { r =>
-      assert(r.getLong(3) >= 3L, "support floor n_ab >= 3")
+      assert(r.getLong(3) >= 2L, "support floor n_ab >= 2 (r15: " +
+        "pair repetition dilutes as the catalog grows; >= 3 was " +
+        "empty at sf0.1)")
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
         "confidence in (0,1]")
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
