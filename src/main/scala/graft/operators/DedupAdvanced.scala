@@ -465,24 +465,43 @@ object DedupAdvanced {
         .localCheckpoint(true)
       val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
       val geos = Seq((8, 1), (4, 2), (2, 4))
-      val perGeo = geos.map { case (bands, rpb) =>
-        val bandCols = (0 until bands).map(b =>
+      // r15 (guide §2.4): ONE banded self-join for all three
+      // geometries instead of three. The 14 band keys (8+4+2) explode
+      // with a geometry tag, the tag joins as part of the band key, so
+      // per-geometry candidate sets are disjoint by construction and
+      // the per-geo counts are IDENTICAL to three separate joins —
+      // but the signature frame is exploded once, shuffled once, and
+      // deduped once (3 joins + 3 distincts + 6 agg jobs → 1/1/2).
+      val bandCols = for ((bands, rpb) <- geos; b <- 0 until bands)
+        yield struct(lit(bands).as("geo"), lit(b.toLong).as("b"),
           concat_ws("|",
-            (0 until rpb).map(r => col(s"s${b * rpb + r}")): _*))
-        val banded = sig.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("b", "bk")))
-        val cand = banded.toDF("da", "ba", "ka")
-          .join(banded.toDF("db", "bb", "kb"),
-            col("ba") === col("bb") && col("ka") === col("kb") &&
-              col("da") < col("db"))
-          .select("da", "db").distinct()
-        val nc = cand.agg(count(lit(1)).as("n_cand"))
-        val nh = cand.join(truth, Seq("da", "db"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-        nc.crossJoin(nh).select(lit(bands).as("bands"),
-          lit(rpb).as("rows_per_band"), col("n_cand"), col("n_hit"))
-      }
-      perGeo.reduce(_ unionAll _).crossJoin(truthCnt)
+            (0 until rpb).map(r => col(s"s${b * rpb + r}")): _*).as("bk"))
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("g"))
+        .select(col("doc_id"), col("g.geo").as("geo"), col("g.b").as("b"),
+          col("g.bk").as("bk"))
+      val cand = banded.toDF("da", "ga", "ba", "ka")
+        .join(banded.toDF("db", "gb", "bb", "kb"),
+          col("ga") === col("gb") && col("ba") === col("bb") &&
+            col("ka") === col("kb") && col("da") < col("db"))
+        .select(col("ga").as("geo"), col("da"), col("db")).distinct()
+        .localCheckpoint()
+      val nc = cand.groupBy("geo").agg(count(lit(1)).as("n_cand"))
+      val nh = cand.join(truth, Seq("da", "db"), "left_semi")
+        .groupBy("geo").agg(count(lit(1)).as("n_hit"))
+      val geoDf = sig.sparkSession.range(1)
+        .select(explode(array(geos.map { case (b, r) =>
+          struct(lit(b).as("bands"), lit(r).as("rows_per_band"))
+        }: _*)).as("g"))
+        .select(col("g.bands").as("bands"),
+          col("g.rows_per_band").as("rows_per_band"))
+      geoDf
+        .join(nc, col("bands") === nc("geo"), "left").drop("geo")
+        .join(nh, col("bands") === nh("geo"), "left").drop("geo")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .crossJoin(truthCnt)
         .withColumn("recall4", when(col("n_truth") === 0, lit(null))
           .otherwise(floor(col("n_hit").cast("double") /
             col("n_truth") * 1e4) / 1e4))

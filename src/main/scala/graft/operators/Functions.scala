@@ -270,9 +270,19 @@ object Functions {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
         .select(when(col("doc_id") % 2 === 0, upper(col("w0")))
           .otherwise(col("w0")).as("w"))
-      tok.groupBy(expr("collate(w, 'UTF8_LCASE')").as("wc"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("w")).as("n_case_variants"))
+      // r15 (guide §2.3 aggregate before you shuffle): pre-aggregate
+      // on the BINARY key first — the token-grain hash aggregate runs
+      // with cheap binary equality and map-side partials, so only the
+      // exact-case VOCABULARY (not every token) reaches the collated
+      // aggregate, whose UTF8_LCASE hashing/equality is the expensive
+      // comparator. n = Σ per-case counts and n_case_variants =
+      // count of distinct binary keys per collated group — identical
+      // values, one collated row per surviving vocab entry instead of
+      // per token (measured 2.62 → ~1.9 s at sf0.1).
+      tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(expr("collate(w, 'UTF8_LCASE')").as("wc"))
+        .agg(sum(col("cnt")).as("n"),
+          count(lit(1)).as("n_case_variants"))
         .select(lower(col("wc")).as("word"), col("n"),
           col("n_case_variants"))
         .orderBy(col("n").desc, col("word")).limit(20)

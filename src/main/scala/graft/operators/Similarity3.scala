@@ -99,7 +99,15 @@ object Similarity3 {
     * sim_ivf_ann fit-loop lesson; with the M=14×T=2 geometry the two
     * keys bench 4.4 s + 8.2 s at sf0.1). The returned plan is already
     * materialized by the final localCheckpoint, so nothing escapes
-    * the conf scope. */
+    * the conf scope.
+    *
+    * r15 note (guide §1): an AQE-off variant of this scope was built
+    * and MEASURED — it cut the job count 66 → 27 for sim_graph_ann
+    * but raised summed task time 7.8 → 19.6 s and shuffle bytes
+    * 24 → 34 MB (AQE's runtime BHJ conversion and partition
+    * coalescing are doing real work in the seed/descent joins, whose
+    * sides are only broadcastable at fixture scale). Rejected: AQE
+    * stays ON — scale-adaptive at fixture AND cluster scale. */
   private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -126,8 +134,17 @@ object Similarity3 {
 
   private def graphEdgesImpl(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    buildEdges(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    buildEdges(embeddingsOnce(s, d))
   }
+
+  /** The (vec_id, embedding) projection, materialized ONCE per key
+    * (r15, guide §2.3/§5): every topM round joins it twice and every
+    * beam round once — ~25 parquet re-scans per key before this.
+    * localCheckpoint keeps the statically-planned broadcast (probed:
+    * BHJ chosen against scan, cache and checkpoint alike). */
+  private def embeddingsOnce(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
 
   /** NN-descent build over an arbitrary (vec_id, embedding) frame —
     * the base-corpus parameter is what lets sim_graph_ann_insert
@@ -172,8 +189,9 @@ object Similarity3 {
     withFewPartitions(s) { graphSearchImpl(s, d) }
 
   private def graphSearchImpl(s: SparkSession, d: String): DataFrame = {
-    val edges = graphEdgesImpl(s, d)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddingsOnce(s, d)
+    val edges = buildEdges(e)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
@@ -231,7 +249,7 @@ object Similarity3 {
       hierStride: Int, nEnt: Int, rounds: Int): DataFrame =
     withFewPartitions(s) {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = embeddingsOnce(s, d)
       val edges = buildEdges(e)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -339,7 +357,7 @@ object Similarity3 {
     // work — folded into every row so the hash covers it).
     "sim_graph_ann_insert" -> ((s, d) => withFewPartitions(s) {
       graft.functions.GraftFunctions.register(s)
-      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val all = embeddingsOnce(s, d)
       val cnt = all.agg(count(lit(1)).as("nv"))
       val withN = all.crossJoin(broadcast(cnt))
       val base = withN.filter(col("vec_id") < col("nv") - INS)
@@ -394,7 +412,7 @@ object Similarity3 {
     // (n_deleted, n_affected) census folded into every row.
     "sim_graph_ann_delete" -> ((s, d) => withFewPartitions(s) {
       graft.functions.GraftFunctions.register(s)
-      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val all = embeddingsOnce(s, d)
       def isDel(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         pmod(c, lit(37)) === 3
       val edges = buildEdges(all)

@@ -112,7 +112,16 @@ object Subqueries {
     // floor; a production loop would bisect (5 probes) or sweep
     // declaratively like the oracle when the data fits one pass.
     "sql_scripting_while" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      // r15 (guide §5 "the driver should do almost no data work", §2.3
+      // project early): the WHILE loop issues ~19 sequential scans of
+      // the view, and each one only ever reads o_totalprice. Register
+      // the view over the SINGLE projected column, materialized once
+      // (localCheckpoint) — the 19 iterations then scan an in-memory
+      // one-column block instead of re-reading the parquet file per
+      // probe. Same fixpoint, same output; at production scale this is
+      // exactly the synopsis you'd pin before a driver-side loop.
+      Tables.orders(s, d).select(col("o_totalprice"))
+        .localCheckpoint(true).createOrReplaceTempView("graft_orders_v")
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
       try s.sql(
