@@ -30,6 +30,7 @@ object JobProbe {
     @volatile var taskMs = 0L
     @volatile var shufR = 0L
     @volatile var shufW = 0L
+    val stageDetail = sys.env.get("GRAFT_PROBE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -39,6 +40,8 @@ object JobProbe {
         taskMs += m.executorRunTime
         shufR += m.shuffleReadMetrics.totalBytesRead
         shufW += m.shuffleWriteMetrics.bytesWritten
+        if (stageDetail && m.executorRunTime > 200)
+          println(f"  stage ${sc.stageInfo.stageId}%4d tasks=${sc.stageInfo.numTasks}%3d task_s=${m.executorRunTime / 1000.0}%8.2f rows_out=${m.outputMetrics.recordsWritten}%8d shufR=${m.shuffleReadMetrics.recordsRead}%10d shufW=${m.shuffleWriteMetrics.recordsWritten}%10d  ${sc.stageInfo.name.take(60)}")
       }
     })
     // warm-up mirroring Bench's session floor

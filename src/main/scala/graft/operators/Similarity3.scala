@@ -115,11 +115,22 @@ object Similarity3 {
   }
 
   /** Re-rank candidate pairs (a, b) to each a's top-M by cosine,
-    * scoring against `e` (vec_id, embedding); keeps `cos`. */
+    * scoring against `e` (vec_id, embedding); keeps `cos`. Accepts a
+    * candidate MULTISET: dedup happens here, on the SAME exchange the
+    * top-M window needs (r15, guide §2.4 "two operations keyed the
+    * same way can share one exchange") — repartition by `a`, dedup
+    * (a, b) under that partitioning (HashPartitioning(a) satisfies
+    * ClusteredDistribution(a, b): equal pairs are colocated), then
+    * the per-a window runs exchange-free. One shuffle per round where
+    * the old distinct().window() shape paid two. Per-a fan-in stays
+    * bounded (≤ (2M)² + seed blocks), so the single-key partitioning
+    * is skew-safe at any corpus size. */
   private def topMFor(e: DataFrame)(cand: DataFrame): DataFrame = {
     val wA = Window.partitionBy("a")
       .orderBy(round(col("cos"), 4).desc, col("b"))
     cand
+      .repartition(col("a"))
+      .dropDuplicates("a", "b")
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cos", expr("cosine_sim(ea, eb)"))
@@ -165,7 +176,9 @@ object Similarity3 {
         .join(hb.select(col("vec_id").as("b"), col(k)), Seq(k))
         .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"))
-    val seedCand = blockPairs("dblk").union(blockPairs("hblk")).distinct()
+    // candidate pools flow to topM as MULTISETS — topMFor dedups on
+    // the window's own exchange (one shuffle per round, not two)
+    val seedCand = blockPairs("dblk").union(blockPairs("hblk"))
     var edges = topM(seedCand).localCheckpoint()
     for (_ <- 1 to T) {
       // symmetrize, then pool = u ∪ (u ⋈ u) — full NN-descent step
@@ -177,7 +190,6 @@ object Similarity3 {
           .join(u.as("e2"), col("e1.b") === col("e2.a"))
           .select(col("e1.a").as("a"), col("e2.b").as("b")))
         .filter(col("a") =!= col("b"))
-        .distinct()
       edges = topM(cand).localCheckpoint()
     }
     edges
@@ -215,7 +227,14 @@ object Similarity3 {
       seed: DataFrame, rounds: Int): DataFrame = {
     val wQ = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 4).desc, col("node"))
+    // rescore accepts a candidate MULTISET and dedups (qid, node) on
+    // the top-EF window's own exchange — repartition by qid, dedup
+    // under that partitioning, window exchange-free (r15, guide §2.4;
+    // the topMFor twin). qe rides along untouched: it is functionally
+    // dependent on qid, so the dedup's row pick cannot vary it.
     def rescore(cand: DataFrame): DataFrame = cand
+      .repartition(col("qid"))
+      .dropDuplicates("qid", "node")
       .join(e.select(col("vec_id").as("node"), col("embedding").as("ne")),
         Seq("node"))
       .withColumn("cos", expr("cosine_sim(qe, ne)"))
@@ -229,7 +248,6 @@ object Similarity3 {
         .select(col("qid"), col("qe"), col("b").as("node"))
       val cand = beam.select(col("qid"), col("qe"), col("node"))
         .union(expanded)
-        .dropDuplicates("qid", "node")
       beam = rescore(cand).localCheckpoint()
     }
     beam.select(col("qid"), col("node"), col("cos"))
@@ -378,7 +396,7 @@ object Similarity3 {
       val rev = newEdges.select(col("b").as("a"), col("a").as("b"))
       val affected = rev.select("a").distinct()
       val updCand = edges.join(affected, Seq("a")).select("a", "b")
-        .union(rev).distinct()
+        .union(rev) // multiset — topMFor dedups on the window exchange
       val updated = topMFor(all)(updCand).localCheckpoint()
       val rewired = updated.select("a", "b")
         .join(edges, Seq("a", "b"), "left_anti")
@@ -425,7 +443,7 @@ object Similarity3 {
         .filter(!isDel(col("c")) && col("c") =!= col("a"))
         .select(col("a"), col("c").as("b"))
       val pool = keepE.join(affected, Seq("a")).select("a", "b")
-        .union(viaDeleted).distinct()
+        .union(viaDeleted) // multiset — topMFor dedups on the window exchange
       val repaired = topMFor(all)(pool).select("a", "b").localCheckpoint()
       val finalEdges = keepE.join(affected, Seq("a"), "left_anti")
         .select("a", "b").union(repaired)
