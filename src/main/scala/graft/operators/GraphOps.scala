@@ -38,11 +38,21 @@ object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** 3 fixed PageRank iterations over symmetric (src, dst) edges.
-    * Returns (node, pr) for every node. */
+    * Returns (node, pr) for every node.
+    *
+    * r15 (guide §1.2/§2.4): the degree-joined edge list is
+    * materialized ONCE. The 3 unrolled iterations each reference it,
+    * and the union-of-two-projections edge shape defeats exchange
+    * reuse (the legs' output columns differ), so the lazy form
+    * re-ran the scan → distinct → degree-join subtree per reference —
+    * 28 parquet scans of lineitem in the executed plan of
+    * graph_pagerank (plans/r15/graph_pagerank_before.txt). After: 2
+    * scans (the pair-list build), one degree join, 3 iteration
+    * shuffles — the canonical shape the Scaladoc already claimed. */
   private[graft] def pagerank3(edges: DataFrame): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, "src")
-    var pr = edges.select(col("src").as("node")).distinct()
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    var pr = withDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1.0))
     for (_ <- 1 to 3) {
       pr = withDeg.join(pr, col("src") === col("node"))
@@ -99,7 +109,12 @@ object GraphOps {
     var lab = adj.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
     for (_ <- 1 to 4) {
+      // r15 (guide §2.4): one exchange per round, not two — the
+      // (dst, lbl) count and the per-dst majority window share the
+      // dst exchange (HashPartitioning(dst) satisfies
+      // ClusteredDistribution(dst, lbl)).
       lab = adj.join(lab, col("src") === col("node"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(Window.partitionBy("dst")
@@ -139,6 +154,7 @@ object GraphOps {
         .select((col("l_partkey") * 2).as("pn"),
           (col("l_suppkey") * 2 + 1).as("sn"))
         .distinct()
+        .localCheckpoint() // consumed by both union legs ×2 (edges, outdeg)
       val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
         .union(pairs.select(col("sn").as("src"), col("pn").as("dst")))
       pagerank3(edges)
@@ -221,7 +237,9 @@ object GraphOps {
     // the profiling query you run BEFORE choosing a triangle/CC
     // strategy at scale: one symmetric-degree aggregate, bucketed.
     "graph_degree_distribution" -> ((s, d) => {
-      val e = coSupplyEdges(s, d, 50)
+      // r15: materialized once — the u/v union legs are different
+      // projections, so the lazy form ran the co-supply join twice
+      val e = coSupplyEdges(s, d, 50).localCheckpoint()
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .groupBy((floor(col("deg") / 8) * 8).cast("bigint").as("deg_bucket"))

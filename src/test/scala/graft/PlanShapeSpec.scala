@@ -149,15 +149,21 @@ class PlanShapeSpec extends GraftSuite {
   }
 
   test("graph_pagerank never falls back to a nested-loop join and " +
-      "reuses the edge exchange across iterations") {
+      "iterates over the materialized edge list, not parquet re-scans") {
     val plan = executedPlan("graph_pagerank")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pagerank join degenerated:\n$plan")
-    // the 3 unrolled iterations reference the same edge/degree
-    // subplans — Spark must dedupe those exchanges, not rescan
-    assert(plan.contains("ReusedExchange"),
-      s"edge exchange not reused across iterations:\n$plan")
+    // r15: the degree-joined edge list is localCheckpoint'ed once
+    // (the union-of-projections edge shape defeated exchange reuse —
+    // the executed plan carried 28 lineitem scans); the 3 unrolled
+    // iterations must consume that materialization (LogicalRDD), so
+    // the ranking plan contains NO parquet scan at all
+    val body = plan.split("== Initial Plan ==")(0)
+    assert(!body.contains("Scan parquet"),
+      s"pagerank iterations re-scan parquet:\n$plan")
+    assert(body.contains("Scan ExistingRDD"),
+      s"materialized edge list missing from the plan:\n$plan")
   }
 
   test("sim_lsh_ann signature projection is codegen'd, not a ScalaUDF") {
