@@ -82,10 +82,19 @@ object Analytics6 {
     * pre-sum, floor·10⁴. Shared by `text_bm25_retrieval` (top-3 rank)
     * and `sim_hybrid_retrieval` (lexical arm). */
   private def bm25Pairs(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // r15 (guide §2.4/§5): the (doc, term, tf) posting synopsis is
+    // materialized ONCE — cand, probes, dfs, nAvg and the final join
+    // are all views over it, and the lazy form re-ran the explode +
+    // tf aggregate per reference (9 parquet scans in
+    // text_bm25_retrieval's static plan, 25 in sim_hybrid_retrieval's
+    // — this is the inverted-index build a production stack
+    // materializes anyway). dl derives from tf (Σ tf == token count,
+    // same integers), saving the second full explode pass.
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val cand = tf.filter(col("doc_id") % 5 === 0)
     val nAvg = cand.select("doc_id").distinct()
       .join(dl, Seq("doc_id"))
@@ -151,12 +160,16 @@ object Analytics6 {
     * chunking), same probe/candidate universes and stop-dim cut as
     * the lexical arm. The embedding arm of `sim_hybrid_retrieval`. */
   private def cosPairs(s: SparkSession, d: String): DataFrame = {
+    // r15: same materialize-the-synopsis-once treatment as the
+    // lexical arm — candsAll/probesAll/dimdf are views over one
+    // (doc, dim, c) frame instead of re-running the explode+hash+agg
     val emb = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
           .as("dim"))
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val candsAll = emb.filter(col("doc_id") % 5 === 0)
     val probesAll = emb.filter(col("doc_id") % 97 === 0)
     val nc = candsAll.agg(countDistinct(col("doc_id")).as("nc"))

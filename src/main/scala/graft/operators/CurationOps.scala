@@ -209,10 +209,18 @@ object CurationOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // r15 (guide §2.4/§5): the five census stages are a pyramid —
+      // stage k's frame contains every earlier stage's subtree, so
+      // the fully-lazy form re-ran the explode/vocab/nll chain per
+      // stage (29 parquet scans in the static plan). The vocab and
+      // per-doc nll synopses are materialized once (both doc/vocab
+      // grain, text-free); `total` derives from vocab (Σ c == token
+      // count, same integer). 5 scans remain — one per census stage.
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      val total = tok.agg(count(lit(1)).as("tot"))
+        .localCheckpoint()
+      val total = vocab.agg(sum(col("c")).as("tot"))
       val nll = tok.join(vocab, "w").crossJoin(broadcast(total))
         .select(col("doc_id"),
           (-log(col("c").cast("double") / col("tot").cast("double")))
@@ -220,6 +228,7 @@ object CurationOps {
         .groupBy("doc_id")
         .agg(trunc4(sum(col("t")).cast("double") / count(lit(1)))
           .as("nll_tok"))
+        .localCheckpoint()
       val mean = nll.agg(
         (sum(col("nll_tok").cast("decimal(18,4)")).cast("double")
           / count(lit(1))).as("mn"))
@@ -231,6 +240,7 @@ object CurationOps {
           * 16777215.0).cast("long"))), 6, "0"))
       val dd = sampled.groupBy(md5(col("text")).as("ch"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"))
+        .localCheckpoint() // text-free; feeds the 3_deduped AND 4_packed stages
       val wp = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val packs = dd

@@ -88,17 +88,16 @@ object DedupAdvanced {
     * shuffles vs one. Hash strings are "i:shingle" (r5 plan fix). */
   /** Wide (doc_id, h0..h7) signature frame — shared by the banded
     * join (long form below) and the band-geometry eval key. */
-  private def minhashWide(s: SparkSession, d: String): DataFrame = {
+  private def minhashWideFrom(shing: DataFrame): DataFrame = {
     val minCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("sh")))).as(s"h$i"))
-    shingles(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    shing.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    minhashWide(s, d)
-      .selectExpr("doc_id",
-        "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
-          ") AS (i, h)")
+  private def minhashSignaturesFrom(wide: DataFrame): DataFrame =
+    wide.selectExpr("doc_id",
+      "stack(8, " + (0 until 8).map(i => s"${i}L, h$i").mkString(", ") +
+        ") AS (i, h)")
 
   /** tf-weighted word-BIGRAM multiset per sampled document — the
     * weighted feature frame behind `dedup_minhash_icws`. Bigrams, not
@@ -200,9 +199,19 @@ object DedupAdvanced {
           col("da") < col("db"))
       .select("da", "db").distinct()
 
+  /** r15 (guide §2.4/§5): every consumer of the MinHash stage re-ran
+    * the shingle explode per reference (signatures, sizes, and the
+    * two intersection legs — 8+ parquet scans per key in the static
+    * plans). The shingle frame is materialized ONCE per key and every
+    * downstream view derives from it — the materialize-the-synopsis
+    * discipline the ICWS twin already followed. */
   private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
-    val shing = shingles(s, d)
-    val mh = minhashSignatures(s, d)
+    val shing = shingles(s, d).localCheckpoint()
+    minhashJaccardFrom(shing,
+      minhashSignaturesFrom(minhashWideFrom(shing)))
+  }
+
+  private def minhashJaccardFrom(shing: DataFrame, mh: DataFrame): DataFrame = {
     val cand = minhashCandidates(mh)
     val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -296,12 +305,15 @@ object DedupAdvanced {
     // the signature-agreement estimate vs exact shingle Jaccard.
     // Candidates stay the shared banded join — never all-pairs.
     "dedup_bbit_minhash" -> ((s, d) => {
-      val wide = minhashWide(s, d)
+      // r15: one shingle materialization feeds the wide signatures,
+      // the bit projection AND the exact-Jaccard leg
+      val shing = shingles(s, d).localCheckpoint()
+      val wide = minhashWideFrom(shing).localCheckpoint()
       val bitCols = (0 until 8).map(i =>
         (expr(s"CAST(conv(substring(h$i, 32, 1), 16, 10) AS INT)") % 2)
           .as(s"b$i"))
       val bits = wide.select((col("doc_id") +: bitCols): _*)
-      val jac = minhashJaccard(s, d)
+      val jac = minhashJaccardFrom(shing, minhashSignaturesFrom(wide))
       val ba = bits.toDF(("xa" +: (0 until 8).map(i => s"ba$i")): _*)
       val bb = bits.toDF(("xb" +: (0 until 8).map(i => s"bb$i")): _*)
       val nMatch = (0 until 8).map(i =>
@@ -347,14 +359,19 @@ object DedupAdvanced {
     // tuned at 100 TB: run the eval on a sample, widen seeds until
     // the estimator error is inside the verify threshold margin.
     "dedup_minhash_estimate_quality" -> ((s, d) => {
-      val mh = minhashSignatures(s, d)
+      // r15: one shingle materialization + one signature
+      // materialization feed the agreement leg (3 refs) and the
+      // exact-Jaccard leg
+      val shing = shingles(s, d).localCheckpoint()
+      val mh = minhashSignaturesFrom(minhashWideFrom(shing))
+        .localCheckpoint()
       val agree = minhashCandidates(mh)
         .join(mh.toDF("xa", "i", "ha"), col("xa") === col("da"))
         .join(mh.toDF("xb", "ib", "hb"),
           col("xb") === col("db") && col("ib") === col("i"))
         .groupBy("da", "db")
         .agg(count(when(col("ha") === col("hb"), lit(1))).as("n_agree"))
-      agree.join(minhashJaccard(s, d),
+      agree.join(minhashJaccardFrom(shing, mh),
           col("da") === col("a") && col("db") === col("b"))
         .select(col("a"), col("b"), col("n_agree"),
           (col("n_agree").cast("double") / 8).as("est_jac"),
@@ -619,8 +636,10 @@ object DedupAdvanced {
       // minhash agg / shingle self-join per branch — cache() is out
       // because the plan is returned lazily and the pairing
       // convention (cache ⇒ unpersist before return) can't hold.
-      val wide = minhashWide(s, d).localCheckpoint(true)
-      val shing = shingles(s, d)
+      // r15: the shingle frame is materialized once too — sizes and
+      // the two shared-shingle legs re-ran the explode before
+      val shing = shingles(s, d).localCheckpoint()
+      val wide = minhashWideFrom(shing).localCheckpoint(true)
       val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = shing.toDF("sda", "sha")
         .join(shing.toDF("sdb", "shb"),
@@ -636,26 +655,41 @@ object DedupAdvanced {
         .localCheckpoint(true)
       val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
       val geos = Seq((8, 1), (4, 2), (2, 4))
-      // one declared plan: per-geometry 1-row aggregates crossJoined
-      // (the broadcast-1-row pattern), unioned, never collected
-      val perGeo = geos.map { case (bands, rpb) =>
-        val bandCols = (0 until bands).map(b =>
+      // r15 (guide §2.4; the dedup_icws_band_eval twin): ONE banded
+      // self-join for all three geometries — the 14 band keys explode
+      // with a geometry tag that joins as part of the band key, so
+      // per-geometry candidate sets stay disjoint and the counts are
+      // identical to three separate joins at a third of the passes.
+      val bandCols = for ((bands, rpb) <- geos; b <- 0 until bands)
+        yield struct(lit(bands).as("geo"), lit(b.toLong).as("b"),
           md5(concat_ws("|",
-            (0 until rpb).map(r => col(s"h${b * rpb + r}")): _*)))
-        val banded = wide.select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
-        val cand = banded.toDF("da", "ba", "ha")
-          .join(banded.toDF("db", "bb", "hb"),
-            col("ba") === col("bb") && col("ha") === col("hb") &&
-              col("da") < col("db"))
-          .select("da", "db").distinct()
-        val nc = cand.agg(count(lit(1)).as("n_cand"))
-        val nh = cand.join(truth, Seq("da", "db"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-        nc.crossJoin(nh).select(lit(bands).as("bands"),
-          lit(rpb).as("rows_per_band"), col("n_cand"), col("n_hit"))
-      }
-      perGeo.reduce(_ unionAll _).crossJoin(truthCnt)
+            (0 until rpb).map(r => col(s"h${b * rpb + r}")): _*)).as("bh"))
+      val banded = wide
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("g"))
+        .select(col("doc_id"), col("g.geo").as("geo"), col("g.b").as("b"),
+          col("g.bh").as("bh"))
+      val cand = banded.toDF("da", "ga", "ba", "ha")
+        .join(banded.toDF("db", "gb", "bb", "hb"),
+          col("ga") === col("gb") && col("ba") === col("bb") &&
+            col("ha") === col("hb") && col("da") < col("db"))
+        .select(col("ga").as("geo"), col("da"), col("db")).distinct()
+        .localCheckpoint()
+      val nc = cand.groupBy("geo").agg(count(lit(1)).as("n_cand"))
+      val nh = cand.join(truth, Seq("da", "db"), "left_semi")
+        .groupBy("geo").agg(count(lit(1)).as("n_hit"))
+      val geoDf = wide.sparkSession.range(1)
+        .select(explode(array(geos.map { case (b, r) =>
+          struct(lit(b).as("bands"), lit(r).as("rows_per_band"))
+        }: _*)).as("g"))
+        .select(col("g.bands").as("bands"),
+          col("g.rows_per_band").as("rows_per_band"))
+      geoDf
+        .join(nc, col("bands") === nc("geo"), "left").drop("geo")
+        .join(nh, col("bands") === nh("geo"), "left").drop("geo")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .crossJoin(truthCnt)
         .withColumn("recall4", when(col("n_truth") === 0, lit(null))
           .otherwise(floor(col("n_hit").cast("double") /
             col("n_truth") * 1e4) / 1e4))
