@@ -202,7 +202,16 @@ object Similarity3 {
 
   private def graphSearchImpl(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = embeddingsOnce(s, d)
+    graphSearchOn(embeddingsOnce(s, d))
+  }
+
+  /** Search over an ALREADY-materialized (vec_id, embedding) frame —
+    * lets sim_graph_recall_eval share ONE embeddingsOnce
+    * materialization between its brute-force-truth leg and the
+    * graph-search leg (r15, guide §2.4: the truth leg otherwise
+    * re-scanned the embeddings parquet while the search leg read its
+    * own checkpoint of the same projection). */
+  private def graphSearchOn(e: DataFrame): DataFrame = {
     val edges = buildEdges(e)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -328,9 +337,14 @@ object Similarity3 {
     // harness row for the M/T/R/ef knobs (the sim_ann_recall_eval
     // contract: the only brute-force leg is the 5-query broadcast
     // batch; the candidate leg reuses the graph search).
-    "sim_graph_recall_eval" -> ((s, d) => {
+    // r15 (guide §2.4): the whole key runs inside ONE withFewPartitions
+    // scope and ONE embeddingsOnce materialization — the truth leg
+    // previously re-scanned the embeddings parquet (4 scans in the
+    // executed plan) while graphSearch read its own checkpoint of the
+    // exact same projection.
+    "sim_graph_recall_eval" -> ((s, d) => withFewPartitions(s) {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = embeddingsOnce(s, d)
       val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .filter(col("qid") < 5)
       val wt = Window.partitionBy("qid")
@@ -342,7 +356,7 @@ object Similarity3 {
         .select(col("qid"), col("vec_id"))
       val wr = Window.partitionBy("qid")
         .orderBy(round(col("cos"), 4).desc, col("node"))
-      val got = graphSearch(s, d)
+      val got = graphSearchOn(e)
         .filter(col("node") =!= col("qid"))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= 10)
