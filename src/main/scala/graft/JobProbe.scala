@@ -54,7 +54,12 @@ object JobProbe {
       SparkEntry.queries(key)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(400)
-      println(f"$key%-28s $wall%8.2f $jobs%5d $stages%7d $tasks%6d ${taskMs / 1000.0}%8.2f ${(shufR + shufW) / 1e6}%8.2f")
+      // storage census (r15 #5): persistent-RDD count and resident
+      // block bytes AFTER the key — the cross-key pressure a dead
+      // interior checkpoint leaves behind
+      val rddInfos = spark.sparkContext.getRDDStorageInfo
+      val storMb = rddInfos.map(i => i.memSize + i.diskSize).sum / 1e6
+      println(f"$key%-28s $wall%8.2f $jobs%5d $stages%7d $tasks%6d ${taskMs / 1000.0}%8.2f ${(shufR + shufW) / 1e6}%8.2f  rdds=${spark.sparkContext.getPersistentRDDs.size}%4d stored=$storMb%8.2f MB")
     }
     spark.stop()
   }

@@ -336,7 +336,7 @@ object Analytics3 {
           .join(h.select(col("state").as("next"), col("hq")), Seq("next"))
           .groupBy("prev")
           .agg(sum(col("n").cast("decimal(38,0)") * col("hq")).as("numq"))
-        h = states
+        val h2 = states
           .join(num.select(col("prev").as("state"), col("numq")),
             Seq("state"), "left")
           .join(tot.select(col("prev").as("state"), col("t")),
@@ -347,6 +347,8 @@ object Analytics3 {
                 floor(col("numq").cast("double") / col("t").cast("double"))
                   .cast("long"), lit(0L))).as("hq"))
           .localCheckpoint()
+        graft.Ckpt.free(h) // superseded round (no-op on the lazy h0; r15 #5)
+        h = h2
       }
       h.join(tot.select(col("prev").as("state"), col("t")),
           Seq("state"), "left")

@@ -1132,17 +1132,23 @@ object Analytics6 {
       for (_ <- 1 to 2) {
         val rm = t.groupBy("pri")
           .agg(expr("CAST(percentile(v, 0.5) AS BIGINT)").as("rm"))
-        t = t.join(rm, "pri")
+        val tr = t.join(rm, "pri")
           .withColumn("v", col("v") - col("rm"))
           .withColumn("roweff", col("roweff") + col("rm")).drop("rm")
           .localCheckpoint()
+        graft.Ckpt.free(t) // superseded sweep (no-op on the lazy t0; r15 #5)
+        t = tr
         val cm = t.groupBy("mon")
           .agg(expr("CAST(percentile(v, 0.5) AS BIGINT)").as("cm"))
-        t = t.join(cm, "mon")
+        val tc = t.join(cm, "mon")
           .withColumn("v", col("v") - col("cm"))
           .withColumn("coleff", col("coleff") + col("cm")).drop("cm")
           .localCheckpoint()
+        graft.Ckpt.free(t)
+        t = tc
       }
+      // the cell synopsis was absorbed by the first sweep's checkpoint
+      graft.Ckpt.free(cells)
       t.groupBy("pri")
         .agg(count(lit(1)).as("n_months"),
           (min(col("roweff")).cast("double") / 1600.0).as("row_effect"),

@@ -229,6 +229,10 @@ object CurationOps {
         .agg(trunc4(sum(col("t")).cast("double") / count(lit(1)))
           .as("nll_tok"))
         .localCheckpoint()
+      // every census stage reads docs/nll/dd — the vocab synopsis's
+      // only consumers (nll's scoring join + total) are inside the
+      // eager checkpoint above (r15 #5)
+      graft.Ckpt.free(vocab)
       val mean = nll.agg(
         (sum(col("nll_tok").cast("decimal(18,4)")).cast("double")
           / count(lit(1))).as("mn"))

@@ -436,7 +436,7 @@ object DedupAdvanced {
         .groupBy("da", "db").agg(sum(least(col("fa"), col("fb"))).as("nmin"))
       val jw = coalesce(col("nmin"), lit(0L)).cast("double") /
         (col("na") + col("nb") - coalesce(col("nmin"), lit(0L)))
-      cand.join(inter, Seq("da", "db"), "left")
+      val out = cand.join(inter, Seq("da", "db"), "left")
         .join(tot.toDF("xd", "na"), col("xd") === col("da"))
         .join(tot.toDF("yd", "nb"), col("yd") === col("db"))
         .join(sa, col("sda") === col("da"))
@@ -449,6 +449,10 @@ object DedupAdvanced {
             .cast("double") / 10000).as("err4"))
         .orderBy("a", "b")
         .localCheckpoint()
+      // the final eager checkpoint above was the last consumer of all
+      // three interior materializations (r15 #5)
+      graft.Ckpt.free(tf, sig, cand)
+      out
       }
     }),
 
@@ -512,7 +516,7 @@ object DedupAdvanced {
         }: _*)).as("g"))
         .select(col("g.bands").as("bands"),
           col("g.rows_per_band").as("rows_per_band"))
-      geoDf
+      val out = geoDf
         .join(nc, col("bands") === nc("geo"), "left").drop("geo")
         .join(nh, col("bands") === nh("geo"), "left").drop("geo")
         .select(col("bands"), col("rows_per_band"),
@@ -526,6 +530,10 @@ object DedupAdvanced {
           "n_hit", "recall4")
         .orderBy(col("bands").desc)
         .localCheckpoint()
+      // all four interior materializations were fully absorbed by the
+      // final 3-row eager checkpoint above (r15 #5)
+      graft.Ckpt.free(tf, sig, truth, cand)
+      out
     }),
 
     // shingle → MinHash bands → candidate pairs → Jaccard VERIFY
@@ -538,11 +546,18 @@ object DedupAdvanced {
     // (Jaccard up to 0.99) that merge and drop survivors.
     "pipeline_dedup_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      val verified = minhashJaccard(s, d)
+      val shing = shingles(s, d).localCheckpoint()
+      val verified = minhashJaccardFrom(shing,
+          minhashSignaturesFrom(minhashWideFrom(shing)))
         .filter(col("jac") >= 0.5)
         .select(col("a"), col("b"))
       val labels = Clustering.components(
         docs.select(col("doc_id").as("n")), verified)
+      // components() materialized the verified pair list eagerly (its
+      // star loop persists + counts), so the shingle synopsis has no
+      // unexecuted consumer left (r15 #5); the returned census reads
+      // docs + the CC label frame only
+      graft.Ckpt.free(shing)
       docs.join(labels, docs("doc_id") === labels("n"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_in"),

@@ -113,7 +113,7 @@ object GraphOps {
       // (dst, lbl) count and the per-dst majority window share the
       // dst exchange (HashPartitioning(dst) satisfies
       // ClusteredDistribution(dst, lbl)).
-      lab = adj.join(lab, col("src") === col("node"))
+      val next = adj.join(lab, col("src") === col("node"))
         .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
@@ -122,6 +122,8 @@ object GraphOps {
         .filter(col("rn") === 1)
         .select(col("dst").as("node"), col("lbl"))
         .localCheckpoint()
+      graft.Ckpt.free(lab) // superseded round (r15 #5)
+      lab = next
     }
     (e, adj, lab)
   }
@@ -157,7 +159,11 @@ object GraphOps {
         .localCheckpoint() // consumed by both union legs ×2 (edges, outdeg)
       val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
         .union(pairs.select(col("sn").as("src"), col("pn").as("dst")))
-      pagerank3(edges)
+      val pr = pagerank3(edges)
+      // pagerank3 materialized the degree-joined edge list; the pair
+      // list's blocks are dead from here (r15 #5)
+      graft.Ckpt.free(pairs)
+      pr
         .select(col("node"),
           when(col("node") % 2 === 0, lit("part"))
             .otherwise(lit("supplier")).as("kind"),
@@ -280,18 +286,26 @@ object GraphOps {
           .union(e.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
         val keep = deg.filter(col("deg") >= k).select("n")
-        e = e
+        val e2 = e
           .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
           .localCheckpoint()
+        graft.Ckpt.free(e) // superseded survivor set (r15 #5)
+        e = e2
+        // the per-round census is pinned EAGERLY (1 row) so the round's
+        // edge checkpoint can be freed once the next round supersedes
+        // it — before this, the lazy census kept all 6 rounds' edge
+        // sets resident for the session (r15 #5)
         val st = e.select(col("u").as("n"))
           .union(e.select(col("v").as("n"))).distinct()
           .agg(count(lit(1)).as("n_nodes"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .select(lit(r.toLong).as("round"), col("n_nodes"),
             col("n_edges"))
+          .localCheckpoint(true)
         stats = if (stats == null) st else stats.unionAll(st)
       }
+      graft.Ckpt.free(e) // round 6's census was the last consumer
       stats.orderBy("round")
     }),
 
@@ -323,9 +337,15 @@ object GraphOps {
           .join(dist.select("node"), Seq("node"), "left_anti")
           .withColumn("dist", lit(r.toLong))
           .localCheckpoint()
-        dist = dist.unionByName(next).localCheckpoint()
+        graft.Ckpt.free(frontier) // consumed by `next` (r15 #5)
+        val dist2 = dist.unionByName(next).localCheckpoint()
+        graft.Ckpt.free(dist) // superseded by the unioned checkpoint
+        dist = dist2
         frontier = next.select("node").localCheckpoint()
+        graft.Ckpt.free(next) // absorbed into dist + frontier
       }
+      // the final frontier is never read by the output
+      graft.Ckpt.free(frontier)
       val layers = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       val unreached = nodes.join(dist.select("node"), Seq("node"),
           "left_anti")
@@ -359,6 +379,7 @@ object GraphOps {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
         .localCheckpoint()
+      graft.Ckpt.free(e) // both passes read only the symmetrized adj
       val nodes = adj.select(col("a").as("node")).distinct()
       val srcs = nodes.orderBy("node").limit(4)
         .select(col("node").as("qsrc"))
@@ -375,9 +396,15 @@ object GraphOps {
           .withColumn("dist", lit(r))
           .select("qsrc", "node", "sigma", "dist")
           .localCheckpoint()
-        layers = layers.unionByName(next).localCheckpoint()
+        if (frontier ne layers)
+          graft.Ckpt.free(frontier) // prior round's next, consumed above
+        val l2 = layers.unionByName(next).localCheckpoint()
+        graft.Ckpt.free(layers) // superseded by the unioned checkpoint
+        layers = l2
         frontier = next
       }
+      // the backward pass reads only the final unioned `layers`
+      graft.Ckpt.free(frontier)
       def layer(r: Int) = layers.filter(col("dist") === r)
       def succ(r: Int) = layer(r)
         .select(col("qsrc"), col("node").as("unode"), col("sigma").as("us"))
@@ -430,6 +457,7 @@ object GraphOps {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
         .localCheckpoint()
+      graft.Ckpt.free(e) // walk + starts read only the symmetrized adj
       val starts = adj.select(col("a").as("node")).distinct()
         .filter(col("node") % 7 === 0)
         .select(col("node").as("start"), col("node"))
@@ -464,7 +492,11 @@ object GraphOps {
     // per-node argmax window per round. Output: the 20 largest
     // communities + total community count.
     "graph_community_labelprop" -> ((s, d) => {
-      val (_, _, lab) = labelPropagation(s, d)
+      val (e, _, lab) = labelPropagation(s, d)
+      // this key reads only the final labels; the edge checkpoint's
+      // consumers (adj, the 4 label rounds) are all materialized.
+      // graph_modularity, which DOES reference e/adj lazily, keeps it.
+      graft.Ckpt.free(e)
       // r14: community grain is node-bounded (table-proportional in
       // the worst case), so the census never rides a global window —
       // n_comms is a 1-row aggregate broadcast and the top-20 pick is

@@ -241,8 +241,12 @@ object Similarity2 {
         // `picked` lineage is re-executed ~2^rounds times (ms join +
         // anti-join + union each re-reference it): measured 10-11 s
         // isolated; checkpointed, the whole key is ~2 s
-        picked = picked.unionByName(pick).localCheckpoint()
+        val p2 = picked.unionByName(pick).localCheckpoint()
+        graft.Ckpt.free(picked) // superseded round (no-op on step-1's lazy frame)
+        picked = p2
       }
+      // the returned frame reads only the final picked checkpoint
+      graft.Ckpt.free(cand, psim)
       picked.select(col("qid"), col("pick"), col("cid"), col("rel"),
         col("score")).orderBy("qid", "pick")
     }),
@@ -290,14 +294,19 @@ object Similarity2 {
             col("top.md").as("sel_dist"))
           .localCheckpoint()
         picked = picked.unionByName(next)
-        md = md
+        val md2 = md
           .join(broadcast(next.select(col("vec_id").as("nid"),
             col("sv"))), col("vec_id") =!= col("nid"))
           .select(col("vec_id"), col("v"),
             least(col("md"), floor(expr(d2) * 10000.0) / 10000)
               .as("md"))
           .localCheckpoint()
+        graft.Ckpt.free(md) // superseded min-distance column (r15 #5)
+        md = md2
       }
+      // `picked` is a lazy union over the per-round argmax checkpoints
+      // (which must stay); the final md has no consumer at all
+      graft.Ckpt.free(md)
       picked.select(col("pick"), col("vec_id"), col("sel_dist"))
         .orderBy("pick")
     }),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Ckpt, Tables}
 
 /** Graph-based ANN (r12, VERDICT r11 #1) — the FOURTH ANN family
   * beside sign-LSH (`sim_lsh_ann`), IVF (`sim_ivf_ann`), and
@@ -190,7 +190,12 @@ object Similarity3 {
           .join(u.as("e2"), col("e1.b") === col("e2.a"))
           .select(col("e1.a").as("a"), col("e2.b").as("b")))
         .filter(col("a") =!= col("b"))
-      edges = topM(cand).localCheckpoint()
+      val next = topM(cand).localCheckpoint()
+      // r15 #5: the superseded round's blocks are dead the moment the
+      // next round's eager checkpoint materializes — free them instead
+      // of pinning every interior round for the session
+      Ckpt.free(edges)
+      edges = next
     }
     edges
   }
@@ -202,7 +207,14 @@ object Similarity3 {
 
   private def graphSearchImpl(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    graphSearchOn(embeddingsOnce(s, d))
+    val e = embeddingsOnce(s, d)
+    val out = graphSearchOn(e)
+    // the returned plan reads only the final beam checkpoint; the
+    // embeddings projection's last consumer was the (eager) final beam
+    // round, so its blocks are dead here (r15 #5). NOT freed in
+    // sim_graph_recall_eval, whose truth leg still references e lazily.
+    Ckpt.free(e)
+    out
   }
 
   /** Search over an ALREADY-materialized (vec_id, embedding) frame —
@@ -218,7 +230,11 @@ object Similarity3 {
     val entry = e.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
         && col("vec_id") < BLOCK * NENT)
       .select(col("vec_id").as("node"))
-    beamSearch(e, edges, q, entry)
+    val out = beamSearch(e, edges, q, entry)
+    // the beam rounds (each an eager checkpoint) were the edge list's
+    // last consumer; the returned frame reads only the final beam
+    Ckpt.free(edges)
+    out
   }
 
   /** R-round greedy beam over `edges` for query frame `q` (qid, qe),
@@ -257,7 +273,9 @@ object Similarity3 {
         .select(col("qid"), col("qe"), col("b").as("node"))
       val cand = beam.select(col("qid"), col("qe"), col("node"))
         .union(expanded)
-      beam = rescore(cand).localCheckpoint()
+      val next = rescore(cand).localCheckpoint()
+      Ckpt.free(beam) // superseded beam round (r15 #5)
+      beam = next
     }
     beam.select(col("qid"), col("node"), col("cos"))
   }
@@ -390,7 +408,9 @@ object Similarity3 {
     "sim_graph_ann_insert" -> ((s, d) => withFewPartitions(s) {
       graft.functions.GraftFunctions.register(s)
       val all = embeddingsOnce(s, d)
-      val cnt = all.agg(count(lit(1)).as("nv"))
+      // 1-row corpus count pinned EAGERLY so the output's broadcast of
+      // it stops holding the full embeddings checkpoint alive (r15 #5)
+      val cnt = all.agg(count(lit(1)).as("nv")).localCheckpoint(true)
       val withN = all.crossJoin(broadcast(cnt))
       val base = withN.filter(col("vec_id") < col("nv") - INS)
         .select(col("vec_id"), col("embedding"))
@@ -407,11 +427,19 @@ object Similarity3 {
         .filter(col("rk") <= M)
         .select(col("qid").as("a"), col("node").as("b"), col("cos"))
         .localCheckpoint()
+      // beam is a projection over exactly the placement beam's final
+      // (eager) round, whose only consumer was newEdges above (r15 #5).
+      // `edges` is NOT freed: the rewired census anti-joins it lazily.
+      Ckpt.freeLeaves(beam)
       val rev = newEdges.select(col("b").as("a"), col("a").as("b"))
       val affected = rev.select("a").distinct()
       val updCand = edges.join(affected, Seq("a")).select("a", "b")
         .union(rev) // multiset — topMFor dedups on the window exchange
       val updated = topMFor(all)(updCand).localCheckpoint()
+      // `updated` was the embeddings projection's last consumer (the
+      // build, placement beam and reverse-attach re-rank are all
+      // materialized; cnt is a 1-row checkpoint) — free it (r15 #5)
+      Ckpt.free(all)
       val rewired = updated.select("a", "b")
         .join(edges, Seq("a", "b"), "left_anti")
         .agg(countDistinct(col("a")).as("n_base_rewired"))
@@ -459,6 +487,10 @@ object Similarity3 {
       val pool = keepE.join(affected, Seq("a")).select("a", "b")
         .union(viaDeleted) // multiset — topMFor dedups on the window exchange
       val repaired = topMFor(all)(pool).select("a", "b").localCheckpoint()
+      // the full-corpus build's last consumer was `repaired` (via
+      // viaDeleted; `live` was materialized earlier) — dead now (r15 #5).
+      // `live` itself stays: the n_affected census references it lazily.
+      Ckpt.free(edges)
       val finalEdges = keepE.join(affected, Seq("a"), "left_anti")
         .select("a", "b").union(repaired)
       val q = all.filter(col("vec_id") < 5)
@@ -466,12 +498,21 @@ object Similarity3 {
       val entry = all.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
           && col("vec_id") < BLOCK * NENT && !isDel(col("vec_id")))
         .select(col("vec_id").as("node"))
+      // 1-row censuses pinned EAGERLY so their output broadcasts stop
+      // holding the embeddings / live-edge checkpoints alive (r15 #5)
       val nDel = all.filter(isDel(col("vec_id")))
-        .agg(count(lit(1)).as("n_deleted"))
+        .agg(count(lit(1)).as("n_deleted")).localCheckpoint(true)
       val nAff = affected.agg(count(lit(1)).as("n_affected"))
+        .localCheckpoint(true)
       val wr = Window.partitionBy("qid")
         .orderBy(round(col("cos"), 4).desc, col("node"))
-      beamSearch(all, finalEdges, q, entry)
+      val searched = beamSearch(all, finalEdges, q, entry)
+      // the beam rounds above were the last consumers of the repaired
+      // edge set (via finalEdges), the tombstone-filtered live set and
+      // the embeddings projection itself — the returned plan reads only
+      // the final beam plus the two 1-row censuses (r15 #5)
+      Ckpt.free(repaired, live, all)
+      searched
         .filter(col("node") =!= col("qid"))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= 3)

@@ -120,24 +120,30 @@ object Subqueries {
       // one-column block instead of re-reading the parquet file per
       // probe. Same fixpoint, same output; at production scale this is
       // exactly the synopsis you'd pin before a driver-side loop.
-      Tables.orders(s, d).select(col("o_totalprice"))
-        .localCheckpoint(true).createOrReplaceTempView("graft_orders_v")
+      val ordv = Tables.orders(s, d).select(col("o_totalprice"))
+        .localCheckpoint(true)
+      ordv.createOrReplaceTempView("graft_orders_v")
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
-      try s.sql(
-        """BEGIN
-          |  DECLARE k INT DEFAULT 0;
-          |  DECLARE n BIGINT DEFAULT 0;
-          |  SET n = (SELECT count(*) FROM graft_orders_v);
-          |  WHILE n >= 1000 AND k < 40 DO
-          |    SET k = k + 1;
-          |    SET n = (SELECT count(*) FROM graft_orders_v
-          |             WHERE o_totalprice > power(2.0, k));
-          |  END WHILE;
-          |  SELECT k, CAST(power(2.0, k) AS DOUBLE) AS threshold,
-          |         n AS n_above;
-          |END""".stripMargin).localCheckpoint(true)
-      finally prev match {
+      try {
+        val res = s.sql(
+          """BEGIN
+            |  DECLARE k INT DEFAULT 0;
+            |  DECLARE n BIGINT DEFAULT 0;
+            |  SET n = (SELECT count(*) FROM graft_orders_v);
+            |  WHILE n >= 1000 AND k < 40 DO
+            |    SET k = k + 1;
+            |    SET n = (SELECT count(*) FROM graft_orders_v
+            |             WHERE o_totalprice > power(2.0, k));
+            |  END WHILE;
+            |  SELECT k, CAST(power(2.0, k) AS DOUBLE) AS threshold,
+            |         n AS n_above;
+            |END""".stripMargin).localCheckpoint(true)
+        // the ~19 probe scans all ran inside the eager checkpoint
+        // above; the one-column view block is dead from here (r15 #5)
+        graft.Ckpt.free(ordv)
+        res
+      } finally prev match {
         case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
         case None => s.conf.unset("spark.sql.scripting.enabled")
       }

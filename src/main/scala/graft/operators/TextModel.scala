@@ -207,8 +207,10 @@ object TextModel {
                  concat(' ', replace(pair, ' ', ''), ' ')))""").as("sy"))
       val m1 = top1(pairCounts(sym0)).localCheckpoint()
       val sym1 = applyMerge(sym0, m1).localCheckpoint()
+      graft.Ckpt.free(sym0) // absorbed by m1 + sym1 (r15 #5)
       val m2 = top1(pairCounts(sym1)).localCheckpoint()
       val sym2 = applyMerge(sym1, m2).localCheckpoint()
+      graft.Ckpt.free(sym1) // absorbed by m2 + sym2
       val remaining = pairCounts(sym2)
         .withColumn("rank", row_number().over(
           Window.partitionBy(lit(1)).orderBy(col("wt").desc, col("pair"))))
