@@ -281,32 +281,33 @@ object GraphOps {
       val k = 8
       var e = coPurchaseEdges(s, d, 10).localCheckpoint()
       var stats: DataFrame = null
+      val rounds = scala.collection.mutable.ArrayBuffer(e)
       for (r <- 1 to 6) {
         val deg = e.select(col("u").as("n"))
           .union(e.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
         val keep = deg.filter(col("deg") >= k).select("n")
-        val e2 = e
+        e = e
           .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
           .localCheckpoint()
-        graft.Ckpt.free(e) // superseded survivor set (r15 #5)
-        e = e2
-        // the per-round census is pinned EAGERLY (1 row) so the round's
-        // edge checkpoint can be freed once the next round supersedes
-        // it — before this, the lazy census kept all 6 rounds' edge
-        // sets resident for the session (r15 #5)
+        rounds += e // referenced by the lazy census until the end-pin
         val st = e.select(col("u").as("n"))
           .union(e.select(col("v").as("n"))).distinct()
           .agg(count(lit(1)).as("n_nodes"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .select(lit(r.toLong).as("round"), col("n_nodes"),
             col("n_edges"))
-          .localCheckpoint(true)
         stats = if (stats == null) st else stats.unionAll(st)
       }
-      graft.Ckpt.free(e) // round 6's census was the last consumer
-      stats.orderBy("round")
+      // pin the 6-row census ONCE (the same union-of-aggregates job
+      // the action used to run), then free every round's edge set —
+      // the lazy census previously kept all 6 rounds resident for the
+      // session (r15 #5). One job either way; the peel itself still
+      // shuffles exactly `rounds` times.
+      val statsC = stats.localCheckpoint(true)
+      graft.Ckpt.free(rounds.toSeq: _*)
+      statsC.orderBy("round")
     }),
 
     // Multi-source BFS layering (r9) — the fourth Pregel shape beside

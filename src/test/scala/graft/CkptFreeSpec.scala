@@ -50,6 +50,7 @@ class CkptFreeSpec extends GraftSuite {
     //   text_bpe_train_rounds: m1 + m2 + sym2                   = 3
     val bounds = Seq(
       "graph_bfs_layers" -> 2,
+      "graph_kcore" -> 1, // the end-pinned 6-row census
       "analytics_markov_hitting" -> 3,
       "sample_farthest_point_coreset" -> 8,
       "analytics_median_polish" -> 1,
