@@ -75,25 +75,35 @@ object Analytics6 {
                      16, 10) AS BIGINT) % 2"""))
   }
 
-  /** BM25-scored (pid, cid, bm25) pairs — probe docs (doc_id%97) as
-    * bag-of-words queries vs candidate docs (doc_id%5), inverted-index
-    * term equi-join after the df≤30% stop cut, idf ln() quantized
-    * DECIMAL(28,10) at term grain, per-pair term scores quantized
-    * pre-sum, floor·10⁴. Shared by `text_bm25_retrieval` (top-3 rank)
-    * and `sim_hybrid_retrieval` (lexical arm). */
-  private def bm25Pairs(s: SparkSession, d: String): DataFrame = {
-    // r15 (guide §2.4/§5): the (doc, term, tf) posting synopsis is
-    // materialized ONCE — cand, probes, dfs, nAvg and the final join
-    // are all views over it, and the lazy form re-ran the explode +
-    // tf aggregate per reference (9 parquet scans in
-    // text_bm25_retrieval's static plan, 25 in sim_hybrid_retrieval's
-    // — this is the inverted-index build a production stack
-    // materializes anyway). dl derives from tf (Σ tf == token count,
-    // same integers), saving the second full explode pass.
-    val tf = Tables.documents(s, d)
+  // BM25-scored (pid, cid, bm25) pairs — probe docs (doc_id%97) as
+  // bag-of-words queries vs candidate docs (doc_id%5), inverted-index
+  // term equi-join after the df≤30% stop cut, idf ln() quantized
+  // DECIMAL(28,10) at term grain, per-pair term scores quantized
+  // pre-sum, floor·10⁴. Shared by `text_bm25_retrieval` (top-3 rank)
+  // and `sim_hybrid_retrieval` (lexical arm).
+  // r15 (guide §2.4/§5): the (doc, term, tf) posting synopsis is
+  // materialized ONCE per consuming key — cand, probes, dfs, nAvg and
+  // the final join are all views over it, and the lazy form re-ran
+  // the explode + tf aggregate per reference (9 parquet scans in
+  // text_bm25_retrieval's static plan, 25 in sim_hybrid_retrieval's —
+  // this is the inverted-index build a production stack materializes
+  // anyway). dl derives from tf (Σ tf == token count, same integers),
+  // saving the second full explode pass. The consuming keys END-PIN
+  // their small ranked results and FREE the synopsis (r15 #5
+  // session 4) — see the key bodies.
+
+  /** The lazy (doc_id, w, tf) posting frame — checkpointed by the
+    * consuming keys; used raw by the hint-policy audit. */
+  private[graft] def bm25Postings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+
+  /** The pair pipeline over a given posting frame (lazy — the hint
+    * census in PlanShapeSpec audits THIS plan, since the declared
+    * keys consume the end-pinned checkpoint whose LogicalRDD root
+    * hides the authored hints). */
+  private[graft] def bm25PairsOn(tf: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val cand = tf.filter(col("doc_id") % 5 === 0)
     val nAvg = cand.select("doc_id").distinct()
@@ -159,17 +169,24 @@ object Analytics6 {
     * pipeline_chunk_embed_e2e embedding at document grain, no
     * chunking), same probe/candidate universes and stop-dim cut as
     * the lexical arm. The embedding arm of `sim_hybrid_retrieval`. */
-  private def cosPairs(s: SparkSession, d: String): DataFrame = {
-    // r15: same materialize-the-synopsis-once treatment as the
-    // lexical arm — candsAll/probesAll/dimdf are views over one
-    // (doc, dim, c) frame instead of re-running the explode+hash+agg
-    val emb = Tables.documents(s, d)
+  // r15: same materialize-the-synopsis-once treatment as the lexical
+  // arm — candsAll/probesAll/dimdf are views over one (doc, dim, c)
+  // frame instead of re-running the explode+hash+agg; the consuming
+  // key end-pins its ranked result and frees the synopsis.
+
+  /** The lazy (doc_id, dim, c) hashed-dim frame — checkpointed by
+    * the consuming key; used raw by the hint-policy audit. */
+  private[graft] def cosEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT)")
           .as("dim"))
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+
+  /** The pair pipeline over a given hashed-dim frame (lazy — see
+    * bm25PairsOn for why the audit pins this, not the key). */
+  private[graft] def cosPairsOn(emb: DataFrame): DataFrame = {
     val candsAll = emb.filter(col("doc_id") % 5 === 0)
     val probesAll = emb.filter(col("doc_id") % 97 === 0)
     val nc = candsAll.agg(countDistinct(col("doc_id")).as("nc"))
@@ -414,13 +431,23 @@ object Analytics6 {
     // floor·10⁴ + ccid tiebreak.
     "text_bm25_retrieval" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      bm25Pairs(s, d)
+      // r15 #5 (session 4): END-PIN the ranked top-3 frame (≤3 rows
+      // per probe — KBs) so the doc-grain posting synopsis (11.6 MB
+      // resident for the rest of the session in the storage census)
+      // is freed at construction. Pinning the ranked OUTPUT rather
+      // than the raw pair table keeps the checkpoint write trivial
+      // (the raw-pair pin variant measured +0.3 s task at fixture
+      // scale from its 4.7 MB block write/read).
+      val tf = bm25Postings(s, d).localCheckpoint()
+      val top = bm25PairsOn(tf)
         .withColumn("rank", row_number().over(Window.partitionBy("pid")
           .orderBy(col("bm25").desc, col("cid"))))
         .filter(col("rank") <= 3)
         .select(col("pid"), col("rank").cast("long").as("rank"),
           col("cid"), col("bm25"))
-        .orderBy("pid", "rank")
+        .localCheckpoint(true)
+      graft.Ckpt.free(tf)
+      top.orderBy("pid", "rank")
     }),
 
     // Hybrid retrieval (r10 capstone) — THE production search
@@ -440,18 +467,35 @@ object Analytics6 {
     // fusion joins two ≤|probes|·10-row frames.
     "sim_hybrid_retrieval" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val bm = bm25Pairs(s, d)
-        .withColumn("rb", row_number().over(Window.partitionBy("pid")
+      // r15 #5 (session 4): the two arm synopses were the board's
+      // LARGEST ambient holder (22.3 MB resident after this key in
+      // the storage census). Both arms' ranked top-10 lists are
+      // END-PINNED in ONE tagged union — a single query execution,
+      // so the arms keep their stage-level parallelism (separate
+      // per-arm pins measured +0.5 s wall from arm serialization) —
+      // then the posting + hashed-dim synopses are freed. The tag
+      // split below feeds the unchanged RRF fusion with identical
+      // integer ranks.
+      val tf = bm25Postings(s, d).localCheckpoint()
+      val emb = cosEmbeddings(s, d).localCheckpoint()
+      val arms = bm25PairsOn(tf)
+        .withColumn("rk", row_number().over(Window.partitionBy("pid")
           .orderBy(col("bm25").desc, col("cid"))))
-        .filter(col("rb") <= 10)
+        .filter(col("rk") <= 10)
+        .select(col("pid"), col("cid"), col("rk"), lit("b").as("arm"))
+        .unionByName(cosPairsOn(emb)
+          .withColumn("rk", row_number().over(Window.partitionBy("pid")
+            .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rk") <= 10)
+          .select(col("pid"), col("cid"), col("rk"), lit("c").as("arm")))
+        .localCheckpoint(true)
+      graft.Ckpt.free(tf, emb)
+      val bm = arms.filter(col("arm") === "b")
         .select(col("pid").as("bpid"), col("cid").as("bcid"),
-          col("rb"))
-      val cs = cosPairs(s, d)
-        .withColumn("rc", row_number().over(Window.partitionBy("pid")
-          .orderBy(col("cos").desc, col("cid"))))
-        .filter(col("rc") <= 10)
+          col("rk").as("rb"))
+      val cs = arms.filter(col("arm") === "c")
         .select(col("pid").as("cpid"), col("cid").as("ccid"),
-          col("rc"))
+          col("rk").as("rc"))
       bm.join(cs,
           col("bpid") === col("cpid") && col("bcid") === col("ccid"),
           "full_outer")

@@ -207,8 +207,15 @@ object DedupAdvanced {
     * discipline the ICWS twin already followed. */
   private def minhashJaccard(s: SparkSession, d: String): DataFrame = {
     val shing = shingles(s, d).localCheckpoint()
-    minhashJaccardFrom(shing,
+    // r15 #5 (session 4): END-PIN the candidate-pair report (band-
+    // candidate grain, KBs) so the doc-grain shingle synopsis —
+    // ~5.4 MB resident per consumer key in the storage census — is
+    // freed at construction instead of lingering for the session.
+    val pairs = minhashJaccardFrom(shing,
       minhashSignaturesFrom(minhashWideFrom(shing)))
+      .localCheckpoint(true)
+    graft.Ckpt.free(shing)
+    pairs
   }
 
   private def minhashJaccardFrom(shing: DataFrame, mh: DataFrame): DataFrame = {
@@ -319,6 +326,11 @@ object DedupAdvanced {
       val nMatch = (0 until 8).map(i =>
         when(col(s"ba$i") === col(s"bb$i"), 1).otherwise(0))
         .reduce(_ + _)
+      // r15 session 4: an end-pin + free(shing, wide) variant was
+      // MEASURED (min-of-3 alternating probes) at +0.28 s wall /
+      // +0.20 s task — the extra execution boundary costs more than
+      // the ~5.8 MB ambient relief is worth (the full-board A/B put
+      // the downstream effect inside noise). Lazy form retained.
       jac.join(ba, col("a") === col("xa"))
         .join(bb, col("b") === col("xb"))
         .select(col("a"), col("b"),
@@ -371,6 +383,9 @@ object DedupAdvanced {
           col("xb") === col("db") && col("ib") === col("i"))
         .groupBy("da", "db")
         .agg(count(when(col("ha") === col("hb"), lit(1))).as("n_agree"))
+      // r15 session 4: an end-pin + free(shing, mh) variant was
+      // MEASURED at +0.23 s wall / +0.16 s task (min-of-3 alternating
+      // probes) — rejected like the bbit twin; lazy form retained.
       agree.join(minhashJaccardFrom(shing, mh),
           col("da") === col("a") && col("db") === col("b"))
         .select(col("a"), col("b"), col("n_agree"),

@@ -62,7 +62,13 @@ object GraphOps {
         .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("pr"))
         .select(col("dst").as("node"), col("pr"))
     }
-    pr
+    // r15 #5 (session 4): END-PIN the node-grain rank frame so the
+    // degree-joined edge list (~5.5 MB resident in the storage
+    // census) is freed at construction — the returned plan reads the
+    // small (node, pr) checkpoint, same jobs either way.
+    val out = pr.localCheckpoint(true)
+    graft.Ckpt.free(withDeg)
+    out
   }
 
   /** Unipartite co-supply graph: undirected edge (p1, p2) when two
@@ -244,14 +250,19 @@ object GraphOps {
     // strategy at scale: one symmetric-degree aggregate, bucketed.
     "graph_degree_distribution" -> ((s, d) => {
       // r15: materialized once — the u/v union legs are different
-      // projections, so the lazy form ran the co-supply join twice
+      // projections, so the lazy form ran the co-supply join twice.
+      // r15 #5 (session 4): end-pin the bucket-grain output and free
+      // the edge list (~4.4 MB resident in the storage census).
       val e = coSupplyEdges(s, d, 50).localCheckpoint()
-      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      val out = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .groupBy((floor(col("deg") / 8) * 8).cast("bigint").as("deg_bucket"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("deg")).as("deg_min"), max(col("deg")).as("deg_max"))
-        .orderBy("deg_bucket")
+        .localCheckpoint(true)
+      graft.Ckpt.free(e)
+      out.orderBy("deg_bucket")
     }),
 
     // k-core decomposition by iterative peeling (r9; Seidman 1983,

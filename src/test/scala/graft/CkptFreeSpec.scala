@@ -57,7 +57,19 @@ class CkptFreeSpec extends GraftSuite {
       "sim_mmr_diversify" -> 1,
       "dedup_minhash_icws" -> 1,
       "sim_graph_ann" -> 1,
-      "text_bpe_train_rounds" -> 3)
+      "text_bpe_train_rounds" -> 3,
+      // session 4 end-pins: only the small result checkpoint may
+      // survive — the doc-grain synopsis (shingles / postings /
+      // hashed dims / degree-joined edges) must have been freed
+      "dedup_minhash_lsh" -> 1,
+      "dedup_minhash_containment" -> 1,
+      // (bbit / estimate_quality end-pins were measured-rejected —
+      // +0.2–0.3 s wall each at fixture scale; their shingle/sig
+      // synopses stay lazily referenced by the returned plans)
+      "text_bm25_retrieval" -> 1,
+      "sim_hybrid_retrieval" -> 2, // one end-pin per arm
+      "graph_pagerank" -> 1,
+      "graph_degree_distribution" -> 1)
     for ((key, bound) <- bounds) {
       val before = persisted
       val n = SparkEntry.queries(key)(spark, sf).count()

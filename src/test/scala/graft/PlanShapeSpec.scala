@@ -585,31 +585,41 @@ class PlanShapeSpec extends GraftSuite {
     // hint sits on the synopsis) rather than a fragile node count.
     // probes (%97 slice), dfKeep (vocab-grain) and the
     // candidate-length join are hint-free.
-    val bmHints = resolvedHints("text_bm25_retrieval")
+    //
+    // r15 session 4: the declared keys END-PIN the pair frames
+    // (eager checkpoint + synopsis free), so the keys' analyzed
+    // trees root at a LogicalRDD and no longer show the authored
+    // hints — the audit therefore pins the LAZY pair builders
+    // (bm25PairsOn / cosPairsOn), which are exactly the plans the
+    // pinned keys execute at construction.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.operators.Analytics6
+    def hintsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val bmPlan = Analytics6.bm25PairsOn(Analytics6.bm25Postings(spark, sf))
+    val bmHints = hintsOf(bmPlan)
     assert(bmHints.nonEmpty,
-      "text_bm25_retrieval should hint the 1-row nAvg synopsis")
+      "bm25 pair builder should hint the 1-row nAvg synopsis")
     for (h <- bmHints) {
       val out = h.child.output.map(_.name)
       assert(out == Seq("nc", "avgdl"),
-        s"text_bm25_retrieval: forced hint on a non-synopsis frame " +
+        s"bm25 pair builder: forced hint on a non-synopsis frame " +
           s"(output ${out.mkString(",")})")
     }
-    // hybrid: the analyzed tree copies a shared subtree once per
-    // reference, so counting hints is fragile — pin the POLICY
-    // instead: every remaining hint must sit on a bounded synopsis
-    // (the 1-row nAvg/nc aggregates or the ≤256-row dim keep-list),
-    // never on probe postings (pid/w or pid/dim/pc outputs) or the
-    // vocab-grain idf table (w/idf/avgdl).
-    for (h <- resolvedHints("sim_hybrid_retrieval")) {
+    // embedding arm: every hint must sit on a bounded synopsis (the
+    // 1-row nc aggregate or the ≤256-row dim keep-list), never on
+    // probe postings (pid/dim/pc outputs).
+    val cosPlan = Analytics6.cosPairsOn(Analytics6.cosEmbeddings(spark, sf))
+    for (h <- hintsOf(cosPlan)) {
       val out = h.child.output.map(_.name)
-      assert(out == Seq("nc", "avgdl") || out == Seq("nc") ||
-        out == Seq("dim"),
-        s"sim_hybrid_retrieval: forced hint on a non-bounded frame " +
+      assert(out == Seq("nc") || out == Seq("dim"),
+        s"cos pair builder: forced hint on a non-bounded frame " +
           s"(output ${out.mkString(",")})")
     }
     // semantics unchanged by the hint removal: same pair universe,
     // no cartesian introduced by the hint-free equi-joins
-    val plan = executedPlan("text_bm25_retrieval")
+    bmPlan.collect() // finalize AQE
+    val plan = bmPlan.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"hint-free term join must stay an equi-join:\n$plan")
   }
