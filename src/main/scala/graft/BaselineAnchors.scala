@@ -46,11 +46,20 @@ private[graft] object BaselineAnchors {
       e.group(1) == cpus &&
         sfDir.stripSuffix("/").endsWith(e.group(2)))
 
-  /** Env-filtered anchors for the drift gate (Bench). */
+  /** Env-filtered anchors for the drift gate (Bench): the LATEST
+    * section whose header matches this run's env — not merely the
+    * latest section overall. r16 anchors the board at BOTH 32 and 8
+    * cores (VERDICT r15 #1), so one round now contributes two
+    * same-numbered sections and the gate must pick the matching one
+    * instead of disarming whenever the other env's table happens to
+    * sit last in the file. */
   def anchorsFor(cpus: String, sfDir: String): Map[String, Double] =
-    readText().flatMap(latestSection)
-      .filter(envMatches(_, cpus, sfDir))
-      .map(rows).getOrElse(Map.empty)
+    readText().map { text =>
+      sectRe.findAllMatchIn(text).toSeq
+        .sortBy(_.group(1).toInt).map(_.group(0))
+        .filter(envMatches(_, cpus, sfDir))
+        .lastOption.map(rows).getOrElse(Map.empty[String, Double])
+    }.getOrElse(Map.empty)
 
   /** All keys in the latest anchor table, env-agnostic (the
     * completeness gate in RelationalCoreSpec). None = no table. */

@@ -153,10 +153,28 @@ object ShuffleAudit {
       } else {
         // ceiling = 2× measured, floored at 1 MB (tiny keys jitter by
         // compression/AQE layout, never by structure)
+        val newCaps = measured.map { case (k, v) =>
+          k -> math.max(v * 2, 1L << 20) }
+        // Ceiling-delta guard (r16, VERDICT r15 #7): "2× whatever the
+        // last regeneration measured" is a ratchet that can absorb
+        // slow structural creep — every raise >1.5× over the
+        // COMMITTED ceiling is printed so the regeneration diff review
+        // sees exactly which keys moved and by how much (the reason
+        // string belongs in the commit that lands the new table).
+        val raised = newCaps.filter { case (k, nv) =>
+          expected.get(k).exists(old => nv > old * 1.5) }
+        raised.foreach { case (k, nv) =>
+          val old = expected(k)
+          println(f"CEILING-RAISE $k%-34s ${old / mb}%8.2f MB -> " +
+            f"${nv / mb}%8.2f MB (${nv.toDouble / old}%4.2fx) — " +
+            "justify in the regeneration commit")
+        }
+        if (raised.nonEmpty)
+          println(s"CEILING-RAISE SUMMARY: ${raised.size} key(s) " +
+            "raised >1.5x over the committed table")
         val lines = s"# sf=$sfTag key\tmax_shuffle_bytes (2x clean-run " +
           "measured; regenerate with --write-expected)\n" +
-          measured.map { case (k, v) =>
-            s"$k\t${math.max(v * 2, 1L << 20)}" }.mkString("\n") + "\n"
+          newCaps.map { case (k, v) => s"$k\t$v" }.mkString("\n") + "\n"
         java.nio.file.Files.writeString(expectedPath, lines)
         println(s"wrote ${measured.size} ceilings to $expectedPath " +
           s"(sf=$sfTag)")

@@ -243,35 +243,49 @@ object Similarity3 {
     * passes other values — declared keys always use the default. */
   private def beamSearch(e: DataFrame, edges: DataFrame, q: DataFrame,
       entry: DataFrame, rounds: Int = R): DataFrame =
-    beamSearchFrom(e, edges, q.crossJoin(entry), rounds)
+    beamSearchFrom(e, edges, q, q.select(col("qid")).crossJoin(entry),
+      rounds)
 
-  /** Beam from an arbitrary per-query seed frame (qid, qe, node) —
-    * what a hierarchical entry layer produces (per-QUERY entries
-    * instead of the fixed spine). */
+  /** Beam from an arbitrary per-query seed frame (qid, node) — what a
+    * hierarchical entry layer produces (per-QUERY entries instead of
+    * the fixed spine). `q` (qid, qe) supplies the query vectors.
+    *
+    * r16 (VERDICT r15 #2, guide §2.3 "shuffle keys and metadata
+    * instead of payloads"): the candidate multiset used to carry qe —
+    * a 64-float payload functionally dependent on qid — on EVERY row
+    * through each round's repartition(qid) exchange and into every
+    * beam checkpoint (insert places INS=50 queries: ~24k candidate
+    * rows × ~300 B of qe per round). Candidates now flow as bare
+    * (qid, node) ids; qe is joined back from the ≤INS-row broadcast
+    * `q` AFTER the dedup, so the exchange and the checkpoints carry
+    * ids only. Same (qid, node) set scored, same cosine inputs —
+    * results identical. */
   private def beamSearchFrom(e: DataFrame, edges: DataFrame,
-      seed: DataFrame, rounds: Int): DataFrame = {
+      q: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
     val wQ = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 4).desc, col("node"))
     // rescore accepts a candidate MULTISET and dedups (qid, node) on
     // the top-EF window's own exchange — repartition by qid, dedup
     // under that partitioning, window exchange-free (r15, guide §2.4;
-    // the topMFor twin). qe rides along untouched: it is functionally
-    // dependent on qid, so the dedup's row pick cannot vary it.
+    // the topMFor twin). Both payload joins (ne per candidate node,
+    // qe per query) are broadcast-sized and partitioning-preserving,
+    // so the window still runs exchange-free.
     def rescore(cand: DataFrame): DataFrame = cand
       .repartition(col("qid"))
       .dropDuplicates("qid", "node")
       .join(e.select(col("vec_id").as("node"), col("embedding").as("ne")),
         Seq("node"))
+      .join(broadcast(q), Seq("qid"))
       .withColumn("cos", expr("cosine_sim(qe, ne)"))
       .withColumn("rk", row_number().over(wQ))
       .filter(col("rk") <= EF)
-      .select(col("qid"), col("qe"), col("node"), col("cos"))
+      .select(col("qid"), col("node"), col("cos"))
     var beam = rescore(seed).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val expanded = beam.select(col("qid"), col("qe"), col("node"))
+      val expanded = beam.select(col("qid"), col("node"))
         .join(edges, col("node") === col("a"))
-        .select(col("qid"), col("qe"), col("b").as("node"))
-      val cand = beam.select(col("qid"), col("qe"), col("node"))
+        .select(col("qid"), col("b").as("node"))
+      val cand = beam.select(col("qid"), col("node"))
         .union(expanded)
       val next = rescore(cand).localCheckpoint()
       Ckpt.free(beam) // superseded beam round (r15 #5)
@@ -300,7 +314,8 @@ object Similarity3 {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val seed =
         if (hierStride <= 0)
-          q.crossJoin(e.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
+          q.select(col("qid")).crossJoin(
+            e.filter(pmod(col("vec_id"), lit(BLOCK)) === 0
               && col("vec_id") < BLOCK * NENT)
             .select(col("vec_id").as("node")))
         else {
@@ -312,9 +327,9 @@ object Similarity3 {
             .withColumn("cos", expr("cosine_sim(qe, ne)"))
             .withColumn("rk", row_number().over(wC))
             .filter(col("rk") <= nEnt)
-            .select(col("qid"), col("qe"), col("node"))
+            .select(col("qid"), col("node"))
         }
-      val got = beamSearchFrom(e, edges, seed, rounds)
+      val got = beamSearchFrom(e, edges, q, seed, rounds)
         .filter(col("node") =!= col("qid"))
         .withColumn("rank", row_number().over(Window.partitionBy("qid")
           .orderBy(round(col("cos"), 4).desc, col("node"))))
